@@ -1,0 +1,461 @@
+"""In-framework baseline JPEG codec.
+
+Replaces the reference's libjpeg-turbo wrappers
+(/root/reference/lib/src/jpegencoderhelper.cpp,
+ /root/reference/lib/src/jpegdecoderhelper.cpp) with a split design:
+DCT/quantization run on TPU (dct.py, batched MXU matmuls), the
+sequential Huffman bit stage runs in native C++ on the host
+(native/entropy.cpp), and all marker/container work is host Python.
+
+Encoder emits baseline JFIF: YCbCr 4:2:0 with 2x2/1x1/1x1 sampling or
+single-component grayscale — the same shapes the reference produces
+(jpegencoderhelper.cpp:120-136). Decoder handles baseline sequential
+JPEGs with a single interleaved scan (or single-component scans),
+restart intervals included; progressive JPEG is rejected cleanly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..types import err
+from . import tables
+from .dct import dequant_idct, fdct_quant
+from .native import get_lib
+
+MAX_DIM = 8192  # jpegdecoderhelper.h:42-43
+
+
+# ---------------------------------------------------------------------------
+# Shared helpers.
+# ---------------------------------------------------------------------------
+
+def _pad_plane(plane: np.ndarray, mult: int) -> np.ndarray:
+    """Edge-replicate pad a plane so both dims are multiples of mult."""
+    h, w = plane.shape
+    ph = (mult - h % mult) % mult
+    pw = (mult - w % mult) % mult
+    if ph == 0 and pw == 0:
+        return plane
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x)
+
+
+def _huff_arrays(selections):
+    """Pack (bits, vals) table definitions into the [4][17]/[4][256]
+    arrays the native codec takes. selections: list of (bits, vals) or
+    None per slot."""
+    bits = np.zeros((4, 17), np.uint8)
+    vals = np.zeros((4, 256), np.uint8)
+    for i, sel in enumerate(selections):
+        if sel is None:
+            continue
+        b, v = tables.pack_huff_table(*sel)
+        bits[i] = b
+        vals[i] = v
+    return bits, vals
+
+
+def _native():
+    lib = get_lib()
+    if lib is None:
+        raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                  "native entropy codec unavailable (g++ missing?)")
+    return lib
+
+
+def _as_u8p(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _as_i16p(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+
+def entropy_encode(blocks_zz: np.ndarray, comp_ids: np.ndarray,
+                   dc_sel, ac_sel, dc_tables, ac_tables,
+                   restart_interval: int, mcu_blocks: int) -> bytes:
+    lib = _native()
+    blocks_zz = np.ascontiguousarray(blocks_zz, np.int16)
+    comp_ids = np.ascontiguousarray(comp_ids, np.uint8)
+    dcb, dcv = _huff_arrays(dc_tables)
+    acb, acv = _huff_arrays(ac_tables)
+    dc_sel = np.asarray(dc_sel, np.uint8)
+    ac_sel = np.asarray(ac_sel, np.uint8)
+    cap = blocks_zz.shape[0] * 64 * 4 + 4096
+    out = np.empty(cap, np.uint8)
+    n = lib.uhdr_huff_encode(
+        _as_i16p(blocks_zz), blocks_zz.shape[0], _as_u8p(comp_ids),
+        len(dc_sel), _as_u8p(dc_sel), _as_u8p(ac_sel),
+        _as_u8p(dcb), _as_u8p(dcv), _as_u8p(acb), _as_u8p(acv),
+        restart_interval, mcu_blocks, _as_u8p(out), cap)
+    if n < 0:
+        raise err("UHDR_CODEC_ERROR", "entropy encode overflow")
+    return out[:n].tobytes()
+
+
+def entropy_decode(data: bytes, nblocks: int, comp_ids: np.ndarray,
+                   dc_sel, ac_sel, dc_tables, ac_tables,
+                   restart_interval: int, mcu_blocks: int) -> np.ndarray:
+    lib = _native()
+    buf = np.frombuffer(data, np.uint8)
+    comp_ids = np.ascontiguousarray(comp_ids, np.uint8)
+    dcb, dcv = _huff_arrays(dc_tables)
+    acb, acv = _huff_arrays(ac_tables)
+    dc_sel = np.asarray(dc_sel, np.uint8)
+    ac_sel = np.asarray(ac_sel, np.uint8)
+    out = np.zeros((nblocks, 64), np.int16)
+    rc = lib.uhdr_huff_decode(
+        _as_u8p(buf), len(buf), nblocks, _as_u8p(comp_ids),
+        len(dc_sel), _as_u8p(dc_sel), _as_u8p(ac_sel),
+        _as_u8p(dcb), _as_u8p(dcv), _as_u8p(acb), _as_u8p(acv),
+        restart_interval, mcu_blocks, _as_i16p(out))
+    if rc != 0:
+        raise err("UHDR_CODEC_ERROR", f"entropy decode failed at block {-rc}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encoder.
+# ---------------------------------------------------------------------------
+
+def _marker(m: int, payload: bytes) -> bytes:
+    length = len(payload) + 2
+    return bytes([0xFF, m, length >> 8, length & 0xFF]) + payload
+
+
+def _dqt(tbl_id: int, q_natural: np.ndarray) -> bytes:
+    zz = q_natural.reshape(64)[tables.ZIGZAG]
+    return bytes([tbl_id]) + bytes(int(v) for v in zz)
+
+
+def _dht(cls: int, tbl_id: int, bits, vals) -> bytes:
+    return bytes([(cls << 4) | tbl_id]) + bytes(bits) + bytes(vals)
+
+
+def _sof0(w: int, h: int, comps) -> bytes:
+    # comps: list of (id, h_samp, v_samp, qtbl)
+    out = bytes([8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, len(comps)])
+    for cid, hs, vs, q in comps:
+        out += bytes([cid, (hs << 4) | vs, q])
+    return out
+
+
+def _sos(comps) -> bytes:
+    # comps: list of (id, dc_tbl, ac_tbl)
+    out = bytes([len(comps)])
+    for cid, dc, ac in comps:
+        out += bytes([cid, (dc << 4) | ac])
+    out += bytes([0, 63, 0])
+    return out
+
+
+def _jfif_app0() -> bytes:
+    return _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+
+
+def _interleave_yuv420(yb, ub, vb, mcus_x: int, mcus_y: int):
+    """Build MCU-interleaved block array for 2x2/1x1/1x1 sampling.
+
+    yb: (mcus_y*2, mcus_x*2, 64) block grid; ub/vb: (mcus_y, mcus_x, 64).
+    Returns (blocks, comp_ids) with 6 blocks per MCU.
+    """
+    n = mcus_x * mcus_y
+    y4 = (yb.reshape(mcus_y, 2, mcus_x * 2, 64)[:, :, :, :]
+          .reshape(mcus_y, 2, mcus_x, 2, 64)
+          .transpose(0, 2, 1, 3, 4)          # (my, mx, vy, vx, 64)
+          .reshape(n, 4, 64))
+    blocks = np.concatenate(
+        [y4, ub.reshape(n, 1, 64), vb.reshape(n, 1, 64)], axis=1)
+    comp_ids = np.tile(np.array([0, 0, 0, 0, 1, 2], np.uint8), n)
+    return blocks.reshape(-1, 64), comp_ids
+
+
+def encode_jpeg(planes: dict, quality: int, icc: bytes | None = None,
+                restart_interval: int = 0) -> bytes:
+    """Encode YUV420 planes {y,u,v} or grayscale {y} to baseline JFIF.
+
+    Emits the same structure the reference's encoder produces: optional
+    ICC as a single APP2 right after APP0 (jpegencoderhelper.cpp:98-100).
+    """
+    y = _np(planes["y"])
+    h, w = y.shape
+    if h > MAX_DIM or w > MAX_DIM:
+        raise err("UHDR_CODEC_INVALID_PARAM", f"dims too large {w}x{h}")
+    gray = "u" not in planes
+
+    ql = tables.scale_quant_table(tables.STD_LUMINANCE_QUANT, quality)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _jfif_app0()
+    if icc:
+        out += _marker(0xE2, icc)
+
+    if gray:
+        yp = _pad_plane(y, 8)
+        yz = _np(fdct_quant(yp, ql))
+        out += _marker(0xDB, _dqt(0, ql))
+        out += _marker(0xC0, _sof0(w, h, [(1, 1, 1, 0)]))
+        out += _marker(0xC4, _dht(0, 0, tables.DC_LUMA_BITS,
+                                  tables.DC_LUMA_VALS))
+        out += _marker(0xC4, _dht(1, 0, tables.AC_LUMA_BITS,
+                                  tables.AC_LUMA_VALS))
+        if restart_interval:
+            out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
+        out += _marker(0xDA, _sos([(1, 0, 0)]))
+        comp_ids = np.zeros(yz.shape[0], np.uint8)
+        data = entropy_encode(
+            yz, comp_ids, [0], [0],
+            [(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS)],
+            [(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS)],
+            restart_interval, 1)
+        out += data
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    qc = tables.scale_quant_table(tables.STD_CHROMINANCE_QUANT, quality)
+    u = _np(planes["u"])
+    v = _np(planes["v"])
+    yp = _pad_plane(y, 16)
+    up = _pad_plane(u, 8)
+    vp = _pad_plane(v, 8)
+    # Chroma planes must cover yp/2.
+    if up.shape[0] * 2 < yp.shape[0] or up.shape[1] * 2 < yp.shape[1]:
+        up = _pad_plane(np.pad(up, ((0, yp.shape[0] // 2 - up.shape[0]),
+                                    (0, yp.shape[1] // 2 - up.shape[1])),
+                               mode="edge"), 8)
+        vp = _pad_plane(np.pad(vp, ((0, yp.shape[0] // 2 - vp.shape[0]),
+                                    (0, yp.shape[1] // 2 - vp.shape[1])),
+                               mode="edge"), 8)
+
+    yz = _np(fdct_quant(yp, ql))
+    uz = _np(fdct_quant(up, qc))
+    vz = _np(fdct_quant(vp, qc))
+
+    mcus_x, mcus_y = yp.shape[1] // 16, yp.shape[0] // 16
+    yb = yz.reshape(yp.shape[0] // 8, yp.shape[1] // 8, 64)
+    ub = uz.reshape(up.shape[0] // 8, up.shape[1] // 8, 64)
+    vb = vz.reshape(vp.shape[0] // 8, vp.shape[1] // 8, 64)
+    blocks, comp_ids = _interleave_yuv420(
+        yb.reshape(mcus_y * 2, mcus_x * 2, 64),
+        ub[:mcus_y, :mcus_x], vb[:mcus_y, :mcus_x], mcus_x, mcus_y)
+
+    out += _marker(0xDB, _dqt(0, ql))
+    out += _marker(0xDB, _dqt(1, qc))
+    out += _marker(0xC0, _sof0(w, h, [(1, 2, 2, 0), (2, 1, 1, 1),
+                                      (3, 1, 1, 1)]))
+    out += _marker(0xC4, _dht(0, 0, tables.DC_LUMA_BITS, tables.DC_LUMA_VALS))
+    out += _marker(0xC4, _dht(1, 0, tables.AC_LUMA_BITS, tables.AC_LUMA_VALS))
+    out += _marker(0xC4, _dht(0, 1, tables.DC_CHROMA_BITS,
+                              tables.DC_CHROMA_VALS))
+    out += _marker(0xC4, _dht(1, 1, tables.AC_CHROMA_BITS,
+                              tables.AC_CHROMA_VALS))
+    if restart_interval:
+        out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
+    out += _marker(0xDA, _sos([(1, 0, 0), (2, 1, 1), (3, 1, 1)]))
+    data = entropy_encode(
+        blocks, comp_ids, [0, 1, 1], [0, 1, 1],
+        [(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS),
+         (tables.DC_CHROMA_BITS, tables.DC_CHROMA_VALS)],
+        [(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS),
+         (tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS)],
+        restart_interval, 6)
+    out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Component:
+    cid: int
+    h: int
+    v: int
+    qtbl: int
+    dc_tbl: int = 0
+    ac_tbl: int = 0
+
+
+@dataclass
+class DecodedJpeg:
+    width: int
+    height: int
+    ncomp: int
+    planes: list = field(default_factory=list)  # u8 arrays, natural sizes
+    sampling: list = field(default_factory=list)  # (h, v) per component
+    icc: bytes | None = None
+    exif: bytes | None = None
+    xmp: bytes | None = None
+
+
+def decode_jpeg(data: bytes) -> DecodedJpeg:
+    """Decode a baseline JPEG to per-component planes (no chroma
+    upsampling — JPEG/R consumes 4:2:0 planes directly, matching the
+    reference's jpeg_read_raw_data path)."""
+    from ..container import jfif
+
+    segments, sos_end = jfif.scan_segments(data, 0)
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, tuple] = {}
+    ac_tables: dict[int, tuple] = {}
+    comps: list[_Component] = []
+    w = h = 0
+    restart_interval = 0
+    result = DecodedJpeg(0, 0, 0)
+    scan_comps: list[int] = []
+
+    for seg in segments:
+        if seg.marker == 0xDB:  # DQT
+            p = seg.payload
+            pos = 0
+            while pos < len(p):
+                pq, tq = p[pos] >> 4, p[pos] & 15
+                pos += 1
+                if pq == 0:
+                    zz = np.frombuffer(p[pos:pos + 64], np.uint8)
+                    pos += 64
+                else:
+                    zz = np.frombuffer(p[pos:pos + 128], ">u2")
+                    pos += 128
+                nat = np.zeros(64, np.int32)
+                nat[tables.ZIGZAG] = zz
+                qtables[tq] = nat.reshape(8, 8)
+        elif seg.marker == 0xC4:  # DHT
+            p = seg.payload
+            pos = 0
+            while pos < len(p):
+                tc, th = p[pos] >> 4, p[pos] & 15
+                pos += 1
+                bits = list(p[pos:pos + 16])
+                pos += 16
+                nvals = sum(bits)
+                vals = list(p[pos:pos + nvals])
+                pos += nvals
+                (dc_tables if tc == 0 else ac_tables)[th] = (bits, vals)
+        elif seg.marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ish)
+            p = seg.payload
+            if len(p) < 6 or len(p) < 6 + p[5] * 3:
+                raise err("UHDR_CODEC_ERROR", "truncated SOF header")
+            h = (p[1] << 8) | p[2]
+            w = (p[3] << 8) | p[4]
+            nc = p[5]
+            comps = []
+            for i in range(nc):
+                cid, samp, qt = p[6 + i * 3], p[7 + i * 3], p[8 + i * 3]
+                comps.append(_Component(cid, samp >> 4, samp & 15, qt))
+        elif seg.marker == 0xC2:
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      "progressive JPEG not supported")
+        elif seg.marker in set(range(0xC3, 0xD0)) - {0xC4, 0xC8, 0xCC}:
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      f"SOF marker {seg.marker:#x} not supported")
+        elif seg.marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg.payload[:2], "big")
+        elif seg.marker == 0xDA:  # SOS
+            p = seg.payload
+            ns = p[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, sel = p[1 + i * 2], p[2 + i * 2]
+                for c in comps:
+                    if c.cid == cid:
+                        c.dc_tbl, c.ac_tbl = sel >> 4, sel & 15
+                        scan_comps.append(comps.index(c))
+        elif seg.marker == 0xE1:
+            if seg.payload.startswith(jfif.EXIF_SIG) and result.exif is None:
+                result.exif = seg.payload
+            elif seg.payload.startswith(jfif.XMP_SIG) and result.xmp is None:
+                result.xmp = seg.payload
+        elif seg.marker == 0xE2:
+            if seg.payload.startswith(jfif.ICC_SIG) and result.icc is None:
+                result.icc = seg.payload
+
+    if not comps or w == 0 or h == 0:
+        raise err("UHDR_CODEC_ERROR", "no frame header found")
+    if w > MAX_DIM or h > MAX_DIM:
+        raise err("UHDR_CODEC_ERROR", f"image too large {w}x{h}")
+    if len(scan_comps) != len(comps):
+        raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                  "multi-scan baseline not supported")
+
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    if len(comps) == 1:
+        # Non-interleaved single-component scan: MCU = one block.
+        c = comps[0]
+        bw = -(-w // 8)
+        bh = -(-h // 8)
+        nblocks = bw * bh
+        comp_ids = np.zeros(nblocks, np.uint8)
+        mcu_blocks = 1
+        per_comp_layout = [(bh, bw)]
+    else:
+        per_comp_layout = [(mcus_y * c.v, mcus_x * c.h) for c in comps]
+        mcu_blocks = sum(c.h * c.v for c in comps)
+        nblocks = mcus_x * mcus_y * mcu_blocks
+        pattern = []
+        for i, c in enumerate(comps):
+            pattern += [i] * (c.h * c.v)
+        comp_ids = np.tile(np.asarray(pattern, np.uint8), mcus_x * mcus_y)
+
+    entropy = data[sos_end:]
+    dc_sel = [c.dc_tbl for c in comps]
+    ac_sel = [c.ac_tbl for c in comps]
+
+    def table_list(src: dict, sels):
+        out = [None] * 4
+        for s in sels:
+            if s not in src:
+                raise err("UHDR_CODEC_ERROR", f"missing huffman table {s}")
+            out[s] = src[s]
+        return out
+
+    blocks = entropy_decode(
+        entropy, nblocks, comp_ids, dc_sel, ac_sel,
+        table_list(dc_tables, dc_sel), table_list(ac_tables, ac_sel),
+        restart_interval, mcu_blocks)
+
+    result.width, result.height, result.ncomp = w, h, len(comps)
+    result.sampling = [(c.h, c.v) for c in comps]
+
+    if len(comps) == 1:
+        c = comps[0]
+        if c.qtbl not in qtables:
+            raise err("UHDR_CODEC_ERROR", "missing quant table")
+        bh, bw = per_comp_layout[0]
+        plane = _np(dequant_idct(blocks, qtables[c.qtbl], bh * 8, bw * 8))
+        result.planes = [plane[:h, :w]]
+        return result
+
+    # De-interleave per component.
+    grid = blocks.reshape(mcus_y, mcus_x, mcu_blocks, 64)
+    off = 0
+    for i, c in enumerate(comps):
+        nb = c.h * c.v
+        sub = grid[:, :, off:off + nb, :].reshape(mcus_y, mcus_x, c.v, c.h,
+                                                  64)
+        sub = sub.transpose(0, 2, 1, 3, 4).reshape(mcus_y * c.v,
+                                                   mcus_x * c.h, 64)
+        off += nb
+        if c.qtbl not in qtables:
+            raise err("UHDR_CODEC_ERROR", "missing quant table")
+        bh, bw = per_comp_layout[i]
+        plane = _np(dequant_idct(sub.reshape(-1, 64), qtables[c.qtbl],
+                                 bh * 8, bw * 8))
+        cw = -(-w * c.h // hmax)
+        ch = -(-h * c.v // vmax)
+        result.planes.append(plane[:ch, :cw])
+    return result

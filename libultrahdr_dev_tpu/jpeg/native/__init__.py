@@ -1,0 +1,63 @@
+"""Loader for the native (C++) Huffman entropy codec.
+
+Compiles entropy.cpp with g++ on first use into a cached shared object
+(next to the source, keyed by source mtime) and exposes it via ctypes.
+Falls back to None if no compiler is available; callers then use the
+pure-numpy path in huffman.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "entropy.cpp")
+_SO = os.path.join(_DIR, "_entropy.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        src_m = os.path.getmtime(_SRC)
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_m:
+            return True
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
+             "-o", _SO + ".tmp"],
+            check=True, capture_output=True)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Returns the ctypes library or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_SO)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.uhdr_huff_encode.restype = ctypes.c_long
+        lib.uhdr_huff_encode.argtypes = [
+            i16p, ctypes.c_long, u8p, ctypes.c_int, u8p, u8p,
+            u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_long]
+        lib.uhdr_huff_decode.restype = ctypes.c_long
+        lib.uhdr_huff_decode.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, u8p, ctypes.c_int,
+            u8p, u8p, u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
+            i16p]
+        _lib = lib
+        return _lib

@@ -1,0 +1,361 @@
+// Baseline JPEG Huffman entropy codec (host side).
+//
+// The TPU framework splits JPEG work: blockwise DCT/quantization runs on
+// the accelerator (libultrahdr_dev_tpu/jpeg/dct.py); this file is the
+// inherently sequential bit-level entropy stage, filling the role
+// libjpeg-turbo's entropy coder plays for the reference
+// (/root/reference/lib/src/jpegencoderhelper.cpp:226 jpeg_write_raw_data,
+// /root/reference/lib/src/jpegdecoderhelper.cpp:422 jpeg_read_raw_data).
+//
+// Interface: flat arrays of 8x8 blocks in zigzag order, MCU-interleaved,
+// with a component id per block. Python owns all marker/container work.
+//
+// Build: g++ -O2 -shared -fPIC entropy.cpp -o _entropy.so
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct HuffEncTable {
+  uint16_t code[256];
+  uint8_t size[256];
+};
+
+// Derive canonical codes from BITS (1-indexed, 16 entries) + HUFFVAL.
+// ITU-T T.81 Annex C.
+void build_enc_table(const uint8_t* bits17, const uint8_t* vals256,
+                     HuffEncTable* t) {
+  std::memset(t, 0, sizeof(*t));
+  uint16_t code = 0;
+  int k = 0;
+  for (int len = 1; len <= 16; ++len) {
+    for (int i = 0; i < bits17[len]; ++i) {
+      uint8_t sym = vals256[k++];
+      t->code[sym] = code;
+      t->size[sym] = (uint8_t)len;
+      ++code;
+    }
+    code <<= 1;
+  }
+}
+
+struct BitWriter {
+  uint8_t* out;
+  long cap;
+  long pos;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool overflow = false;
+
+  inline void put(uint32_t code, int len) {
+    acc = (acc << len) | (code & ((1ull << len) - 1));
+    nbits += len;
+    while (nbits >= 8) {
+      if (pos >= cap) { overflow = true; return; }
+      uint8_t byte = (uint8_t)(acc >> (nbits - 8));
+      out[pos++] = byte;
+      if (byte == 0xFF) {
+        if (pos >= cap) { overflow = true; return; }
+        out[pos++] = 0x00;  // byte stuffing
+      }
+      nbits -= 8;
+    }
+  }
+
+  inline void flush() {
+    if (nbits > 0) put(0x7F, 7 - ((nbits + 7) % 8) + 7);  // pad with 1s
+    // Simpler: pad remaining bits with ones to byte boundary.
+  }
+};
+
+inline int bit_length(int v) {
+  int n = 0;
+  while (v) { ++n; v >>= 1; }
+  return n;
+}
+
+struct HuffDecTable {
+  // T.81 F.2.2.3 MINCODE/MAXCODE/VALPTR decode, plus an 8-bit fast LUT.
+  int32_t mincode[17];
+  int32_t maxcode[18];
+  int32_t valptr[17];
+  uint8_t vals[256];
+  // fast path: index by next 8 bits -> (symbol | (len << 8)) or 0xFFFF
+  uint16_t lut[256];
+};
+
+void build_dec_table(const uint8_t* bits17, const uint8_t* vals256,
+                     HuffDecTable* t) {
+  std::memcpy(t->vals, vals256, 256);
+  int code = 0, k = 0;
+  for (int len = 1; len <= 16; ++len) {
+    if (bits17[len]) {
+      t->valptr[len] = k;
+      t->mincode[len] = code;
+      k += bits17[len];
+      code += bits17[len];
+      t->maxcode[len] = code - 1;
+    } else {
+      t->mincode[len] = 0;
+      t->maxcode[len] = -1;
+    }
+    code <<= 1;
+  }
+  t->maxcode[17] = 0x7FFFFFFF;
+  for (int i = 0; i < 256; ++i) t->lut[i] = 0xFFFF;
+  // Fill fast LUT for codes of length <= 8.
+  code = 0; k = 0;
+  for (int len = 1; len <= 8; ++len) {
+    for (int i = 0; i < bits17[len]; ++i) {
+      uint8_t sym = vals256[k++];
+      int shift = 8 - len;
+      int base = code << shift;
+      for (int j = 0; j < (1 << shift); ++j)
+        t->lut[base + j] = (uint16_t)(sym | (len << 8));
+      ++code;
+    }
+    code <<= 1;
+  }
+}
+
+struct BitReader {
+  const uint8_t* data;
+  long len;
+  long pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool error = false;
+  bool hit_marker = false;
+
+  // Refill up to >= 25 bits if possible.
+  inline void refill() {
+    while (nbits <= 56 && pos < len) {
+      uint8_t b = data[pos];
+      if (b == 0xFF) {
+        if (pos + 1 < len && data[pos + 1] == 0x00) {
+          acc = (acc << 8) | 0xFF;
+          nbits += 8;
+          pos += 2;
+          continue;
+        }
+        // real marker: stop feeding, pad with zeros
+        hit_marker = true;
+        break;
+      }
+      acc = (acc << 8) | b;
+      nbits += 8;
+      ++pos;
+    }
+  }
+
+  inline uint32_t peek(int n) {
+    if (nbits < n) refill();
+    if (nbits < n) {
+      // pad with zero bits (stream may legally end mid-code at EOB)
+      return (uint32_t)((acc << (n - nbits)) & ((1u << n) - 1));
+    }
+    return (uint32_t)((acc >> (nbits - n)) & ((1u << n) - 1));
+  }
+
+  inline void skip(int n) {
+    if (nbits < n) refill();
+    if (nbits < n) { nbits = 0; error = true; return; }
+    nbits -= n;
+  }
+
+  inline uint32_t get(int n) {
+    uint32_t v = peek(n);
+    skip(n);
+    return v;
+  }
+
+  // Align to byte boundary and consume an RSTn marker if present.
+  inline bool sync_restart() {
+    nbits -= nbits % 8;
+    // drop buffered whole bytes too: simplest is to recompute pos
+    // conservatively; instead just clear the accumulator — buffered
+    // bytes were already consumed from data, so keep them.
+    // For simplicity: drain buffered bytes (they are pre-marker bytes).
+    nbits = 0;
+    acc = 0;
+    // skip fill bytes then expect FF Dn
+    while (pos + 1 < len && data[pos] == 0xFF &&
+           (data[pos + 1] >= 0xD0 && data[pos + 1] <= 0xD7)) {
+      pos += 2;
+      hit_marker = false;
+      return true;
+    }
+    return false;
+  }
+};
+
+inline int decode_huff(BitReader& br, const HuffDecTable& t) {
+  uint32_t look = br.peek(8);
+  uint16_t hit = t.lut[look];
+  if (hit != 0xFFFF) {
+    br.skip(hit >> 8);
+    return hit & 0xFF;
+  }
+  // slow path: lengths 9..16
+  int code = (int)br.peek(16);
+  for (int len = 9; len <= 16; ++len) {
+    int c = code >> (16 - len);
+    if (c <= t.maxcode[len]) {
+      br.skip(len);
+      return t.vals[t.valptr[len] + (c - t.mincode[len])];
+    }
+  }
+  br.error = true;
+  return 0;
+}
+
+// Extend: T.81 F.2.2.1 (receive/extend).
+inline int extend(int v, int size) {
+  return (v < (1 << (size - 1))) ? v - (1 << size) + 1 : v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode MCU-interleaved zigzag blocks to entropy-coded bytes.
+// blocks:      int16[nblocks][64], zigzag order
+// comp_ids:    uint8[nblocks], component index per block (< ncomp)
+// dc_sel/ac_sel: uint8[ncomp], huffman table slot per component (< 4)
+// dc_bits/dc_vals: uint8[4][17] / uint8[4][256] table definitions
+// restart_interval: MCUs between RSTn markers (0 = none)
+// mcu_blocks:  blocks per MCU
+// Returns bytes written, or -1 on overflow.
+long uhdr_huff_encode(const int16_t* blocks, long nblocks,
+                      const uint8_t* comp_ids, int ncomp,
+                      const uint8_t* dc_sel, const uint8_t* ac_sel,
+                      const uint8_t* dc_bits, const uint8_t* dc_vals,
+                      const uint8_t* ac_bits, const uint8_t* ac_vals,
+                      int restart_interval, int mcu_blocks,
+                      uint8_t* out, long out_capacity) {
+  HuffEncTable dct[4], act[4];
+  for (int i = 0; i < 4; ++i) {
+    build_enc_table(dc_bits + i * 17, dc_vals + i * 256, &dct[i]);
+    build_enc_table(ac_bits + i * 17, ac_vals + i * 256, &act[i]);
+  }
+  BitWriter bw{out, out_capacity, 0};
+  int pred[4] = {0, 0, 0, 0};
+  long mcu_count = 0;
+  int rst = 0;
+
+  for (long b = 0; b < nblocks; ++b) {
+    if (restart_interval && mcu_blocks && b % mcu_blocks == 0 &&
+        mcu_count && mcu_count % restart_interval == 0) {
+      // flush to byte boundary with 1-bits, then RSTn
+      if (bw.nbits % 8) bw.put(0x7F, 8 - (bw.nbits % 8));
+      if (bw.pos + 2 > bw.cap) return -1;
+      bw.out[bw.pos++] = 0xFF;
+      bw.out[bw.pos++] = (uint8_t)(0xD0 + rst);
+      rst = (rst + 1) & 7;
+      pred[0] = pred[1] = pred[2] = pred[3] = 0;
+    }
+    if (mcu_blocks && b % mcu_blocks == 0) ++mcu_count;
+
+    int c = comp_ids[b];
+    const HuffEncTable& dt = dct[dc_sel[c]];
+    const HuffEncTable& at = act[ac_sel[c]];
+    const int16_t* blk = blocks + b * 64;
+
+    int dc = blk[0];
+    int diff = dc - pred[c];
+    pred[c] = dc;
+    int adiff = diff < 0 ? -diff : diff;
+    int size = bit_length(adiff);
+    bw.put(dt.code[size], dt.size[size]);
+    if (size) {
+      int bitsv = diff < 0 ? diff + (1 << size) - 1 : diff;
+      bw.put((uint32_t)bitsv, size);
+    }
+
+    int run = 0;
+    for (int k = 1; k < 64; ++k) {
+      int v = blk[k];
+      if (v == 0) {
+        ++run;
+        continue;
+      }
+      while (run >= 16) {
+        bw.put(at.code[0xF0], at.size[0xF0]);  // ZRL
+        run -= 16;
+      }
+      int av = v < 0 ? -v : v;
+      int s = bit_length(av);
+      int sym = (run << 4) | s;
+      bw.put(at.code[sym], at.size[sym]);
+      int bitsv = v < 0 ? v + (1 << s) - 1 : v;
+      bw.put((uint32_t)bitsv, s);
+      run = 0;
+    }
+    if (run > 0) bw.put(at.code[0x00], at.size[0x00]);  // EOB
+    if (bw.overflow) return -1;
+  }
+  if (bw.nbits % 8) bw.put(0x7F, 8 - (bw.nbits % 8));
+  if (bw.overflow) return -1;
+  return bw.pos;
+}
+
+// Decode entropy-coded bytes into MCU-interleaved zigzag blocks.
+// Same table/layout conventions as the encoder. Returns 0 on success,
+// negative on error.
+long uhdr_huff_decode(const uint8_t* data, long len, long nblocks,
+                      const uint8_t* comp_ids, int ncomp,
+                      const uint8_t* dc_sel, const uint8_t* ac_sel,
+                      const uint8_t* dc_bits, const uint8_t* dc_vals,
+                      const uint8_t* ac_bits, const uint8_t* ac_vals,
+                      int restart_interval, int mcu_blocks,
+                      int16_t* out_blocks) {
+  HuffDecTable dct[4], act[4];
+  for (int i = 0; i < 4; ++i) {
+    build_dec_table(dc_bits + i * 17, dc_vals + i * 256, &dct[i]);
+    build_dec_table(ac_bits + i * 17, ac_vals + i * 256, &act[i]);
+  }
+  BitReader br{data, len};
+  int pred[4] = {0, 0, 0, 0};
+  long mcu_count = 0;
+
+  std::memset(out_blocks, 0, (size_t)nblocks * 64 * sizeof(int16_t));
+
+  for (long b = 0; b < nblocks; ++b) {
+    if (restart_interval && mcu_blocks && b % mcu_blocks == 0 &&
+        mcu_count && mcu_count % restart_interval == 0) {
+      br.sync_restart();
+      pred[0] = pred[1] = pred[2] = pred[3] = 0;
+    }
+    if (mcu_blocks && b % mcu_blocks == 0) ++mcu_count;
+
+    int c = comp_ids[b];
+    const HuffDecTable& dt = dct[dc_sel[c]];
+    const HuffDecTable& at = act[ac_sel[c]];
+    int16_t* blk = out_blocks + b * 64;
+
+    int size = decode_huff(br, dt);
+    if (br.error) return -(b + 1);
+    int diff = size ? extend((int)br.get(size), size) : 0;
+    pred[c] += diff;
+    blk[0] = (int16_t)pred[c];
+
+    int k = 1;
+    while (k < 64) {
+      int sym = decode_huff(br, at);
+      if (br.error) return -(b + 1);
+      int run = sym >> 4, s = sym & 15;
+      if (s == 0) {
+        if (run == 15) { k += 16; continue; }  // ZRL
+        break;                                  // EOB
+      }
+      k += run;
+      if (k > 63) return -(b + 1);
+      blk[k] = (int16_t)extend((int)br.get(s), s);
+      ++k;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -208,40 +208,78 @@ def apply_channelwise(fn, rgb):
 # (index = round-half-up(x * (N-1)), clamped), for parity tests.
 # ---------------------------------------------------------------------------
 
-def _make_lut(fn, n):
-    xs = np.arange(n, dtype=np.float32) / np.float32(n - 1)
-    return jnp.asarray(np.asarray(fn(xs), dtype=np.float32))
+# Host-side numpy replicas of the transfer functions, used only to
+# build LUT constants (tables must be materialized with concrete math —
+# calling the jnp forms during a jit trace would capture tracers).
+
+def _np_srgb_inv_oetf(x):
+    x = np.asarray(x, np.float32)
+    return np.where(x <= 0.04045, x / np.float32(12.92),
+                    ((x + np.float32(0.055)) / np.float32(1.055))
+                    ** np.float32(2.4)).astype(np.float32)
+
+
+def _np_hlg_oetf(x):
+    x = np.asarray(x, np.float32)
+    return np.where(x <= 1.0 / 12.0, np.sqrt(np.maximum(3.0 * x, 0.0)),
+                    _HLG_A * np.log(np.maximum(12.0 * x - _HLG_B, 1e-12))
+                    + _HLG_C).astype(np.float32)
+
+
+def _np_hlg_inv_oetf(x):
+    x = np.asarray(x, np.float32)
+    return np.where(x <= 0.5, x * x / 3.0,
+                    (np.exp((x - _HLG_C) / _HLG_A) + _HLG_B) / 12.0
+                    ).astype(np.float32)
+
+
+def _np_pq_oetf(x):
+    x = np.asarray(x, np.float32)
+    ep = np.maximum(x, 0.0) ** _PQ_M1
+    out = ((_PQ_C1 + _PQ_C2 * ep) / (1.0 + _PQ_C3 * ep)) ** _PQ_M2
+    return np.where(x <= 0.0, 0.0, out).astype(np.float32)
+
+
+def _np_pq_inv_oetf(x):
+    x = np.asarray(x, np.float32)
+    ef = np.maximum(x, 1e-5) ** _PQ_INV_F
+    out = np.maximum((_PQ_INV_A * ef - _PQ_INV_B)
+                     / (_PQ_INV_C - _PQ_INV_D * ef), 0.0) ** _PQ_INV_E
+    return np.where(x <= 0.0001, 0.0, out).astype(np.float32)
 
 
 _LUTS: dict = {}
 
 
-def _lut_lookup(name, fn, n, x):
+def _lut_lookup(name, np_fn, n, x):
     if name not in _LUTS:
-        _LUTS[name] = _make_lut(fn, n)
-    table = _LUTS[name]
+        xs = np.arange(n, dtype=np.float32) / np.float32(n - 1)
+        _LUTS[name] = np.asarray(np_fn(xs), np.float32)
+    table = jnp.asarray(_LUTS[name])
     idx = jnp.clip((_f32(x) * (n - 1) + 0.5).astype(jnp.int32), 0, n - 1)
     return jnp.take(table, idx)
 
 
 def srgb_inv_oetf_lut(x):
-    return _lut_lookup("srgb_inv", srgb_inv_oetf, SRGB_INV_OETF_NUM_ENTRIES, x)
+    return _lut_lookup("srgb_inv", _np_srgb_inv_oetf,
+                       SRGB_INV_OETF_NUM_ENTRIES, x)
 
 
 def hlg_oetf_lut(x):
-    return _lut_lookup("hlg_oetf", hlg_oetf, HLG_OETF_NUM_ENTRIES, x)
+    return _lut_lookup("hlg_oetf", _np_hlg_oetf, HLG_OETF_NUM_ENTRIES, x)
 
 
 def hlg_inv_oetf_lut(x):
-    return _lut_lookup("hlg_inv", hlg_inv_oetf, HLG_INV_OETF_NUM_ENTRIES, x)
+    return _lut_lookup("hlg_inv", _np_hlg_inv_oetf,
+                       HLG_INV_OETF_NUM_ENTRIES, x)
 
 
 def pq_oetf_lut(x):
-    return _lut_lookup("pq_oetf", pq_oetf, PQ_OETF_NUM_ENTRIES, x)
+    return _lut_lookup("pq_oetf", _np_pq_oetf, PQ_OETF_NUM_ENTRIES, x)
 
 
 def pq_inv_oetf_lut(x):
-    return _lut_lookup("pq_inv", pq_inv_oetf, PQ_INV_OETF_NUM_ENTRIES, x)
+    return _lut_lookup("pq_inv", _np_pq_inv_oetf, PQ_INV_OETF_NUM_ENTRIES, x)
 
 
 # ---------------------------------------------------------------------------
@@ -396,16 +434,37 @@ def hdr_oetf_fn(tf: str):
 def encode_gain(y_sdr_nits, y_hdr_nits, min_content_boost: float,
                 max_content_boost: float):
     """Per-pixel u8 gain: quantized position of log2(hdr/sdr) within
-    [log2(min_boost), log2(max_boost)] (gainmapmath.cpp:529-541)."""
+    [log2(min_boost), log2(max_boost)] (gainmapmath.cpp:529-541).
+
+    Matches the reference bit-for-bit at the clamp boundaries: there,
+    the numerator log2(gain) evaluates in double while log2MaxBoost was
+    rounded to float32, so the saturated code is typically 254, not 255
+    (e.g. encodeGain(sdr, hdr, maxBoost=1000/203) == 254 at clamp).
+    The boundary codes are computed host-side in float64 and selected
+    by mask.
+    """
+    min_b = float(np.float32(min_content_boost))
+    max_b = float(np.float32(max_content_boost))
+    log2_min = float(np.float32(math.log2(min_b)))
+    log2_max = float(np.float32(math.log2(max_b)))
+    denom = log2_max - log2_min
+
+    def _boundary_code(boost: float) -> int:
+        v = (math.log2(boost) - log2_min) / denom * 255.0
+        return int(min(max(v, 0.0), 255.0))
+
+    sat_code = _boundary_code(max_b)
+    floor_code = _boundary_code(min_b)
+
     y_sdr = _f32(y_sdr_nits)
     y_hdr = _f32(y_hdr_nits)
-    gain = jnp.where(y_sdr > 0.0, y_hdr / jnp.maximum(y_sdr, 1e-20), 1.0)
-    gain = jnp.clip(gain, min_content_boost, max_content_boost)
-    log2_min = math.log2(min_content_boost)
-    log2_max = math.log2(max_content_boost)
-    scaled = (jnp.log2(gain) - log2_min) / (log2_max - log2_min) * 255.0
-    # C++ static_cast<uint8_t> truncates toward zero.
-    return jnp.clip(scaled, 0.0, 255.0).astype(jnp.uint8)
+    gain = jnp.where(y_sdr > 0.0, y_hdr / jnp.maximum(y_sdr, 1e-30), 1.0)
+    scaled = (jnp.log2(jnp.clip(gain, min_b, max_b)) - log2_min) \
+        / denom * 255.0
+    code = jnp.clip(scaled, 0.0, 255.0).astype(jnp.uint8)
+    code = jnp.where(gain >= max_b, jnp.uint8(sat_code), code)
+    code = jnp.where(gain <= min_b, jnp.uint8(floor_code), code)
+    return code
 
 
 def gain_factor(gain01, min_content_boost: float, max_content_boost: float,
@@ -455,9 +514,13 @@ def pack_rgba1010102(rgb):
 
 
 def pack_rgba_f16(rgb):
-    """Pack linear RGB into RGBA half-float as u64, alpha=1.0
-    (gainmapmath.cpp:729-732). Uses hardware RTNE f32->f16."""
+    """Pack linear RGB into RGBA half-float channel bits, alpha=1.0
+    (gainmapmath.cpp:729-732 packs the same four halves into a u64;
+    here the result is a (..., 4) u16 array [r, g, b, a] — JAX runs
+    with 32-bit ints, and a u16x4 view of the reference's
+    little-endian u64 is identical memory). Hardware RTNE f32->f16."""
     r, g, b = (_f32(c) for c in rgb)
-    to_bits = lambda x: x.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint64)
-    one = jnp.uint64(np.float16(1.0).view(np.uint16).item())
-    return (to_bits(r) | (to_bits(g) << 16) | (to_bits(b) << 32) | (one << 48))
+    to_bits = lambda x: x.astype(jnp.float16).view(jnp.uint16)
+    one = jnp.full(r.shape, np.float16(1.0).view(np.uint16).item(),
+                   jnp.uint16)
+    return jnp.stack([to_bits(r), to_bits(g), to_bits(b), one], axis=-1)

@@ -301,7 +301,8 @@ def apply_gainmap(y8, u8, v8, gmap_u8, metadata: GainMapMetadata,
 
     Validates metadata constraints as the reference does
     (ultrahdr.cpp:369-406): gamma 1, offsets 0, capacity == boosts.
-    Output: u64 (H,W) RGBA F16 / u32 RGBA1010102 / (3,H,W) u16 planes.
+    Output: (H,W,4) u16 RGBA F16 halves / u32 (H,W) RGBA1010102 /
+    (3,H,W) u16 10-bit planes.
     """
     from ..types import err
 

@@ -111,7 +111,7 @@ class TestTransferFunctions:
 
     def test_hlg_oetf(self):
         got = np.asarray(color.hlg_oetf(self.xs))
-        np.testing.assert_allclose(got, hlg_oetf_ref(self.xs), atol=1e-5)
+        np.testing.assert_allclose(got, hlg_oetf_ref(self.xs), atol=5e-5)  # f32 log
         # Analytic anchor points: OETF(1/12) = 0.5, OETF(1) = 1.
         assert np.isclose(float(color.hlg_oetf(1 / 12)), 0.5, atol=1e-6)
         assert np.isclose(float(color.hlg_oetf(1.0)), 1.0, atol=1e-4)
@@ -210,7 +210,7 @@ class TestGain:
     def test_encode_gain_midpoints(self):
         # min=1, max=4: hdr/sdr of 2 is the midpoint of the log2 range.
         g = color.encode_gain(arr(100.0), arr(200.0), 1.0, 4.0)
-        assert int(g) == 127  # log2(2)/log2(4)*255 = 127.5 -> trunc 127
+        assert int(g[0]) == 127  # log2(2)/log2(4)*255 = 127.5 -> trunc 127
         assert int(color.encode_gain(arr(100.0), arr(100.0), 1.0, 4.0)[0]) == 0
         assert int(color.encode_gain(arr(100.0), arr(400.0), 1.0, 4.0)[0]) == 255
 
@@ -224,16 +224,16 @@ class TestGain:
 
     def test_gain_factor(self):
         f = color.gain_factor(arr(0.0), 1.0, 8.0)
-        assert np.isclose(float(f), 1.0)
+        assert np.isclose(float(f[0]), 1.0)
         f = color.gain_factor(arr(1.0), 1.0, 8.0)
-        assert np.isclose(float(f), 8.0)
+        assert np.isclose(float(f[0]), 8.0)
         f = color.gain_factor(arr(0.5), 1.0, 8.0)
-        assert np.isclose(float(f), math.sqrt(8.0), rtol=1e-5)
+        assert np.isclose(float(f[0]), math.sqrt(8.0), rtol=1e-5)
 
     def test_gain_factor_display_boost(self):
         # boost weighting: exponent scaled by display/max.
         f = color.gain_factor(arr(1.0), 1.0, 8.0, display_boost=2.0)
-        assert np.isclose(float(f), 2 ** (3 * 2 / 8), rtol=1e-5)
+        assert np.isclose(float(f[0]), 2 ** (3 * 2 / 8), rtol=1e-5)
 
     def test_gain_factor_lut_matches(self):
         xs = np.linspace(0, 1, 33, dtype=np.float32)
@@ -247,23 +247,27 @@ class TestGain:
         for ratio in [1.0, 1.7, 2.5, 4.9]:
             hdr = sdr * ratio
             g = color.encode_gain(arr(sdr), arr(hdr), 1.0, 8.0)
-            rec = color.gain_factor(np.float32(int(g) / 255.0), 1.0, 8.0)
+            rec = color.gain_factor(np.float32(int(g[0]) / 255.0), 1.0, 8.0)
             assert np.isclose(float(rec), ratio, rtol=2e-2)
 
 
 class TestPacking:
     def test_rgba1010102(self):
-        v = int(color.pack_rgba1010102((arr(1.0), arr(0.0), arr(1.0))))
+        v = int(color.pack_rgba1010102((arr(1.0), arr(0.0), arr(1.0)))[0])
         assert v & 0x3FF == 1023
         assert (v >> 10) & 0x3FF == 0
         assert (v >> 20) & 0x3FF == 1023
         assert (v >> 30) == 3
 
     def test_rgba_f16(self):
-        v = int(color.pack_rgba_f16((arr(1.0), arr(0.5), arr(0.25))))
-        import numpy as np
+        v = np.asarray(color.pack_rgba_f16((arr(1.0), arr(0.5), arr(0.25))))
+        assert v.shape == (1, 4) and v.dtype == np.uint16
         h = lambda x: np.float16(x).view(np.uint16).item()
-        assert v & 0xFFFF == h(1.0)
-        assert (v >> 16) & 0xFFFF == h(0.5)
-        assert (v >> 32) & 0xFFFF == h(0.25)
-        assert (v >> 48) & 0xFFFF == h(1.0)
+        assert v[0, 0] == h(1.0)
+        assert v[0, 1] == h(0.5)
+        assert v[0, 2] == h(0.25)
+        assert v[0, 3] == h(1.0)
+        # u16x4 little-endian view == the reference's packed u64.
+        u64 = np.ascontiguousarray(v).view(np.uint64)[0, 0]
+        assert u64 & 0xFFFF == h(1.0)
+        assert (int(u64) >> 48) & 0xFFFF == h(1.0)

@@ -177,13 +177,14 @@ class TestApplyGainMap:
         out = gainmap.apply_gainmap(y8, u8, v8, gmap, md, "hdr_linear",
                                     max_display_boost=8.0)
         out = np.asarray(out)
-        assert out.shape == (h, w) and out.dtype == np.uint64
+        assert out.shape == (h, w, 4) and out.dtype == np.uint16
 
         lin = float(np.asarray(color.srgb_inv_oetf(np.float32(yv / 255.0))))
         factor = 2.0 ** (math.log2(8.0) * (gval / 255.0))
         expect = lin * factor / 8.0  # divided by display boost
-        r_half = np.uint16(out[8, 8] & 0xFFFF).view(np.float16)
+        r_half = out[8, 8, 0].view(np.float16)
         assert np.isclose(float(r_half), expect, rtol=1e-2)
+        assert out[8, 8, 3].view(np.float16) == np.float16(1.0)
 
     def test_display_boost_weighting(self):
         h, w = 8, 8
@@ -195,8 +196,8 @@ class TestApplyGainMap:
         half = np.asarray(gainmap.apply_gainmap(
             y8, u8, v8, gmap, md, "hdr_linear", max_display_boost=2.0))
         lin = float(np.asarray(color.srgb_inv_oetf(np.float32(200 / 255.0))))
-        rf = np.uint16(full[4, 4] & 0xFFFF).view(np.float16)
-        rh = np.uint16(half[4, 4] & 0xFFFF).view(np.float16)
+        rf = full[4, 4, 0].view(np.float16)
+        rh = half[4, 4, 0].view(np.float16)
         # full boost: lin * 4 / 4 = lin; display 2: lin * 4^(2/4) / 2 = lin.
         assert np.isclose(float(rf), lin, rtol=1e-2)
         assert np.isclose(float(rh), lin, rtol=1e-2)
@@ -265,9 +266,9 @@ class TestEncodeDecodeConsistency:
         # Compare reconstructed linear luminance (x display_boost x 203)
         # against the HDR source's analytic luminance, away from block
         # edges (IDW smoothing) — center pixels of each 8x8 block.
-        r = np.uint16(out & 0xFFFF).view(np.float16).astype(np.float64)
-        g = np.uint16((out >> 16) & 0xFFFF).view(np.float16).astype(np.float64)
-        b = np.uint16((out >> 32) & 0xFFFF).view(np.float16).astype(np.float64)
+        r = out[..., 0].view(np.float16).astype(np.float64)
+        g = out[..., 1].view(np.float16).astype(np.float64)
+        b = out[..., 2].view(np.float16).astype(np.float64)
         recon_nits = (0.2126 * r + 0.7152 * g + 0.0722 * b) \
             * md.max_content_boost * 203.0
 
@@ -277,7 +278,9 @@ class TestEncodeDecodeConsistency:
         want_nits = 0.2627 * hdr_lin + 0.6780 * hdr_lin + 0.0593 * hdr_lin
         want_nits *= 1000.0
 
-        centers = (slice(3, None, 8), slice(3, None, 8))
+        # Sample at gain-map texel corners interior to each 8x8 block
+        # (x % 4 == 0 pixels reproduce the texel exactly under IDW).
+        centers = (slice(4, None, 8), slice(4, None, 8))
         ratio = recon_nits[centers] / np.maximum(want_nits[centers], 1e-3)
         # 8-bit tonemap + 8-bit gain quantization: ~5% tolerance.
         assert np.median(np.abs(np.log2(ratio))) < 0.08

@@ -1,0 +1,203 @@
+"""In-framework JPEG codec tests: self-roundtrip, cross-validation
+against PIL (libjpeg), and decode of reference-encoded files."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from libultrahdr_dev_tpu.jpeg import codec, tables
+from libultrahdr_dev_tpu.jpeg.dct import dequant_idct, fdct_quant
+
+REF_DATA = "/root/reference/tests/data"
+
+
+def smooth_plane(h, w, seed=0, lo=0, hi=255):
+    """Band-limited content (JPEG-friendly) for roundtrip tests."""
+    rng = np.random.default_rng(seed)
+    small = rng.integers(lo, hi, (h // 8 + 1, w // 8 + 1)).astype(np.float32)
+    big = np.kron(small, np.ones((8, 8), np.float32))[:h, :w]
+    # light blur via box filter
+    big = (big + np.roll(big, 1, 0) + np.roll(big, 1, 1)
+           + np.roll(big, (1, 1), (0, 1))) / 4.0
+    return np.clip(big, 0, 255).astype(np.uint8)
+
+
+class TestDct:
+    def test_dct_roundtrip_lossless_q1(self):
+        # With an all-ones quant table the DCT/IDCT roundtrip should be
+        # nearly exact for u8 input.
+        rng = np.random.default_rng(1)
+        plane = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+        q = np.ones((8, 8), np.int32)
+        coefs = fdct_quant(plane, q)
+        back = np.asarray(dequant_idct(np.asarray(coefs), q, 32, 32))
+        assert np.abs(back.astype(int) - plane.astype(int)).max() <= 1
+
+    def test_dc_coefficient(self):
+        plane = np.full((8, 8), 200, np.uint8)
+        q = np.ones((8, 8), np.int32)
+        coefs = np.asarray(fdct_quant(plane, q))
+        # DC of a uniform block: (200-128)*8 = 576; ACs zero.
+        assert coefs[0, 0] == 576
+        assert np.all(coefs[0, 1:] == 0)
+
+    def test_quant_divides(self):
+        plane = np.full((8, 8), 200, np.uint8)
+        q = np.full((8, 8), 16, np.int32)
+        coefs = np.asarray(fdct_quant(plane, q))
+        assert coefs[0, 0] == 36  # 576/16
+
+
+class TestQuality:
+    def test_quality_scaling(self):
+        q50 = tables.scale_quant_table(tables.STD_LUMINANCE_QUANT, 50)
+        np.testing.assert_array_equal(q50, tables.STD_LUMINANCE_QUANT)
+        q100 = tables.scale_quant_table(tables.STD_LUMINANCE_QUANT, 100)
+        assert q100.max() == 1
+        q10 = tables.scale_quant_table(tables.STD_LUMINANCE_QUANT, 10)
+        assert q10.max() == 255  # clamped baseline
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+class TestRoundtrip:
+    def test_gray_self_roundtrip(self):
+        y = smooth_plane(64, 48, seed=2)
+        blob = codec.encode_jpeg({"y": y}, quality=95)
+        dec = codec.decode_jpeg(blob)
+        assert (dec.width, dec.height) == (48, 64)
+        assert dec.ncomp == 1
+        assert psnr(dec.planes[0], y) > 40
+
+    def test_yuv420_self_roundtrip(self):
+        h, w = 64, 80
+        y = smooth_plane(h, w, seed=3)
+        u = smooth_plane(h // 2, w // 2, seed=4, lo=96, hi=160)
+        v = smooth_plane(h // 2, w // 2, seed=5, lo=96, hi=160)
+        blob = codec.encode_jpeg({"y": y, "u": u, "v": v}, quality=95)
+        dec = codec.decode_jpeg(blob)
+        assert dec.ncomp == 3
+        assert dec.sampling[0] == (2, 2)
+        assert psnr(dec.planes[0], y) > 40
+        assert psnr(dec.planes[1], u) > 40
+        assert psnr(dec.planes[2], v) > 40
+
+    def test_unaligned_dims(self):
+        h, w = 50, 54  # not multiples of 16
+        y = smooth_plane(h, w, seed=6)
+        u = smooth_plane(25, 27, seed=7, lo=100, hi=156)
+        v = smooth_plane(25, 27, seed=8, lo=100, hi=156)
+        blob = codec.encode_jpeg({"y": y, "u": u, "v": v}, quality=90)
+        dec = codec.decode_jpeg(blob)
+        assert (dec.width, dec.height) == (w, h)
+        assert dec.planes[0].shape == (h, w)
+        assert dec.planes[1].shape == (25, 27)
+        assert psnr(dec.planes[0], y) > 35
+
+    def test_restart_intervals(self):
+        h, w = 64, 64
+        y = smooth_plane(h, w, seed=9)
+        u = smooth_plane(32, 32, seed=10, lo=96, hi=160)
+        v = smooth_plane(32, 32, seed=11, lo=96, hi=160)
+        blob = codec.encode_jpeg({"y": y, "u": u, "v": v}, quality=92,
+                                 restart_interval=2)
+        assert b"\xff\xdd" in blob  # DRI marker present
+        dec = codec.decode_jpeg(blob)
+        assert psnr(dec.planes[0], y) > 40
+
+    def test_icc_embedded(self):
+        from libultrahdr_dev_tpu.container import icc as icc_mod
+        y = smooth_plane(16, 16)
+        profile = icc_mod.write_icc_profile("srgb", "p3")
+        blob = codec.encode_jpeg({"y": y}, quality=90, icc=profile)
+        dec = codec.decode_jpeg(blob)
+        assert dec.icc == profile
+        assert icc_mod.read_icc_color_gamut(dec.icc) == "p3"
+
+
+class TestCrossValidationPIL:
+    """PIL wraps libjpeg — same codec family as the reference."""
+
+    def _pil(self):
+        return pytest.importorskip("PIL.Image")
+
+    def test_pil_decodes_our_gray(self):
+        Image = self._pil()
+        y = smooth_plane(40, 56, seed=12)
+        blob = codec.encode_jpeg({"y": y}, quality=95)
+        img = Image.open(io.BytesIO(blob))
+        got = np.asarray(img.convert("L"))
+        assert got.shape == (40, 56)
+        assert psnr(got, y) > 40
+
+    def test_pil_decodes_our_yuv(self):
+        Image = self._pil()
+        h, w = 48, 64
+        # neutral chroma -> PIL RGB output should be ~gray of y
+        y = smooth_plane(h, w, seed=13)
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        v = np.full((h // 2, w // 2), 128, np.uint8)
+        blob = codec.encode_jpeg({"y": y, "u": u, "v": v}, quality=95)
+        img = Image.open(io.BytesIO(blob))
+        got = np.asarray(img.convert("RGB"))
+        assert got.shape == (h, w, 3)
+        assert psnr(got[:, :, 1], y) > 38
+
+    def test_we_decode_pil_output(self):
+        Image = self._pil()
+        h, w = 48, 64
+        rgb = np.dstack([smooth_plane(h, w, seed=s) for s in (14, 15, 16)])
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, "JPEG", quality=92)
+        dec = codec.decode_jpeg(buf.getvalue())
+        assert (dec.width, dec.height) == (w, h)
+        assert dec.ncomp == 3
+        # libjpeg luma from RGB:
+        want_y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                  + 0.114 * rgb[..., 2])
+        assert psnr(dec.planes[0], np.round(want_y)) > 30
+
+    def test_decode_reference_jpeg(self):
+        path = os.path.join(REF_DATA, "jpeg_image.jpg")
+        if not os.path.exists(path):
+            pytest.skip("reference data unavailable")
+        with open(path, "rb") as f:
+            dec = codec.decode_jpeg(f.read())
+        assert dec.width > 0 and dec.height > 0
+        Image = self._pil()
+        want = np.asarray(Image.open(path).convert("YCbCr"))[:, :, 0]
+        assert psnr(dec.planes[0], want) > 35
+
+    def test_decode_minnie_gray(self):
+        path = os.path.join(REF_DATA, "minnie-320x240-y.jpg")
+        if not os.path.exists(path):
+            pytest.skip("reference data unavailable")
+        with open(path, "rb") as f:
+            dec = codec.decode_jpeg(f.read())
+        assert (dec.width, dec.height) == (320, 240)
+        Image = self._pil()
+        want = np.asarray(Image.open(path).convert("L"))
+        assert psnr(dec.planes[0], want) > 45
+
+
+class TestErrors:
+    def test_progressive_rejected(self):
+        Image = pytest.importorskip("PIL.Image")
+        buf = io.BytesIO()
+        Image.fromarray(smooth_plane(32, 32)).convert("RGB").save(
+            buf, "JPEG", quality=90, progressive=True)
+        from libultrahdr_dev_tpu.types import UhdrError
+        with pytest.raises(UhdrError):
+            codec.decode_jpeg(buf.getvalue())
+
+    def test_garbage_rejected(self):
+        from libultrahdr_dev_tpu.types import UhdrError
+        with pytest.raises(UhdrError):
+            codec.decode_jpeg(b"\x00" * 100)
+        with pytest.raises(UhdrError):
+            codec.decode_jpeg(b"\xff\xd8" + b"\xff\xc0\x00\x04\x08\x00")
