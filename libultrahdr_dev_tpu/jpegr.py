@@ -1,0 +1,313 @@
+"""JpegR codec orchestrator: the five encode APIs + decode + info.
+
+Re-implements JpegR (/root/reference/lib/src/jpegr.cpp) over the TPU
+pixel core (ops/gainmap.py), the in-framework JPEG codec (jpeg/) and
+the host container codecs (container/):
+
+  API-0 (encode_api0): P010 HDR only            jpegr.cpp:167-247
+  API-1 (encode_api1): P010 + YUV420 SDR        jpegr.cpp:250-383
+  API-2 (encode_api2): raws + base JPEG         jpegr.cpp:386-435
+  API-3 (encode_api3): P010 + base JPEG         jpegr.cpp:438-517
+  API-4 (encode_api4): pure mux                 jpegr.cpp:520-561
+  API-x (encode_apix): YUV420 + raw gain map    jpegr.cpp:564-622
+  decode / get_info                             jpegr.cpp:624-804
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .container import icc as icc_mod
+from .container import jfif, mux, xmp
+from .jpeg import codec
+from .ops import gainmap as gm
+from .types import (ColorGamut, ColorTransfer, CompressedImage,
+                    GainMapMetadata, MAP_COMPRESS_QUALITY, MAX_HEIGHT,
+                    MAX_WIDTH, MIN_HEIGHT, MIN_WIDTH, OutputFormat,
+                    PixelFormat, RawImage, err)
+
+_GAMUT = {ColorGamut.BT709: "bt709", ColorGamut.P3: "p3",
+          ColorGamut.BT2100: "bt2100"}
+_TF = {ColorTransfer.LINEAR: "linear", ColorTransfer.HLG: "hlg",
+       ColorTransfer.PQ: "pq"}
+
+
+def _validate_p010(img: RawImage):
+    if img.fmt != PixelFormat.P010:
+        raise err("UHDR_CODEC_INVALID_PARAM", "expected P010 input")
+    if img.width % 2 or img.height % 2:
+        raise err("UHDR_CODEC_INVALID_PARAM",
+                  f"odd dimensions {img.width}x{img.height}")
+    if img.width < MIN_WIDTH or img.height < MIN_HEIGHT:
+        raise err("UHDR_CODEC_INVALID_PARAM",
+                  f"image too small {img.width}x{img.height}")
+    if img.width > MAX_WIDTH or img.height > MAX_HEIGHT:
+        raise err("UHDR_CODEC_INVALID_PARAM",
+                  f"image too large {img.width}x{img.height}")
+    if img.gamut not in _GAMUT:
+        raise err("UHDR_CODEC_INVALID_PARAM", "unspecified color gamut")
+
+
+def _validate_tf(tf: ColorTransfer):
+    if tf not in _TF:
+        raise err("UHDR_CODEC_INVALID_PARAM",
+                  f"invalid hdr transfer function {tf}")
+
+
+def _validate_quality(quality: int):
+    if not 0 <= quality <= 100:
+        raise err("UHDR_CODEC_INVALID_PARAM",
+                  f"quality {quality} outside [0, 100]")
+
+
+def _compress_gainmap(gmap_u8: np.ndarray) -> bytes:
+    """Grayscale JPEG at the fixed gain-map quality (jpegr.cpp:41,
+    806-821)."""
+    return codec.encode_jpeg({"y": np.asarray(gmap_u8)},
+                             quality=MAP_COMPRESS_QUALITY)
+
+
+def _compress_base(y8, u8, v8, gamut: str, quality: int) -> bytes:
+    """ICC + BT.601 conversion + base JPEG compress
+    (jpegr.cpp:217-241 and the API-1 equivalent)."""
+    icc = icc_mod.write_icc_profile("srgb", gamut)
+    y8, u8, v8 = gm.convert_yuv_encoding(y8, u8, v8, gamut, "p3")
+    return codec.encode_jpeg(
+        {"y": np.asarray(y8), "u": np.asarray(u8), "v": np.asarray(v8)},
+        quality=quality, icc=icc)
+
+
+class JpegR:
+    """Stateless codec entry points (mirrors class JpegR,
+    lib/include/ultrahdr/jpegr.h:59-368)."""
+
+    # ------------------------------------------------------------------
+    # Encode
+    # ------------------------------------------------------------------
+
+    def encode_api0(self, p010: RawImage, hdr_tf: ColorTransfer,
+                    quality: int = 95, exif: bytes | None = None) -> bytes:
+        _validate_p010(p010)
+        _validate_tf(hdr_tf)
+        _validate_quality(quality)
+        gamut = _GAMUT[p010.gamut]
+
+        y8, u8, v8 = gm.tonemap_p010(p010.planes["y"], p010.planes["uv"])
+        gmap, metadata = gm.generate_gainmap(
+            y8, u8, v8, p010.planes["y"], p010.planes["uv"],
+            sdr_gamut=gamut, hdr_gamut=gamut, hdr_tf=_TF[hdr_tf])
+        gainmap_jpeg = _compress_gainmap(np.asarray(gmap))
+        base_jpeg = _compress_base(y8, u8, v8, gamut, quality)
+        return mux.append_gainmap(base_jpeg, gainmap_jpeg, metadata,
+                                  exif=exif)
+
+    def encode_api1(self, p010: RawImage, yuv420: RawImage,
+                    hdr_tf: ColorTransfer, quality: int = 95,
+                    exif: bytes | None = None) -> bytes:
+        _validate_p010(p010)
+        _validate_tf(hdr_tf)
+        _validate_quality(quality)
+        if yuv420.fmt != PixelFormat.YUV420:
+            raise err("UHDR_CODEC_INVALID_PARAM", "expected YUV420 SDR")
+        if (yuv420.width, yuv420.height) != (p010.width, p010.height):
+            raise err("UHDR_CODEC_INVALID_PARAM",
+                      "SDR/HDR resolution mismatch")
+        if yuv420.gamut not in _GAMUT:
+            raise err("UHDR_CODEC_INVALID_PARAM", "unspecified SDR gamut")
+        sdr_gamut = _GAMUT[yuv420.gamut]
+        hdr_gamut = _GAMUT[p010.gamut]
+
+        y8 = np.asarray(yuv420.planes["y"])
+        u8 = np.asarray(yuv420.planes["u"])
+        v8 = np.asarray(yuv420.planes["v"])
+        gmap, metadata = gm.generate_gainmap(
+            y8, u8, v8, p010.planes["y"], p010.planes["uv"],
+            sdr_gamut=sdr_gamut, hdr_gamut=hdr_gamut, hdr_tf=_TF[hdr_tf])
+        gainmap_jpeg = _compress_gainmap(np.asarray(gmap))
+        base_jpeg = _compress_base(y8, u8, v8, sdr_gamut, quality)
+        return mux.append_gainmap(base_jpeg, gainmap_jpeg, metadata,
+                                  exif=exif)
+
+    def encode_api2(self, p010: RawImage, yuv420: RawImage,
+                    base_jpeg: bytes, hdr_tf: ColorTransfer) -> bytes:
+        """Gain map from the raw pair; base bitstream used as-is
+        (jpegr.cpp:386-435)."""
+        _validate_p010(p010)
+        _validate_tf(hdr_tf)
+        if yuv420.fmt != PixelFormat.YUV420:
+            raise err("UHDR_CODEC_INVALID_PARAM", "expected YUV420 SDR")
+        if (yuv420.width, yuv420.height) != (p010.width, p010.height):
+            raise err("UHDR_CODEC_INVALID_PARAM",
+                      "SDR/HDR resolution mismatch")
+        sdr_gamut = _GAMUT.get(yuv420.gamut, _GAMUT[p010.gamut])
+        gmap, metadata = gm.generate_gainmap(
+            np.asarray(yuv420.planes["y"]), np.asarray(yuv420.planes["u"]),
+            np.asarray(yuv420.planes["v"]), p010.planes["y"],
+            p010.planes["uv"], sdr_gamut=sdr_gamut,
+            hdr_gamut=_GAMUT[p010.gamut], hdr_tf=_TF[hdr_tf])
+        gainmap_jpeg = _compress_gainmap(np.asarray(gmap))
+        return self.encode_api4(base_jpeg, gainmap_jpeg, metadata)
+
+    def encode_api3(self, p010: RawImage, base_jpeg: bytes,
+                    hdr_tf: ColorTransfer) -> bytes:
+        """Decode the given JPEG for the SDR rendition; its YUV is
+        BT.601-encoded so generation uses sdr_is_601
+        (jpegr.cpp:438-517)."""
+        _validate_p010(p010)
+        _validate_tf(hdr_tf)
+        dec = codec.decode_jpeg(base_jpeg)
+        if dec.ncomp != 3 or dec.sampling[0] != (2, 2):
+            raise err("UHDR_CODEC_INVALID_PARAM",
+                      "base JPEG must be YCbCr 4:2:0")
+        if (dec.width, dec.height) != (p010.width, p010.height):
+            raise err("UHDR_CODEC_INVALID_PARAM",
+                      "JPEG/HDR resolution mismatch")
+        gamut = ColorGamut.UNSPECIFIED
+        if dec.icc is not None:
+            g = icc_mod.read_icc_color_gamut(dec.icc)
+            if g != "unspecified":
+                gamut = ColorGamut(g)
+        if gamut == ColorGamut.UNSPECIFIED:
+            gamut = p010.gamut
+        gmap, metadata = gm.generate_gainmap(
+            dec.planes[0], dec.planes[1], dec.planes[2],
+            p010.planes["y"], p010.planes["uv"],
+            sdr_gamut=_GAMUT[gamut], hdr_gamut=_GAMUT[p010.gamut],
+            hdr_tf=_TF[hdr_tf], sdr_is_601=True)
+        gainmap_jpeg = _compress_gainmap(np.asarray(gmap))
+        return self.encode_api4(base_jpeg, gainmap_jpeg, metadata)
+
+    def encode_api4(self, base_jpeg: bytes, gainmap_jpeg: bytes,
+                    metadata: GainMapMetadata,
+                    exif: bytes | None = None) -> bytes:
+        """Pure container mux (jpegr.cpp:520-561)."""
+        if not base_jpeg or not gainmap_jpeg:
+            raise err("UHDR_CODEC_INVALID_PARAM", "empty bitstream")
+        return mux.append_gainmap(base_jpeg, gainmap_jpeg, metadata,
+                                  exif=exif)
+
+    def encode_apix(self, yuv420: RawImage, gainmap_u8: np.ndarray,
+                    metadata: GainMapMetadata, quality: int = 95,
+                    exif: bytes | None = None) -> bytes:
+        """Transcode variant: SDR raw + raw gain map + metadata
+        (jpegr.cpp:564-622)."""
+        _validate_quality(quality)
+        if yuv420.fmt != PixelFormat.YUV420:
+            raise err("UHDR_CODEC_INVALID_PARAM", "expected YUV420 SDR")
+        gainmap_jpeg = _compress_gainmap(np.asarray(gainmap_u8))
+        gamut = _GAMUT.get(yuv420.gamut)
+        icc = icc_mod.write_icc_profile("srgb", gamut) if gamut else None
+        base_jpeg = codec.encode_jpeg(
+            {"y": np.asarray(yuv420.planes["y"]),
+             "u": np.asarray(yuv420.planes["u"]),
+             "v": np.asarray(yuv420.planes["v"])},
+            quality=quality, icc=icc)
+        return mux.append_gainmap(base_jpeg, gainmap_jpeg, metadata,
+                                  exif=exif)
+
+    # ------------------------------------------------------------------
+    # Probe / decode
+    # ------------------------------------------------------------------
+
+    def get_info(self, jpegr_bytes: bytes) -> "JpegRInfo":
+        """Container split + header parse without pixel decode
+        (jpegr.cpp:624-653 getJPEGRInfo)."""
+        primary, gmap = mux.extract_primary_and_gainmap(jpegr_bytes)
+        pinfo = jfif.parse_jpeg_info(primary)
+        ginfo = jfif.parse_jpeg_info(gmap)
+        metadata = None
+        if ginfo.xmp is not None:
+            try:
+                metadata = xmp.get_metadata_from_xmp(ginfo.xmp)
+            except Exception:
+                metadata = None
+        return JpegRInfo(width=pinfo.width, height=pinfo.height,
+                         gainmap_width=ginfo.width,
+                         gainmap_height=ginfo.height,
+                         primary=pinfo, gainmap=ginfo, metadata=metadata)
+
+    def decode(self, jpegr_bytes: bytes,
+               output_format: OutputFormat = OutputFormat.HDR_LINEAR,
+               max_display_boost: float = float("inf"),
+               use_luts: bool = False) -> "JpegRDecodeResult":
+        """Full decode (jpegr.cpp:655-804)."""
+        if max_display_boost < 1.0:
+            raise err("UHDR_CODEC_INVALID_PARAM",
+                      f"bad max_display_boost {max_display_boost}")
+        primary_bytes, gainmap_bytes = \
+            mux.extract_primary_and_gainmap(jpegr_bytes)
+        base = codec.decode_jpeg(primary_bytes)
+        if base.ncomp != 3 or base.sampling[0] != (2, 2):
+            raise err("UHDR_CODEC_ERROR", "base image is not YCbCr 4:2:0")
+
+        result = JpegRDecodeResult(width=base.width, height=base.height)
+        result.exif = base.exif
+        result.icc = base.icc
+        if base.icc is not None:
+            g = icc_mod.read_icc_color_gamut(base.icc)
+            result.gamut = (ColorGamut(g) if g != "unspecified"
+                            else ColorGamut.UNSPECIFIED)
+
+        if output_format == OutputFormat.SDR:
+            rgba = gm.yuv420_to_rgba8888(base.planes[0], base.planes[1],
+                                         base.planes[2])
+            result.image = RawImage(
+                fmt=PixelFormat.RGBA8888, width=base.width,
+                height=base.height, gamut=result.gamut,
+                planes={"rgba": np.asarray(rgba)})
+            return result
+
+        gmdec = codec.decode_jpeg(gainmap_bytes)
+        if gmdec.ncomp != 1:
+            raise err("UHDR_CODEC_ERROR", "gain map is not grayscale")
+        result.gainmap = gmdec.planes[0]
+        if gmdec.xmp is None:
+            raise err("UHDR_CODEC_ERROR", "gain map carries no XMP")
+        metadata = xmp.get_metadata_from_xmp(gmdec.xmp)
+        result.metadata = metadata
+
+        out = gm.apply_gainmap(
+            base.planes[0], base.planes[1], base.planes[2],
+            gmdec.planes[0], metadata, output_format.value,
+            min(max_display_boost, metadata.max_content_boost),
+            use_luts=use_luts)
+        fmt = {OutputFormat.HDR_LINEAR: PixelFormat.RGBA_F16,
+               OutputFormat.HDR_PQ: PixelFormat.RGBA1010102,
+               OutputFormat.HDR_HLG: PixelFormat.RGBA1010102,
+               OutputFormat.HDR_LINEAR_RGB_10BIT: PixelFormat.RGBA1010102,
+               }[output_format]
+        result.image = RawImage(
+            fmt=fmt, width=base.width, height=base.height,
+            gamut=result.gamut, transfer={
+                OutputFormat.HDR_LINEAR: ColorTransfer.LINEAR,
+                OutputFormat.HDR_PQ: ColorTransfer.PQ,
+                OutputFormat.HDR_HLG: ColorTransfer.HLG,
+                OutputFormat.HDR_LINEAR_RGB_10BIT: ColorTransfer.LINEAR,
+            }[output_format],
+            planes={"rgba": np.asarray(out)})
+        return result
+
+
+@dataclass
+class JpegRInfo:
+    width: int
+    height: int
+    gainmap_width: int
+    gainmap_height: int
+    primary: object = None
+    gainmap: object = None
+    metadata: GainMapMetadata | None = None
+
+
+@dataclass
+class JpegRDecodeResult:
+    width: int
+    height: int
+    image: RawImage | None = None
+    gainmap: np.ndarray | None = None
+    metadata: GainMapMetadata | None = None
+    exif: bytes | None = None
+    icc: bytes | None = None
+    gamut: ColorGamut = ColorGamut.UNSPECIFIED

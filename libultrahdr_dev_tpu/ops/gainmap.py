@@ -338,6 +338,52 @@ def apply_gainmap(y8, u8, v8, gmap_u8, metadata: GainMapMetadata,
 
 
 # ---------------------------------------------------------------------------
+# SDR RGBA8888 output: libjpeg-style decode to RGB. The reference gets
+# this from libjpeg itself (DECODE_TO_RGBA, jpegr.cpp:692-697 +
+# 770-788); here the same triangular ("fancy") h2v2 chroma upsample and
+# full-range BT.601 YCbCr->RGB run as one fused XLA program.
+# ---------------------------------------------------------------------------
+
+def _fancy_upsample2(c):
+    """libjpeg h2v2 fancy (triangle) upsample of one chroma plane, in
+    the same integer arithmetic as jdsample.c h2v2_fancy_upsample."""
+    c = c.astype(jnp.int32)
+
+    def pad_edge(a, axis):
+        first = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+        last = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis],
+                                    axis=axis)
+        return jnp.concatenate([first, a, last], axis=axis)
+
+    cp = pad_edge(c, 0)
+    up = 3 * c + cp[:-2]     # colsum toward the row above
+    down = 3 * c + cp[2:]    # colsum toward the row below
+    rows = jnp.stack([up, down], axis=1).reshape(-1, c.shape[1])
+
+    rp = pad_edge(rows, 1)
+    left = (3 * rows + rp[:, :-2] + 8) >> 4
+    right = (3 * rows + rp[:, 2:] + 7) >> 4
+    out = jnp.stack([left, right], axis=2).reshape(rows.shape[0], -1)
+    return out
+
+
+@jax.jit
+def yuv420_to_rgba8888(y8, u8, v8):
+    """Full-range BT.601 YCbCr 4:2:0 -> packed RGBA8888 u32 (alpha FF),
+    matching the reference's SDR output packing (jpegr.cpp:779-786)."""
+    h, w = y8.shape
+    y = y8.astype(jnp.float32)
+    cb = _fancy_upsample2(u8)[:h, :w].astype(jnp.float32) - 128.0
+    cr = _fancy_upsample2(v8)[:h, :w].astype(jnp.float32) - 128.0
+    r = y + 1.40200 * cr
+    g = y - 0.34414 * cb - 0.71414 * cr
+    b = y + 1.77200 * cb
+    to8 = lambda x: jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint32)
+    return (to8(r) | (to8(g) << 8) | (to8(b) << 16)
+            | jnp.uint32(0xFF000000))
+
+
+# ---------------------------------------------------------------------------
 # In-place YUV gamut-encoding conversion (jpegr.cpp:1132-1206 convertYuv,
 # gainmapmath.cpp:483-520 transformYuv420).
 # ---------------------------------------------------------------------------

@@ -1,0 +1,218 @@
+"""End-to-end JPEG/R tests: our encode <-> our decode, plus cross-codec
+parity with the compiled reference (oracle) where available."""
+
+import gzip
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from libultrahdr_dev_tpu.jpegr import JpegR
+from libultrahdr_dev_tpu.types import (ColorGamut, ColorTransfer,
+                                       GainMapMetadata, OutputFormat,
+                                       PixelFormat, RawImage, UhdrError)
+from libultrahdr_dev_tpu.container import mux
+
+REF_DATA = "/root/reference/tests/data"
+ORACLE = "/tmp/oracle/golden"
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+W, H = 1280, 720
+
+
+def fixture_p010():
+    path = os.path.join(REF_DATA, "raw_p010_image.p010")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    hdr = np.fromfile(path, np.uint16)
+    return RawImage(fmt=PixelFormat.P010, width=W, height=H,
+                    gamut=ColorGamut.BT2100,
+                    planes={"y": hdr[:W * H].reshape(H, W),
+                            "uv": hdr[W * H:].reshape(H // 2, W)})
+
+
+def fixture_yuv420():
+    path = os.path.join(REF_DATA, "raw_yuv420_image.yuv420")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    sdr = np.fromfile(path, np.uint8)
+    return RawImage(fmt=PixelFormat.YUV420, width=W, height=H,
+                    gamut=ColorGamut.BT709,
+                    planes={"y": sdr[:W * H].reshape(H, W),
+                            "u": sdr[W * H:W * H + W * H // 4].reshape(
+                                H // 2, W // 2),
+                            "v": sdr[W * H + W * H // 4:].reshape(
+                                H // 2, W // 2)})
+
+
+def synth_p010(h=64, w=96):
+    rng = np.random.default_rng(0)
+    base = rng.integers(100, 900, (h // 16, w // 16))
+    y = np.kron(base, np.ones((16, 16), int)).astype(np.uint16) << 6
+    uv = np.full((h // 2, w), 512 << 6, np.uint16)
+    return RawImage(fmt=PixelFormat.P010, width=w, height=h,
+                    gamut=ColorGamut.BT2100, planes={"y": y, "uv": uv})
+
+
+def f16_planes(img: RawImage):
+    return np.asarray(img.planes["rgba"]).view(np.float16).astype(
+        np.float64)
+
+
+def psnr_float(a, b, peak=1.0):
+    mse = np.mean((a - b) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(peak * peak / mse)
+
+
+class TestEncodeDecodeSelf:
+    def test_api0_synth_roundtrip(self):
+        jr = JpegR()
+        blob = jr.encode_api0(synth_p010(), ColorTransfer.HLG, quality=95)
+        assert mux.is_uhdr_image(blob)
+        info = jr.get_info(blob)
+        assert (info.width, info.height) == (96, 64)
+        assert (info.gainmap_width, info.gainmap_height) == (24, 16)
+        assert info.metadata.max_content_boost == pytest.approx(
+            1000 / 203, rel=1e-4)
+
+        res = jr.decode(blob, OutputFormat.HDR_LINEAR,
+                        max_display_boost=1000 / 203)
+        assert res.image.fmt == PixelFormat.RGBA_F16
+        rgba = f16_planes(res.image)
+        assert rgba.shape == (64, 96, 4)
+        assert np.all(rgba[..., 3] == 1.0)
+        assert res.gamut == ColorGamut.BT2100  # from our ICC
+        assert res.metadata.min_content_boost == 1.0
+
+    def test_api0_sdr_output(self):
+        jr = JpegR()
+        blob = jr.encode_api0(synth_p010(), ColorTransfer.HLG)
+        res = jr.decode(blob, OutputFormat.SDR)
+        rgba = np.asarray(res.image.planes["rgba"])
+        assert rgba.dtype == np.uint32
+        assert np.all((rgba >> 24) == 0xFF)
+        # neutral-chroma source: R ~ G ~ B
+        r = rgba & 0xFF
+        g = (rgba >> 8) & 0xFF
+        assert np.mean(np.abs(r.astype(int) - g.astype(int))) < 3
+
+    def test_api0_pq(self):
+        jr = JpegR()
+        blob = jr.encode_api0(synth_p010(), ColorTransfer.PQ)
+        info = jr.get_info(blob)
+        assert info.metadata.max_content_boost == pytest.approx(
+            10000 / 203, rel=1e-4)
+        res = jr.decode(blob, OutputFormat.HDR_PQ, max_display_boost=49.3)
+        assert np.asarray(res.image.planes["rgba"]).dtype == np.uint32
+
+    def test_api1_roundtrip(self):
+        jr = JpegR()
+        p010 = synth_p010()
+        y8 = (np.asarray(p010.planes["y"]) >> 8).astype(np.uint8)
+        sdr = RawImage(fmt=PixelFormat.YUV420, width=96, height=64,
+                       gamut=ColorGamut.BT709,
+                       planes={"y": y8,
+                               "u": np.full((32, 48), 128, np.uint8),
+                               "v": np.full((32, 48), 128, np.uint8)})
+        blob = jr.encode_api1(p010, sdr, ColorTransfer.HLG)
+        res = jr.decode(blob, OutputFormat.HDR_LINEAR, 4.9)
+        assert res.width == 96
+
+    def test_api4_mux_roundtrip(self):
+        jr = JpegR()
+        blob0 = jr.encode_api0(synth_p010(), ColorTransfer.HLG)
+        primary, gmap = mux.extract_primary_and_gainmap(blob0)
+        md = GainMapMetadata(max_content_boost=1000 / 203,
+                             hdr_capacity_max=1000 / 203)
+        blob = jr.encode_api4(primary, gmap, md)
+        res = jr.decode(blob, OutputFormat.HDR_LINEAR, 4.9)
+        assert res.width == 96
+
+    def test_apix(self):
+        jr = JpegR()
+        sdr = RawImage(fmt=PixelFormat.YUV420, width=96, height=64,
+                       gamut=ColorGamut.BT709,
+                       planes={"y": np.full((64, 96), 120, np.uint8),
+                               "u": np.full((32, 48), 128, np.uint8),
+                               "v": np.full((32, 48), 128, np.uint8)})
+        gmap = np.full((16, 24), 100, np.uint8)
+        md = GainMapMetadata(max_content_boost=8.0, hdr_capacity_max=8.0)
+        blob = jr.encode_apix(sdr, gmap, md, quality=90)
+        info = jr.get_info(blob)
+        assert (info.gainmap_width, info.gainmap_height) == (24, 16)
+        res = jr.decode(blob, OutputFormat.HDR_LINEAR, 8.0)
+        assert res.metadata.max_content_boost == pytest.approx(8.0,
+                                                               rel=1e-3)
+
+    def test_exif_passthrough(self):
+        jr = JpegR()
+        exif = b"Exif\x00\x00" + bytes(range(32))
+        blob = jr.encode_api0(synth_p010(), ColorTransfer.HLG, exif=exif)
+        res = jr.decode(blob, OutputFormat.HDR_LINEAR, 2.0)
+        assert res.exif == exif
+
+    def test_validation(self):
+        jr = JpegR()
+        bad = synth_p010()
+        bad.gamut = ColorGamut.UNSPECIFIED
+        with pytest.raises(UhdrError):
+            jr.encode_api0(bad, ColorTransfer.HLG)
+        with pytest.raises(UhdrError):
+            jr.encode_api0(synth_p010(), ColorTransfer.SRGB)
+        with pytest.raises(UhdrError):
+            jr.encode_api0(synth_p010(), ColorTransfer.HLG, quality=101)
+        with pytest.raises(UhdrError):
+            jr.decode(b"\xff\xd8junk")
+        with pytest.raises(UhdrError):
+            jr.decode(jr.encode_api0(synth_p010(), ColorTransfer.HLG),
+                      max_display_boost=0.5)
+
+
+class TestCrossParity:
+    """Against the compiled reference implementation."""
+
+    def test_decode_reference_file_psnr(self):
+        """Our decode of the reference's own encode must match the
+        reference's decode to >= 55 dB (BASELINE.md target)."""
+        golden_raw = os.path.join(GOLDENS, "dec0_hlg.raw.gz")
+        golden_jpegr = os.path.join(GOLDENS, "enc0_hlg.jpegr")
+        if not (os.path.exists(golden_raw) and os.path.exists(golden_jpegr)):
+            pytest.skip("goldens unavailable")
+        with open(golden_jpegr, "rb") as f:
+            blob = f.read()
+        jr = JpegR()
+        res = jr.decode(blob, OutputFormat.HDR_LINEAR,
+                        max_display_boost=4.926108)
+        ours = f16_planes(res.image)[..., :3]
+
+        want = np.frombuffer(gzip.open(golden_raw).read(),
+                             np.uint16).reshape(H, W, 4)[..., :3] \
+            .view(np.float16).astype(np.float64)
+        p = psnr_float(ours, want, peak=1.0)
+        assert p >= 55.0, f"PSNR {p:.2f} dB < 55 dB"
+
+    def test_reference_decodes_our_encode(self, tmp_path):
+        """The reference binary must decode our JPEG/R output, and its
+        pixels must match its decode of its own encode to >= 45 dB."""
+        if not os.path.exists(ORACLE):
+            pytest.skip("oracle unavailable")
+        jr = JpegR()
+        blob = jr.encode_api0(fixture_p010(), ColorTransfer.HLG,
+                              quality=95)
+        ours_path = tmp_path / "ours.jpegr"
+        ours_path.write_bytes(blob)
+        r = subprocess.run(
+            [ORACLE, "decode", str(ours_path), str(tmp_path / "out"),
+             "1", "4.926108"],
+            capture_output=True, text=True, cwd=tmp_path)
+        assert r.returncode == 0, r.stderr
+        assert "w=1280 h=720" in r.stdout
+        dec_ours = np.fromfile(tmp_path / "out.raw", np.uint16).reshape(
+            H, W, 4)[..., :3].view(np.float16).astype(np.float64)
+
+        golden_raw = os.path.join(GOLDENS, "dec0_hlg.raw.gz")
+        want = np.frombuffer(gzip.open(golden_raw).read(),
+                             np.uint16).reshape(H, W, 4)[..., :3] \
+            .view(np.float16).astype(np.float64)
+        p = psnr_float(dec_ours, want, peak=1.0)
+        assert p >= 45.0, f"PSNR {p:.2f} dB"
