@@ -178,6 +178,106 @@ def _interleave_yuv420(yb, ub, vb, mcus_x: int, mcus_y: int):
     return blocks.reshape(-1, 64), comp_ids
 
 
+def gray_jpeg_headers(w: int, h: int, quality: int,
+                      icc: bytes | None = None,
+                      restart_interval: int = 0) -> bytes:
+    """All markers up to (and including) SOS for a grayscale image."""
+    ql = tables.scale_quant_table(tables.STD_LUMINANCE_QUANT, quality)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _jfif_app0()
+    if icc:
+        out += _marker(0xE2, icc)
+    out += _marker(0xDB, _dqt(0, ql))
+    out += _marker(0xC0, _sof0(w, h, [(1, 1, 1, 0)]))
+    out += _marker(0xC4, _dht(0, 0, tables.DC_LUMA_BITS,
+                              tables.DC_LUMA_VALS))
+    out += _marker(0xC4, _dht(1, 0, tables.AC_LUMA_BITS,
+                              tables.AC_LUMA_VALS))
+    if restart_interval:
+        out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
+    out += _marker(0xDA, _sos([(1, 0, 0)]))
+    return bytes(out)
+
+
+def yuv420_jpeg_headers(w: int, h: int, quality: int,
+                        icc: bytes | None = None,
+                        restart_interval: int = 0) -> bytes:
+    """All markers up to (and including) SOS for 4:2:0 YCbCr."""
+    ql = tables.scale_quant_table(tables.STD_LUMINANCE_QUANT, quality)
+    qc = tables.scale_quant_table(tables.STD_CHROMINANCE_QUANT, quality)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _jfif_app0()
+    if icc:
+        out += _marker(0xE2, icc)
+    out += _marker(0xDB, _dqt(0, ql))
+    out += _marker(0xDB, _dqt(1, qc))
+    out += _marker(0xC0, _sof0(w, h, [(1, 2, 2, 0), (2, 1, 1, 1),
+                                      (3, 1, 1, 1)]))
+    out += _marker(0xC4, _dht(0, 0, tables.DC_LUMA_BITS, tables.DC_LUMA_VALS))
+    out += _marker(0xC4, _dht(1, 0, tables.AC_LUMA_BITS, tables.AC_LUMA_VALS))
+    out += _marker(0xC4, _dht(0, 1, tables.DC_CHROMA_BITS,
+                              tables.DC_CHROMA_VALS))
+    out += _marker(0xC4, _dht(1, 1, tables.AC_CHROMA_BITS,
+                              tables.AC_CHROMA_VALS))
+    if restart_interval:
+        out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
+    out += _marker(0xDA, _sos([(1, 0, 0), (2, 1, 1), (3, 1, 1)]))
+    return bytes(out)
+
+
+def assemble_gray_jpeg(yz: np.ndarray, w: int, h: int, quality: int,
+                       icc: bytes | None = None,
+                       restart_interval: int = 0) -> bytes:
+    """Host stage: marker emission + entropy coding for a grayscale
+    image whose zigzag coefficients (for the 8-padded plane) were
+    already computed on device."""
+    out = bytearray(gray_jpeg_headers(w, h, quality, icc,
+                                      restart_interval))
+    comp_ids = np.zeros(yz.shape[0], np.uint8)
+    out += entropy_encode(
+        yz, comp_ids, [0], [0],
+        [(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS)],
+        [(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS)],
+        restart_interval, 1)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def assemble_yuv420_jpeg(yz: np.ndarray, uz: np.ndarray, vz: np.ndarray,
+                         w: int, h: int, quality: int,
+                         icc: bytes | None = None,
+                         restart_interval: int = 0) -> bytes:
+    """Host stage for 4:2:0 YCbCr: MCU interleave + markers + entropy.
+    yz covers the 16-aligned luma plane; uz/vz the 8-aligned chroma."""
+    yp_h, yp_w = _align(h, 16), _align(w, 16)
+    cp_h, cp_w = _align(-(-h // 2), 8), _align(-(-w // 2), 8)
+    mcus_x, mcus_y = yp_w // 16, yp_h // 16
+    yb = yz.reshape(yp_h // 8, yp_w // 8, 64)
+    ub = uz.reshape(cp_h // 8, cp_w // 8, 64)
+    vb = vz.reshape(cp_h // 8, cp_w // 8, 64)
+    blocks, comp_ids = _interleave_yuv420(
+        yb.reshape(mcus_y * 2, mcus_x * 2, 64),
+        ub[:mcus_y, :mcus_x], vb[:mcus_y, :mcus_x], mcus_x, mcus_y)
+
+    out = bytearray(yuv420_jpeg_headers(w, h, quality, icc,
+                                        restart_interval))
+    out += entropy_encode(
+        blocks, comp_ids, [0, 1, 1], [0, 1, 1],
+        [(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS),
+         (tables.DC_CHROMA_BITS, tables.DC_CHROMA_VALS)],
+        [(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS),
+         (tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS)],
+        restart_interval, 6)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _align(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def encode_jpeg(planes: dict, quality: int, icc: bytes | None = None,
                 restart_interval: int = 0) -> bytes:
     """Encode YUV420 planes {y,u,v} or grayscale {y} to baseline JFIF.
@@ -192,84 +292,26 @@ def encode_jpeg(planes: dict, quality: int, icc: bytes | None = None,
     gray = "u" not in planes
 
     ql = tables.scale_quant_table(tables.STD_LUMINANCE_QUANT, quality)
-    out = bytearray()
-    out += b"\xff\xd8"
-    out += _jfif_app0()
-    if icc:
-        out += _marker(0xE2, icc)
-
     if gray:
-        yp = _pad_plane(y, 8)
-        yz = _np(fdct_quant(yp, ql))
-        out += _marker(0xDB, _dqt(0, ql))
-        out += _marker(0xC0, _sof0(w, h, [(1, 1, 1, 0)]))
-        out += _marker(0xC4, _dht(0, 0, tables.DC_LUMA_BITS,
-                                  tables.DC_LUMA_VALS))
-        out += _marker(0xC4, _dht(1, 0, tables.AC_LUMA_BITS,
-                                  tables.AC_LUMA_VALS))
-        if restart_interval:
-            out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
-        out += _marker(0xDA, _sos([(1, 0, 0)]))
-        comp_ids = np.zeros(yz.shape[0], np.uint8)
-        data = entropy_encode(
-            yz, comp_ids, [0], [0],
-            [(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS)],
-            [(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS)],
-            restart_interval, 1)
-        out += data
-        out += b"\xff\xd9"
-        return bytes(out)
+        yz = _np(fdct_quant(_pad_plane(y, 8), ql))
+        return assemble_gray_jpeg(yz, w, h, quality, icc, restart_interval)
 
     qc = tables.scale_quant_table(tables.STD_CHROMINANCE_QUANT, quality)
     u = _np(planes["u"])
     v = _np(planes["v"])
     yp = _pad_plane(y, 16)
-    up = _pad_plane(u, 8)
-    vp = _pad_plane(v, 8)
-    # Chroma planes must cover yp/2.
-    if up.shape[0] * 2 < yp.shape[0] or up.shape[1] * 2 < yp.shape[1]:
-        up = _pad_plane(np.pad(up, ((0, yp.shape[0] // 2 - up.shape[0]),
-                                    (0, yp.shape[1] // 2 - up.shape[1])),
-                               mode="edge"), 8)
-        vp = _pad_plane(np.pad(vp, ((0, yp.shape[0] // 2 - vp.shape[0]),
-                                    (0, yp.shape[1] // 2 - vp.shape[1])),
-                               mode="edge"), 8)
-
+    # Chroma planes must cover yp/2 at 8-block alignment.
+    up = _pad_plane(np.pad(u, ((0, yp.shape[0] // 2 - u.shape[0]),
+                               (0, yp.shape[1] // 2 - u.shape[1])),
+                           mode="edge"), 8)
+    vp = _pad_plane(np.pad(v, ((0, yp.shape[0] // 2 - v.shape[0]),
+                               (0, yp.shape[1] // 2 - v.shape[1])),
+                           mode="edge"), 8)
     yz = _np(fdct_quant(yp, ql))
     uz = _np(fdct_quant(up, qc))
     vz = _np(fdct_quant(vp, qc))
-
-    mcus_x, mcus_y = yp.shape[1] // 16, yp.shape[0] // 16
-    yb = yz.reshape(yp.shape[0] // 8, yp.shape[1] // 8, 64)
-    ub = uz.reshape(up.shape[0] // 8, up.shape[1] // 8, 64)
-    vb = vz.reshape(vp.shape[0] // 8, vp.shape[1] // 8, 64)
-    blocks, comp_ids = _interleave_yuv420(
-        yb.reshape(mcus_y * 2, mcus_x * 2, 64),
-        ub[:mcus_y, :mcus_x], vb[:mcus_y, :mcus_x], mcus_x, mcus_y)
-
-    out += _marker(0xDB, _dqt(0, ql))
-    out += _marker(0xDB, _dqt(1, qc))
-    out += _marker(0xC0, _sof0(w, h, [(1, 2, 2, 0), (2, 1, 1, 1),
-                                      (3, 1, 1, 1)]))
-    out += _marker(0xC4, _dht(0, 0, tables.DC_LUMA_BITS, tables.DC_LUMA_VALS))
-    out += _marker(0xC4, _dht(1, 0, tables.AC_LUMA_BITS, tables.AC_LUMA_VALS))
-    out += _marker(0xC4, _dht(0, 1, tables.DC_CHROMA_BITS,
-                              tables.DC_CHROMA_VALS))
-    out += _marker(0xC4, _dht(1, 1, tables.AC_CHROMA_BITS,
-                              tables.AC_CHROMA_VALS))
-    if restart_interval:
-        out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
-    out += _marker(0xDA, _sos([(1, 0, 0), (2, 1, 1), (3, 1, 1)]))
-    data = entropy_encode(
-        blocks, comp_ids, [0, 1, 1], [0, 1, 1],
-        [(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS),
-         (tables.DC_CHROMA_BITS, tables.DC_CHROMA_VALS)],
-        [(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS),
-         (tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS)],
-        restart_interval, 6)
-    out += data
-    out += b"\xff\xd9"
-    return bytes(out)
+    return assemble_yuv420_jpeg(yz, uz, vz, w, h, quality, icc,
+                                restart_interval)
 
 
 # ---------------------------------------------------------------------------
@@ -298,10 +340,26 @@ class DecodedJpeg:
     xmp: bytes | None = None
 
 
-def decode_jpeg(data: bytes) -> DecodedJpeg:
-    """Decode a baseline JPEG to per-component planes (no chroma
-    upsampling — JPEG/R consumes 4:2:0 planes directly, matching the
-    reference's jpeg_read_raw_data path)."""
+@dataclass
+class DecodedCoefs:
+    """Entropy-decoded (host) stage output: per-component zigzag
+    coefficient block grids, ready for device dequant/IDCT."""
+
+    width: int
+    height: int
+    ncomp: int
+    # per component: (coefs (bh, bw, 64) int16 zigzag, qtable 8x8,
+    #                 crop_h, crop_w, (h_samp, v_samp))
+    comps: list = field(default_factory=list)
+    icc: bytes | None = None
+    exif: bytes | None = None
+    xmp: bytes | None = None
+
+
+def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
+    """Host stage of decode: marker parse + native Huffman decode +
+    MCU de-interleave. No device work — callers fuse dequant/IDCT with
+    downstream pixel math in one jit (e.g. JpegR decode)."""
     from ..container import jfif
 
     segments, sos_end = jfif.scan_segments(data, 0)
@@ -311,7 +369,7 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
     comps: list[_Component] = []
     w = h = 0
     restart_interval = 0
-    result = DecodedJpeg(0, 0, 0)
+    result = DecodedCoefs(0, 0, 0)
     scan_comps: list[int] = []
 
     for seg in segments:
@@ -429,15 +487,14 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
         restart_interval, mcu_blocks)
 
     result.width, result.height, result.ncomp = w, h, len(comps)
-    result.sampling = [(c.h, c.v) for c in comps]
 
     if len(comps) == 1:
         c = comps[0]
         if c.qtbl not in qtables:
             raise err("UHDR_CODEC_ERROR", "missing quant table")
         bh, bw = per_comp_layout[0]
-        plane = _np(dequant_idct(blocks, qtables[c.qtbl], bh * 8, bw * 8))
-        result.planes = [plane[:h, :w]]
+        result.comps = [(blocks.reshape(bh, bw, 64), qtables[c.qtbl],
+                         h, w, (c.h, c.v))]
         return result
 
     # De-interleave per component.
@@ -452,10 +509,22 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
         off += nb
         if c.qtbl not in qtables:
             raise err("UHDR_CODEC_ERROR", "missing quant table")
-        bh, bw = per_comp_layout[i]
-        plane = _np(dequant_idct(sub.reshape(-1, 64), qtables[c.qtbl],
-                                 bh * 8, bw * 8))
         cw = -(-w * c.h // hmax)
         ch = -(-h * c.v // vmax)
+        result.comps.append((sub, qtables[c.qtbl], ch, cw, (c.h, c.v)))
+    return result
+
+
+def decode_jpeg(data: bytes) -> DecodedJpeg:
+    """Decode a baseline JPEG to per-component planes (no chroma
+    upsampling — JPEG/R consumes 4:2:0 planes directly, matching the
+    reference's jpeg_read_raw_data path)."""
+    coefs = decode_jpeg_coefs(data)
+    result = DecodedJpeg(coefs.width, coefs.height, coefs.ncomp,
+                         icc=coefs.icc, exif=coefs.exif, xmp=coefs.xmp)
+    for grid, q, ch, cw, samp in coefs.comps:
+        bh, bw = grid.shape[0], grid.shape[1]
+        plane = _np(dequant_idct(grid.reshape(-1, 64), q, bh * 8, bw * 8))
         result.planes.append(plane[:ch, :cw])
+        result.sampling.append(samp)
     return result

@@ -48,8 +48,10 @@ def blocks_to_plane(blocks, h: int, w: int):
 
 @lru_cache(maxsize=None)
 def _fdct_kernel(h: int, w: int):
-    d = jnp.asarray(_D, jnp.float32)
-    zig = jnp.asarray(_ZIG)
+    # numpy constants: building jnp arrays here would capture tracers
+    # when the kernel is first constructed inside an outer trace.
+    d = np.asarray(_D, np.float32)
+    zig = _ZIG
 
     @jax.jit
     def kernel(plane_u8, qtable):
@@ -81,8 +83,8 @@ def fdct_quant(plane_u8, qtable_natural) -> jnp.ndarray:
 
 @lru_cache(maxsize=None)
 def _idct_kernel(h: int, w: int):
-    d = jnp.asarray(_D, jnp.float32)
-    inv_zig = jnp.asarray(np.argsort(_ZIG))
+    d = np.asarray(_D, np.float32)
+    inv_zig = np.argsort(_ZIG)
 
     @jax.jit
     def kernel(zig_coefs_i16, qtable):

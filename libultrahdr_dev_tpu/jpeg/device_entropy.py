@@ -1,0 +1,278 @@
+"""JPEG Huffman entropy encoding ON the TPU.
+
+The classic CPU formulation (and this framework's host fallback,
+native/entropy.cpp) is a sequential bit-writer. Here the whole entropy
+stage is reformulated as data-parallel XLA ops so the only bytes that
+ever cross the host<->device link are the compressed stream itself
+(~1-2 MB for a 4K frame instead of ~36 MB of raw coefficients):
+
+1. every (block, position) pair maps to at most ONE emission unit:
+     slot 0        : the DC code+extra (DC diffs computed vectorized
+                     from the per-component scan order)
+     slots 1..63   : an AC code+extra at nonzero positions; at zero
+                     positions, a ZRL exactly when the zero-run length
+                     since the last nonzero hits a multiple of 16 and a
+                     later nonzero exists (this reproduces the
+                     run-length semantics positionally)
+     slot 64       : EOB when the block has trailing zeros
+2. per-unit bit lengths -> exclusive cumsum = absolute bit offsets
+   (the stream layout is known without any sequential pass)
+3. each unit's value is added into one or two 32-bit words of the
+   output (bit ranges are disjoint by construction, and offsets are
+   monotone, so a sorted scatter-add assembles the stream)
+
+Host-side postprocessing is only 0xFF byte stuffing + final-byte
+1-padding over the ~1 MB result.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import tables
+
+
+def _build_code_table(bits, vals):
+    """(code[256] u32, size[256] u8) canonical tables (T.81 Annex C)."""
+    code = np.zeros(256, np.uint32)
+    size = np.zeros(256, np.uint8)
+    c = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            code[sym] = c
+            size[sym] = length
+            c += 1
+            k += 1
+        c <<= 1
+    return code, size
+
+
+_DC_LUMA = _build_code_table(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS)
+_AC_LUMA = _build_code_table(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS)
+_DC_CHROMA = _build_code_table(tables.DC_CHROMA_BITS, tables.DC_CHROMA_VALS)
+_AC_CHROMA = _build_code_table(tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS)
+
+
+def _bitlen(v):
+    """Number of bits of |v| (JPEG 'size' category), exact for
+    |v| < 2^24 via f32 log2."""
+    av = jnp.abs(v).astype(jnp.float32)
+    return jnp.where(av > 0,
+                     jnp.floor(jnp.log2(jnp.maximum(av, 1.0))).astype(
+                         jnp.int32) + 1,
+                     0)
+
+
+def _units_for_blocks(blocks, dc_prev, dc_code, dc_size, ac_code, ac_size):
+    """Per-block emission units.
+
+    blocks: (N, 64) int32 zigzag coefficients.
+    dc_prev: (N,) int32 predicted DC (previous same-component DC).
+    dc/ac tables: (N, 256)-gatherable constants (may be (256,) shared).
+    Returns (vals (N, 65) u32, lens (N, 65) i32).
+    """
+    n = blocks.shape[0]
+    dc = blocks[:, 0]
+    ac = blocks[:, 1:]
+
+    # --- DC ---
+    diff = dc - dc_prev
+    s = _bitlen(diff)
+    extra = jnp.where(diff >= 0, diff, diff + (1 << s) - 1).astype(
+        jnp.uint32) & ((jnp.uint32(1) << s.astype(jnp.uint32)) - 1)
+    dcl = dc_size[s].astype(jnp.int32)
+    dc_val = (dc_code[s] << s.astype(jnp.uint32)) | extra
+    dc_len = dcl + s
+
+    # --- AC positions 1..63 ---
+    k = jnp.arange(1, 64, dtype=jnp.int32)[None, :]
+    nz = ac != 0
+    # previous nonzero position (or 0): cummax of position*mask.
+    posmask = jnp.where(nz, k, 0)
+    prev_incl = jax.lax.cummax(posmask, axis=1)
+    prevnz = jnp.concatenate(
+        [jnp.zeros((n, 1), jnp.int32), prev_incl[:, :-1]], axis=1)
+    rel = k - prevnz
+    # later nonzero exists (strictly after k): reversed suffix cummax.
+    later = jax.lax.cummax(posmask[:, ::-1], axis=1)[:, ::-1]
+    has_later = later > k
+
+    run = rel - 1
+    sa = _bitlen(ac)
+    sym = ((run % 16) << 4) | sa
+    a_extra = jnp.where(ac >= 0, ac, ac + (1 << sa) - 1).astype(
+        jnp.uint32) & ((jnp.uint32(1) << sa.astype(jnp.uint32)) - 1)
+    a_codes = ac_code[sym]
+    a_sizes = ac_size[sym].astype(jnp.int32)
+    ac_val = (a_codes << sa.astype(jnp.uint32)) | a_extra
+    ac_len = a_sizes + sa
+
+    zrl_code = ac_code[0xF0]
+    zrl_len = ac_size[0xF0].astype(jnp.int32)
+    is_zrl = (~nz) & (rel > 0) & (rel % 16 == 0) & has_later
+
+    vals_ac = jnp.where(nz, ac_val, jnp.where(is_zrl, zrl_code, 0))
+    lens_ac = jnp.where(nz, ac_len, jnp.where(is_zrl, zrl_len, 0))
+
+    # --- EOB (slot 64) ---
+    last_nz = prev_incl[:, -1]  # 0 when no nonzero AC
+    need_eob = last_nz < 63
+    eob_code = ac_code[0x00]
+    eob_len = ac_size[0x00].astype(jnp.int32)
+    eob_val = jnp.where(need_eob, eob_code, 0)
+    eob_lens = jnp.where(need_eob, eob_len, 0)
+
+    vals = jnp.concatenate(
+        [dc_val[:, None], vals_ac, eob_val[:, None]], axis=1)
+    lens = jnp.concatenate(
+        [dc_len[:, None], lens_ac, eob_lens[:, None]], axis=1)
+    return vals.astype(jnp.uint32), lens
+
+
+def _assemble_bits(vals, lens):
+    """Scatter units into a big-endian bitstream. Returns
+    (words u32 big-endian-bit-order, total_bits scalar)."""
+    flat_vals = vals.reshape(-1)
+    flat_lens = lens.reshape(-1)
+    ends = jnp.cumsum(flat_lens)
+    total_bits = ends[-1]
+    starts = ends - flat_lens
+
+    word0 = (starts >> 5).astype(jnp.int32)
+    bitpos = (starts & 31).astype(jnp.int32)
+    shift = 32 - bitpos - flat_lens  # may be negative (word-crossing)
+
+    pos_shift = jnp.clip(shift, 0, 31).astype(jnp.uint32)
+    neg_shift = jnp.clip(-shift, 0, 31).astype(jnp.uint32)
+    hi = jnp.where(shift >= 0, flat_vals << pos_shift,
+                   flat_vals >> neg_shift)
+    # (32 - neg_shift) & 31 keeps the discarded branch's shift amount
+    # defined when neg_shift == 0 (shift-by-32 is UB for u32).
+    lo = jnp.where(shift >= 0, jnp.uint32(0),
+                   flat_vals << ((32 - neg_shift) & 31))
+    hi = jnp.where(flat_lens > 0, hi, 0)
+    lo = jnp.where(flat_lens > 0, lo, 0)
+
+    n_units = flat_vals.shape[0]
+    # Worst case bits: 27 per unit.
+    n_words = (n_units * 27) // 32 + 2
+    out = jnp.zeros(n_words, jnp.uint32)
+    out = out.at[word0].add(hi, indices_are_sorted=True, mode="drop")
+    out = out.at[word0 + 1].add(lo, indices_are_sorted=True, mode="drop")
+    return out, total_bits
+
+
+def _dc_prev_interleaved(blocks, pattern_len, y_per_mcu):
+    """Previous-same-component DC for the [Y*ypm, U, V] MCU pattern:
+    slot 0 Y links to the previous MCU's last Y; U/V link back one MCU."""
+    dc = blocks[:, 0]
+    n = dc.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    slot = idx % pattern_len
+    prev_idx = jnp.where(
+        (slot > 0) & (slot < y_per_mcu), idx - 1,
+        jnp.where(slot == 0, idx - (pattern_len - y_per_mcu + 1),
+                  idx - pattern_len))
+    valid = prev_idx >= 0
+    return jnp.where(valid, dc[jnp.clip(prev_idx, 0)], 0)
+
+
+def encode_yuv420_stream(blocks_i16):
+    """Traceable: (n_mcus*6, 64) MCU-interleaved zigzag blocks
+    (4 Y + U + V per MCU) -> (words u32, total_bits). Usable inside a
+    larger jit (e.g. the fused batched encode)."""
+    dc_l_code, dc_l_size = _DC_LUMA
+    ac_l_code, ac_l_size = _AC_LUMA
+    dc_c_code, dc_c_size = _DC_CHROMA
+    ac_c_code, ac_c_size = _AC_CHROMA
+
+    blocks = blocks_i16.astype(jnp.int32)
+    dc_prev = _dc_prev_interleaved(blocks, 6, 4)
+    n = blocks.shape[0]
+    is_luma = (jnp.arange(n, dtype=jnp.int32) % 6) < 4
+
+    v_l, l_l = _units_for_blocks(
+        blocks, dc_prev, jnp.asarray(dc_l_code), jnp.asarray(dc_l_size),
+        jnp.asarray(ac_l_code), jnp.asarray(ac_l_size))
+    v_c, l_c = _units_for_blocks(
+        blocks, dc_prev, jnp.asarray(dc_c_code), jnp.asarray(dc_c_size),
+        jnp.asarray(ac_c_code), jnp.asarray(ac_c_size))
+    vals = jnp.where(is_luma[:, None], v_l, v_c)
+    lens = jnp.where(is_luma[:, None], l_l, l_c)
+    return _assemble_bits(vals, lens)
+
+
+def encode_gray_stream(blocks_i16):
+    """Traceable grayscale variant of encode_yuv420_stream."""
+    dc_code, dc_size = _DC_LUMA
+    ac_code, ac_size = _AC_LUMA
+    blocks = blocks_i16.astype(jnp.int32)
+    dc = blocks[:, 0]
+    dc_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), dc[:-1]])
+    vals, lens = _units_for_blocks(
+        blocks, dc_prev, jnp.asarray(dc_code), jnp.asarray(dc_size),
+        jnp.asarray(ac_code), jnp.asarray(ac_size))
+    return _assemble_bits(vals, lens)
+
+
+@lru_cache(maxsize=None)
+def _encode_kernel_yuv420(n_mcus: int):
+    return jax.jit(encode_yuv420_stream)
+
+
+@lru_cache(maxsize=None)
+def _encode_kernel_gray(n_blocks: int):
+    return jax.jit(encode_gray_stream)
+
+
+def _finalize(words, total_bits) -> bytes:
+    """Host tail: trim, big-endian bytes, 1-pad the final byte, stuff
+    0xFF with 0x00."""
+    total_bits = int(total_bits)
+    n_bytes = (total_bits + 7) // 8
+    raw = np.asarray(words[: (n_bytes + 3) // 4]).astype(">u4").tobytes()
+    buf = bytearray(raw[:n_bytes])
+    rem = total_bits % 8
+    if rem:
+        buf[-1] |= (1 << (8 - rem)) - 1
+    arr = np.frombuffer(bytes(buf), np.uint8)
+    ff = np.flatnonzero(arr == 0xFF)
+    if ff.size:
+        arr = np.insert(arr, ff + 1, 0)
+    return arr.tobytes()
+
+
+def interleave_blocks_device(yz, uz, vz, mcus_x: int, mcus_y: int):
+    """Device-side MCU interleave of per-plane zigzag block arrays.
+
+    yz: (mcus_y*2 * mcus_x*2, 64) row-major luma blocks;
+    uz/vz: chroma block arrays covering at least (mcus_y, mcus_x).
+    """
+    n = mcus_x * mcus_y
+    yb = yz.reshape(mcus_y, 2, mcus_x, 2, 64).transpose(0, 2, 1, 3, 4)
+    yb = yb.reshape(n, 4, 64)
+    ub = uz.reshape(mcus_y, mcus_x, 64)[:, :, None, :].reshape(n, 1, 64)
+    vb = vz.reshape(mcus_y, mcus_x, 64)[:, :, None, :].reshape(n, 1, 64)
+    return jnp.concatenate([yb, ub, vb], axis=1).reshape(-1, 64)
+
+
+def entropy_encode_yuv420_device(blocks_interleaved) -> bytes:
+    """Entropy-encode MCU-interleaved 4:2:0 blocks on device; returns
+    the stuffed entropy-coded byte segment."""
+    n = blocks_interleaved.shape[0]
+    assert n % 6 == 0
+    kernel = _encode_kernel_yuv420(n // 6)
+    words, total_bits = kernel(blocks_interleaved)
+    return _finalize(words, total_bits)
+
+
+def entropy_encode_gray_device(blocks) -> bytes:
+    kernel = _encode_kernel_gray(blocks.shape[0])
+    words, total_bits = kernel(blocks)
+    return _finalize(words, total_bits)

@@ -15,8 +15,12 @@ the host container codecs (container/):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
+from functools import lru_cache
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .container import icc as icc_mod
@@ -77,6 +81,36 @@ def _compress_base(y8, u8, v8, gamut: str, quality: int) -> bytes:
     return codec.encode_jpeg(
         {"y": np.asarray(y8), "u": np.asarray(u8), "v": np.asarray(v8)},
         quality=quality, icc=icc)
+
+
+@lru_cache(maxsize=None)
+def _fused_decode_kernel(output_format: str, y_shape, c_shape, g_shape,
+                         w: int, h: int, scale: int, use_luts: bool):
+    """One jit for the whole device side of decode: dequant+IDCT of
+    base planes (and gain map), then gain-map application or SDR RGB
+    conversion. A single host->device transfer of coefficients and a
+    single device->host transfer of packed pixels — critical when the
+    chip link is bandwidth-constrained."""
+    from .jpeg.dct import dequant_idct
+
+    def idct(grid, q):
+        bh, bw = grid.shape[0], grid.shape[1]
+        return dequant_idct(grid.reshape(-1, 64), q, bh * 8, bw * 8)
+
+    @jax.jit
+    def kernel(yg, ug, vg, gg, ql, qc, qg, log2_min, log2_max,
+               boost_factor, display_boost):
+        y8 = idct(yg, ql)[:h, :w]
+        u8 = idct(ug, qc)[:(h + 1) // 2, :(w + 1) // 2]
+        v8 = idct(vg, qc)[:(h + 1) // 2, :(w + 1) // 2]
+        if output_format == "sdr":
+            return gm.yuv420_to_rgba8888(y8, u8, v8)
+        gmap = idct(gg, qg)[:h // scale, :w // scale]
+        apply_k = gm._apply_kernel(output_format, scale, use_luts)
+        return apply_k(y8, u8, v8, gmap, log2_min, log2_max, boost_factor,
+                       display_boost)
+
+    return kernel
 
 
 class JpegR:
@@ -238,8 +272,8 @@ class JpegR:
                       f"bad max_display_boost {max_display_boost}")
         primary_bytes, gainmap_bytes = \
             mux.extract_primary_and_gainmap(jpegr_bytes)
-        base = codec.decode_jpeg(primary_bytes)
-        if base.ncomp != 3 or base.sampling[0] != (2, 2):
+        base = codec.decode_jpeg_coefs(primary_bytes)
+        if base.ncomp != 3 or base.comps[0][4] != (2, 2):
             raise err("UHDR_CODEC_ERROR", "base image is not YCbCr 4:2:0")
 
         result = JpegRDecodeResult(width=base.width, height=base.height)
@@ -250,29 +284,68 @@ class JpegR:
             result.gamut = (ColorGamut(g) if g != "unspecified"
                             else ColorGamut.UNSPECIFIED)
 
+        yg, ql, _, _, _ = base.comps[0]
+        ug, qc, _, _, _ = base.comps[1]
+        vg = base.comps[2][0]
+        w, h = base.width, base.height
+
         if output_format == OutputFormat.SDR:
-            rgba = gm.yuv420_to_rgba8888(base.planes[0], base.planes[1],
-                                         base.planes[2])
+            dummy = np.zeros((1, 1, 64), np.int16)
+            kernel = _fused_decode_kernel(
+                "sdr", yg.shape, ug.shape, dummy.shape, w, h, 1,
+                bool(use_luts))
+            z = jnp.float32(0.0)
+            rgba = kernel(yg, ug, vg, dummy, jnp.asarray(ql),
+                          jnp.asarray(qc), jnp.asarray(ql), z, z, z,
+                          jnp.float32(1.0))
             result.image = RawImage(
-                fmt=PixelFormat.RGBA8888, width=base.width,
-                height=base.height, gamut=result.gamut,
-                planes={"rgba": np.asarray(rgba)})
+                fmt=PixelFormat.RGBA8888, width=w, height=h,
+                gamut=result.gamut, planes={"rgba": np.asarray(rgba)})
             return result
 
-        gmdec = codec.decode_jpeg(gainmap_bytes)
+        gmdec = codec.decode_jpeg_coefs(gainmap_bytes)
         if gmdec.ncomp != 1:
             raise err("UHDR_CODEC_ERROR", "gain map is not grayscale")
-        result.gainmap = gmdec.planes[0]
         if gmdec.xmp is None:
             raise err("UHDR_CODEC_ERROR", "gain map carries no XMP")
         metadata = xmp.get_metadata_from_xmp(gmdec.xmp)
         result.metadata = metadata
 
-        out = gm.apply_gainmap(
-            base.planes[0], base.planes[1], base.planes[2],
-            gmdec.planes[0], metadata, output_format.value,
-            min(max_display_boost, metadata.max_content_boost),
-            use_luts=use_luts)
+        gg, qg, gh, gw, _ = gmdec.comps[0]
+        if w % gw or h % gh or (w * gh != h * gw):
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      f"non-integer map scale {w}x{h} vs {gw}x{gh}")
+        scale = w // gw
+        if metadata.version != "1.0":
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      f"unsupported metadata version {metadata.version}")
+        if metadata.gamma != 1.0 or metadata.offset_sdr != 0.0 \
+                or metadata.offset_hdr != 0.0:
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      "unsupported gamma/offsets")
+        if (metadata.hdr_capacity_min != metadata.min_content_boost
+                or metadata.hdr_capacity_max != metadata.max_content_boost):
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      "hdr capacity != content boost")
+
+        display_boost = min(max_display_boost, metadata.max_content_boost)
+        boost_factor = (display_boost / metadata.max_content_boost
+                        if display_boost > 0 else 1.0)
+        kernel = _fused_decode_kernel(
+            output_format.value, yg.shape, ug.shape, gg.shape, w, h,
+            scale, bool(use_luts))
+        out = kernel(yg, ug, vg, gg, jnp.asarray(ql), jnp.asarray(qc),
+                     jnp.asarray(qg),
+                     jnp.float32(math.log2(metadata.min_content_boost)),
+                     jnp.float32(math.log2(metadata.max_content_boost)),
+                     jnp.float32(boost_factor),
+                     jnp.float32(display_boost))
+        # Gain map plane for get_gain_map_image(): derive host-side
+        # (cheap: quarter resolution) without a second device trip.
+        from .jpeg.dct import dequant_idct
+        result.gainmap = np.asarray(dequant_idct(
+            gg.reshape(-1, 64), qg, gg.shape[0] * 8,
+            gg.shape[1] * 8))[:gh, :gw]
         fmt = {OutputFormat.HDR_LINEAR: PixelFormat.RGBA_F16,
                OutputFormat.HDR_PQ: PixelFormat.RGBA1010102,
                OutputFormat.HDR_HLG: PixelFormat.RGBA1010102,

@@ -1,0 +1,231 @@
+"""Batched multi-device throughput: shard independent images across a
+TPU mesh.
+
+The reference's only parallelism is a row-band thread pool inside one
+image (/root/reference/lib/src/ultrahdr.cpp:131-183). On TPU the
+within-image parallelism comes from XLA's grid; scaling comes from
+batching independent images and sharding the batch axis across the ICI
+mesh — images are independent so no collectives run inside a frame
+(SURVEY.md "Distributed communication backend").
+
+All batched kernels take stacked planes (N, H, W)/(N, H/2, W) and jit
+with batch-sharded in/out shardings; per-image host entropy coding
+overlaps with device compute in the pipelined encoder.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import color, gainmap as gm
+from ..jpeg import tables
+from ..jpeg.dct import _D
+from ..types import GainMapMetadata
+
+
+def default_mesh(devices=None) -> Mesh:
+    """1-D data mesh over all local devices (batch axis 'batch')."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("batch",))
+
+
+def _batch_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P("batch"))
+
+
+@lru_cache(maxsize=None)
+def _batched_encode_compute(mesh: Mesh, gamut: str, hdr_tf: str,
+                            base_quality: int):
+    """Fused per-batch encode device stage: tonemap + gain map +
+    BT.601 conversion + fDCT/quant of all three base planes and the
+    gain map. One jit over the mesh; batch axis sharded."""
+    hdr_white = color.hdr_inv_oetf_fn(hdr_tf)[1]
+    max_boost = hdr_white / color.SDR_WHITE_NITS
+    spec = _batch_sharding(mesh)
+
+    @partial(jax.jit, in_shardings=(spec, spec),
+             out_shardings=(spec, spec, spec, spec))
+    def kernel(p010_y_batch, p010_uv_batch):
+        return jax.vmap(
+            lambda y, uv: _encode_one_image_coefs(y, uv, gamut, hdr_tf,
+                                                  base_quality)
+        )(p010_y_batch, p010_uv_batch)
+
+    return kernel, max_boost
+
+
+@lru_cache(maxsize=None)
+def _batched_encode_to_streams(mesh: Mesh, gamut: str, hdr_tf: str,
+                               base_quality: int, h: int, w: int):
+    """Full device-side API-0 encode INCLUDING entropy coding: the only
+    outputs are the entropy-coded bitstreams (worst-case-sized word
+    buffers + actual bit counts), so the host link carries ~1-2 MB per
+    4K frame instead of ~36 MB of coefficients."""
+    from ..jpeg import device_entropy as de
+
+    max_boost = color.hdr_inv_oetf_fn(hdr_tf)[1] / color.SDR_WHITE_NITS
+    spec = _batch_sharding(mesh)
+    mcus_x, mcus_y = w // 16, h // 16
+
+    def streams_one(yz, uz, vz, gz):
+        inter = de.interleave_blocks_device(yz, uz, vz, mcus_x, mcus_y)
+        bw, bb = de.encode_yuv420_stream(inter)
+        gw, gb = de.encode_gray_stream(gz)
+        return bw, bb, gw, gb
+
+    @partial(jax.jit, in_shardings=(spec, spec),
+             out_shardings=(spec, spec, spec, spec))
+    def kernel(p010_y_batch, p010_uv_batch):
+        coefs = jax.vmap(
+            lambda y, uv: _encode_one_image_coefs(y, uv, gamut, hdr_tf,
+                                                  base_quality)
+        )(p010_y_batch, p010_uv_batch)
+        return jax.vmap(streams_one)(*coefs)
+
+    return kernel, max_boost
+
+
+def _encode_one_image_coefs(p010_y, p010_uv, gamut, hdr_tf, base_quality):
+    """Traceable single-image API-0 device compute (tonemap + gain map
+    + 601 + fDCT/quant); shared by the coefficient and stream paths."""
+    hdr_inv_oetf, hdr_white = color.hdr_inv_oetf_fn(hdr_tf)
+    luminance = color.luminance_fn(gamut)
+    yuv_to_rgb = color.yuv_to_rgb_fn(gamut)
+    max_boost = hdr_white / color.SDR_WHITE_NITS
+    ql = tables.scale_quant_table(
+        tables.STD_LUMINANCE_QUANT, base_quality).astype(np.float32)
+    qc = tables.scale_quant_table(
+        tables.STD_CHROMINANCE_QUANT, base_quality).astype(np.float32)
+    qg = tables.scale_quant_table(
+        tables.STD_LUMINANCE_QUANT, 85).astype(np.float32)
+    d = np.asarray(_D, np.float32)
+    zig = tables.ZIGZAG
+
+    def fdct(plane_u8, q):
+        hh, ww = plane_u8.shape
+        ph, pw = (-hh) % 8, (-ww) % 8
+        if ph or pw:
+            plane_u8 = jnp.pad(plane_u8, ((0, ph), (0, pw)), mode="edge")
+        hh, ww = hh + ph, ww + pw
+        x = plane_u8.astype(jnp.float32) - 128.0
+        blocks = x.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+        blocks = blocks.reshape(-1, 8, 8)
+        coefs = jnp.einsum("ux,nxy,vy->nuv", d, blocks, d,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        return jnp.round(coefs / q.reshape(1, 8, 8)).astype(
+            jnp.int16).reshape(-1, 64)[:, zig]
+
+    y8 = (p010_y >> 8).astype(jnp.uint8)
+    u8 = (p010_uv[:, 0::2] >> 8).astype(jnp.uint8)
+    v8 = (p010_uv[:, 1::2] >> 8).astype(jnp.uint8)
+    sy, su, sv = gm.yuv420_to_float(y8, u8, v8)
+    sy = gm._box_mean(sy, gm.SCALE)
+    su = gm._box_mean(su, gm.SCALE // 2)
+    sv = gm._box_mean(sv, gm.SCALE // 2)
+    sdr_rgb = color.apply_channelwise(
+        color.srgb_inv_oetf, yuv_to_rgb((sy, su, sv)))
+    sdr_nits = luminance(sdr_rgb) * color.SDR_WHITE_NITS
+    hy, hu, hv = gm.p010_to_float(p010_y, p010_uv)
+    hy = gm._box_mean(hy, gm.SCALE)
+    hu = gm._box_mean(hu, gm.SCALE // 2)
+    hv = gm._box_mean(hv, gm.SCALE // 2)
+    hdr_rgb = color.apply_channelwise(hdr_inv_oetf, yuv_to_rgb((hy, hu, hv)))
+    hdr_nits = luminance(hdr_rgb) * hdr_white
+    gmap = color.encode_gain(sdr_nits, hdr_nits, 1.0, max_boost)
+    yb, ub, vb = gm.convert_yuv_encoding(y8, u8, v8, gamut, "p3")
+    return (fdct(yb, ql), fdct(ub, qc), fdct(vb, qc), fdct(gmap, qg))
+
+
+def batched_encode_device_stage(p010_y_batch, p010_uv_batch, mesh: Mesh,
+                                gamut: str = "bt2100", hdr_tf: str = "hlg",
+                                base_quality: int = 95):
+    """Run the device portion of API-0 encode for a batch of same-size
+    P010 images: returns per-image zigzag coefficient arrays
+    (y, u, v, gainmap) and the shared metadata. Host entropy coding
+    consumes these per image."""
+    kernel, max_boost = _batched_encode_compute(mesh, gamut, hdr_tf,
+                                                int(base_quality))
+    yz, uz, vz, gz = kernel(jnp.asarray(p010_y_batch),
+                            jnp.asarray(p010_uv_batch))
+    metadata = GainMapMetadata(
+        max_content_boost=max_boost, min_content_boost=1.0,
+        hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
+    return (yz, uz, vz, gz), metadata
+
+
+def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
+                        gamut: str = "bt2100", hdr_tf: str = "hlg",
+                        quality: int = 95) -> list[bytes]:
+    """Full batched API-0 encode: device compute for the whole batch in
+    one sharded jit, then per-image host entropy coding + container
+    mux. Dims must be multiples of 16 (batch images share a shape; pad
+    to a bucket beforehand for mixed sizes)."""
+    from ..container import icc as icc_mod, mux
+    from ..jpeg import codec
+
+    from ..jpeg import device_entropy as de
+
+    n, h, w = p010_y_batch.shape
+    if h % 16 or w % 16:
+        raise ValueError(f"batched encode requires 16-aligned dims, "
+                         f"got {w}x{h}")
+    kernel, max_boost = _batched_encode_to_streams(
+        mesh, gamut, hdr_tf, int(quality), h, w)
+    metadata = GainMapMetadata(
+        max_content_boost=max_boost, min_content_boost=1.0,
+        hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
+    base_words, base_bits, gm_words, gm_bits = kernel(
+        jnp.asarray(p010_y_batch), jnp.asarray(p010_uv_batch))
+    # Only the bit counts + used word prefixes cross the link.
+    base_bits = np.asarray(base_bits)
+    gm_bits = np.asarray(gm_bits)
+
+    icc = icc_mod.write_icc_profile("srgb", gamut)
+    base_hdr = codec.yuv420_jpeg_headers(w, h, quality, icc=icc)
+    gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4, 85)
+    out = []
+    for i in range(n):
+        nb = (int(base_bits[i]) + 7) // 8
+        ng = (int(gm_bits[i]) + 7) // 8
+        base_stream = de._finalize(base_words[i, : (nb + 3) // 4],
+                                   base_bits[i])
+        gm_stream = de._finalize(gm_words[i, : (ng + 3) // 4], gm_bits[i])
+        base = base_hdr + base_stream + b"\xff\xd9"
+        gmap = gm_hdr + gm_stream + b"\xff\xd9"
+        out.append(mux.append_gainmap(base, gmap, metadata))
+    return out
+
+
+def batched_apply_gainmap(y8_batch, u8_batch, v8_batch, gmap_batch,
+                          metadata: GainMapMetadata, output_format: str,
+                          max_display_boost: float, mesh: Mesh):
+    """Batch variant of ops.gainmap.apply_gainmap, batch-sharded."""
+    import math
+
+    h, w = y8_batch.shape[-2:]
+    mh, mw = gmap_batch.shape[-2:]
+    scale = w // mw
+    display_boost = min(max_display_boost, metadata.max_content_boost)
+    boost_factor = (display_boost / metadata.max_content_boost
+                    if display_boost > 0 else 1.0)
+
+    spec = _batch_sharding(mesh)
+    base = gm._apply_kernel(output_format, scale, False)
+
+    @partial(jax.jit, in_shardings=(spec, spec, spec, spec),
+             out_shardings=spec)
+    def kernel(yb, ub, vb, gb):
+        return jax.vmap(lambda a, b, c, g: base(
+            a, b, c, g, jnp.float32(math.log2(metadata.min_content_boost)),
+            jnp.float32(math.log2(metadata.max_content_boost)),
+            jnp.float32(boost_factor), jnp.float32(display_boost)))(
+                yb, ub, vb, gb)
+
+    return kernel(jnp.asarray(y8_batch), jnp.asarray(u8_batch),
+                  jnp.asarray(v8_batch), jnp.asarray(gmap_batch))

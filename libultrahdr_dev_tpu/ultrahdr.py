@@ -1,0 +1,279 @@
+"""UltraHdr universal converter session.
+
+Re-implements the dev fork's experimental converter
+(/root/reference/lib/include/ultrahdr/ultrahdr.h:243-331,
+ /root/reference/lib/src/ultrahdr.cpp:578-1505): a session object that
+ingests images (add_image sniffs JPEG vs JPEG/R; raw planes via
+add_raw), lazily tone-maps / decodes as needed, and converts to a
+requested output codec/format with an optional effect chain applied to
+the SDR + gain map before encode (ultrahdr.cpp:997-1009).
+
+HEIC/AVIF input/output requires an HEVC/AV1 entropy codec; like the
+reference (which delegates to a libheif fork), this build treats those
+as an external dependency and raises UHDR_CODEC_UNSUPPORTED_FEATURE
+when unavailable (SURVEY.md §7 stage 9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .container import jfif, mux, xmp
+from .jpeg import codec
+from .jpegr import JpegR
+from .ops import editor, gainmap as gm
+from .types import (ColorGamut, ColorTransfer, GainMapMetadata,
+                    OutputFormat, PixelFormat, RawImage, err)
+
+
+def sniff_format(data: bytes) -> str:
+    """JPEG / JPEG_R / HEIF container sniffing (ultrahdr.cpp:69-129)."""
+    if len(data) >= 3 and data[0] == 0xFF and data[1] == 0xD8:
+        return "jpeg_r" if mux.is_uhdr_image(data) else "jpeg"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        brand = data[8:12]
+        if brand in (b"avif", b"avis"):
+            return "avif"
+        if brand in (b"heic", b"heix", b"heim", b"heis", b"mif1",
+                     b"hevc", b"hevx", b"hevm", b"hevs", b"msf1"):
+            return "heic"
+    return "unknown"
+
+
+@dataclass
+class UltraHdrConfig:
+    """ultrahdr_configuration (ultrahdr.h:222-241)."""
+
+    output_codec: str = "jpeg_r"       # jpeg | jpeg_r | heic_r | avif_r
+    quality: int = 95
+    gamut: ColorGamut = ColorGamut.BT709
+    transfer: ColorTransfer = ColorTransfer.HLG
+    effects: list = field(default_factory=list)
+    max_display_boost: float = float("inf")
+    output_format: OutputFormat = OutputFormat.HDR_LINEAR
+
+
+class UltraHdr:
+    """Converter session: add_image / add_raw, then convert()."""
+
+    def __init__(self):
+        self.sdr_jpeg: bytes | None = None
+        self.sdr_raw: RawImage | None = None
+        self.hdr_raw: RawImage | None = None
+        self.gainmap_jpeg: bytes | None = None
+        self.gainmap_raw: np.ndarray | None = None
+        self.metadata: GainMapMetadata | None = None
+        self.exif: bytes | None = None
+
+    # ------------------------------------------------------------------
+    # Ingest (ultrahdr.cpp:578-808 addImage)
+    # ------------------------------------------------------------------
+
+    def add_image(self, data: bytes):
+        kind = sniff_format(data)
+        if kind == "jpeg":
+            self.sdr_jpeg = data
+            info = jfif.parse_jpeg_info(data)
+            if info.exif is not None:
+                self.exif = info.exif
+            return self
+        if kind == "jpeg_r":
+            primary, gmap = mux.extract_primary_and_gainmap(data)
+            self.sdr_jpeg = primary
+            self.gainmap_jpeg = gmap
+            ginfo = jfif.parse_jpeg_info(gmap)
+            if ginfo.xmp is not None:
+                self.metadata = xmp.get_metadata_from_xmp(ginfo.xmp)
+            gdec = codec.decode_jpeg(gmap)
+            self.gainmap_raw = gdec.planes[0]
+            pinfo = jfif.parse_jpeg_info(primary)
+            if pinfo.exif is not None:
+                self.exif = pinfo.exif
+            return self
+        if kind in ("heic", "avif"):
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      f"{kind} input requires an external HEVC/AV1 codec")
+        raise err("UHDR_CODEC_INVALID_PARAM", "unrecognized image format")
+
+    def add_raw(self, img: RawImage):
+        if img.fmt == PixelFormat.P010:
+            self.hdr_raw = img
+        elif img.fmt == PixelFormat.YUV420:
+            self.sdr_raw = img
+        else:
+            raise err("UHDR_CODEC_INVALID_PARAM",
+                      f"unsupported raw format {img.fmt}")
+        return self
+
+    def add_gainmap(self, gainmap_u8: np.ndarray,
+                    metadata: GainMapMetadata):
+        self.gainmap_raw = np.asarray(gainmap_u8)
+        self.metadata = metadata
+        return self
+
+    # ------------------------------------------------------------------
+    # Lazy derivations (ultrahdr.cpp:1443-1505)
+    # ------------------------------------------------------------------
+
+    def _maybe_decode_jpeg_sdr(self):
+        if self.sdr_raw is None and self.sdr_jpeg is not None:
+            dec = codec.decode_jpeg(self.sdr_jpeg)
+            if dec.ncomp != 3:
+                raise err("UHDR_CODEC_ERROR", "SDR JPEG is not YCbCr")
+            gamut = ColorGamut.UNSPECIFIED
+            if dec.icc is not None:
+                from .container import icc as icc_mod
+                g = icc_mod.read_icc_color_gamut(dec.icc)
+                if g != "unspecified":
+                    gamut = ColorGamut(g)
+            self.sdr_raw = RawImage(
+                fmt=PixelFormat.YUV420, width=dec.width, height=dec.height,
+                gamut=gamut, transfer=ColorTransfer.SRGB,
+                planes={"y": dec.planes[0], "u": dec.planes[1],
+                        "v": dec.planes[2]})
+
+    def _maybe_tonemap_raw_hdr(self):
+        if self.sdr_raw is None and self.hdr_raw is not None:
+            y8, u8, v8 = gm.tonemap_p010(self.hdr_raw.planes["y"],
+                                         self.hdr_raw.planes["uv"])
+            self.sdr_raw = RawImage(
+                fmt=PixelFormat.YUV420, width=self.hdr_raw.width,
+                height=self.hdr_raw.height, gamut=self.hdr_raw.gamut,
+                transfer=ColorTransfer.SRGB,
+                planes={"y": np.asarray(y8), "u": np.asarray(u8),
+                        "v": np.asarray(v8)})
+
+    def _gainmap_as_image(self) -> RawImage:
+        g = self.gainmap_raw
+        return RawImage(fmt=PixelFormat.MONOCHROME, width=g.shape[1],
+                        height=g.shape[0], planes={"y": g})
+
+    # ------------------------------------------------------------------
+    # Convert (ultrahdr.cpp:866-1441)
+    # ------------------------------------------------------------------
+
+    def convert(self, config: UltraHdrConfig) -> bytes:
+        if config.output_codec == "jpeg":
+            return self._convert_to_jpeg(config)
+        if config.output_codec == "jpeg_r":
+            return self._convert_to_jpegr(config)
+        if config.output_codec in ("heic_r", "avif_r", "heic", "avif"):
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      f"{config.output_codec} output requires an external "
+                      "HEVC/AV1 codec")
+        raise err("UHDR_CODEC_INVALID_PARAM",
+                  f"unknown output codec {config.output_codec}")
+
+    def convert_to_raw(self, config: UltraHdrConfig) -> RawImage:
+        """Raw-pixel outputs (ultrahdr.cpp:1296-1441): SDR RGBA8888 or
+        HDR reconstruction at the configured output format."""
+        jr = JpegR()
+        blob = self._convert_to_jpegr(UltraHdrConfig(
+            output_codec="jpeg_r", quality=config.quality))
+        res = jr.decode(blob, config.output_format,
+                        config.max_display_boost)
+        return res.image
+
+    def _convert_to_jpeg(self, config: UltraHdrConfig) -> bytes:
+        # Pass through when no effects and a JPEG already exists
+        # (ultrahdr.cpp:872-881).
+        if self.sdr_jpeg is not None and not config.effects:
+            return self.sdr_jpeg
+        self._maybe_decode_jpeg_sdr()
+        self._maybe_tonemap_raw_hdr()
+        if self.sdr_raw is None:
+            raise err("UHDR_CODEC_INVALID_OPERATION",
+                      "no SDR rendition available")
+        img = editor.apply_effects(self.sdr_raw, config.effects)
+        icc = None
+        if img.gamut in (ColorGamut.BT709, ColorGamut.P3,
+                         ColorGamut.BT2100):
+            from .container import icc as icc_mod
+            icc = icc_mod.write_icc_profile("srgb", img.gamut.value)
+        return codec.encode_jpeg(
+            {"y": img.planes["y"], "u": img.planes["u"],
+             "v": img.planes["v"]}, quality=config.quality, icc=icc)
+
+    def _convert_to_jpegr(self, config: UltraHdrConfig) -> bytes:
+        jr = JpegR()
+        # Priority chain (ultrahdr.cpp:919-1047):
+        # API-4: compressed base + compressed gain map, no effects.
+        if (self.gainmap_jpeg is not None and self.sdr_jpeg is not None
+                and self.metadata is not None and not config.effects):
+            return jr.encode_api4(self.sdr_jpeg, self.gainmap_jpeg,
+                                  self.metadata, exif=None)
+        # API-x: raw SDR + raw gain map + metadata.
+        if (self.sdr_raw is not None and self.gainmap_raw is not None
+                and self.metadata is not None):
+            sdr = editor.apply_effects(self.sdr_raw, config.effects)
+            gmap = self._gainmap_as_image()
+            if config.effects:
+                scale = self.sdr_raw.width // gmap.width
+                gmap = editor.apply_effects(
+                    gmap, editor.scale_effects(config.effects, scale))
+            return jr.encode_apix(sdr, gmap.planes["y"], self.metadata,
+                                  quality=config.quality, exif=self.exif)
+        # API-2: raw HDR + raw SDR + compressed SDR.
+        if (self.hdr_raw is not None and self.sdr_raw is not None
+                and self.sdr_jpeg is not None and not config.effects):
+            return jr.encode_api2(self.hdr_raw, self.sdr_raw,
+                                  self.sdr_jpeg, config.transfer)
+        # API-3: raw HDR + compressed SDR.
+        if (self.hdr_raw is not None and self.sdr_jpeg is not None
+                and self.sdr_raw is None and not config.effects):
+            return jr.encode_api3(self.hdr_raw, self.sdr_jpeg,
+                                  config.transfer)
+        # API-1: raw HDR + raw SDR.
+        if self.hdr_raw is not None and self.sdr_raw is not None:
+            if not config.effects:
+                return jr.encode_api1(self.hdr_raw, self.sdr_raw,
+                                      config.transfer,
+                                      quality=config.quality,
+                                      exif=self.exif)
+            return self._encode_with_effects(jr, config)
+        # API-0: raw HDR only.
+        if self.hdr_raw is not None:
+            if not config.effects:
+                return jr.encode_api0(self.hdr_raw, config.transfer,
+                                      quality=config.quality,
+                                      exif=self.exif)
+            self._maybe_tonemap_raw_hdr()
+            return self._encode_with_effects(jr, config)
+        # JPEG_R passthrough re-encode from decoded parts.
+        if (self.sdr_jpeg is not None and self.gainmap_raw is not None
+                and self.metadata is not None):
+            self._maybe_decode_jpeg_sdr()
+            return self._encode_with_effects(jr, config)
+        raise err("UHDR_CODEC_INVALID_OPERATION",
+                  "insufficient inputs for jpeg_r conversion")
+
+    def _encode_with_effects(self, jr: JpegR,
+                             config: UltraHdrConfig) -> bytes:
+        """Generate (or reuse) the gain map, apply the effect chain to
+        SDR + gain map, then encode via API-x
+        (ultrahdr.cpp:997-1009, 1124-1180)."""
+        self._maybe_tonemap_raw_hdr()
+        if self.gainmap_raw is None or self.metadata is None:
+            if self.hdr_raw is None or self.sdr_raw is None:
+                raise err("UHDR_CODEC_INVALID_OPERATION",
+                          "cannot generate gain map without HDR input")
+            gmap, md = gm.generate_gainmap(
+                np.asarray(self.sdr_raw.planes["y"]),
+                np.asarray(self.sdr_raw.planes["u"]),
+                np.asarray(self.sdr_raw.planes["v"]),
+                self.hdr_raw.planes["y"], self.hdr_raw.planes["uv"],
+                sdr_gamut=self.sdr_raw.gamut.value,
+                hdr_gamut=self.hdr_raw.gamut.value,
+                hdr_tf=config.transfer.value)
+            self.gainmap_raw = np.asarray(gmap)
+            self.metadata = md
+        sdr = editor.apply_effects(self.sdr_raw, config.effects)
+        gmap_img = self._gainmap_as_image()
+        if config.effects:
+            scale = self.sdr_raw.width // gmap_img.width
+            gmap_img = editor.apply_effects(
+                gmap_img, editor.scale_effects(config.effects, scale))
+        return jr.encode_apix(sdr, gmap_img.planes["y"], self.metadata,
+                              quality=config.quality, exif=self.exif)
