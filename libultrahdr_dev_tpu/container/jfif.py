@@ -88,22 +88,29 @@ def scan_segments(data: bytes, start: int = 0):
 
 def find_eoi(data: bytes, sos_end: int) -> int:
     """Scan entropy-coded data from after SOS for the EOI marker; returns
-    offset just past EOI."""
-    pos = sos_end
+    offset just past EOI. Vectorized: candidate 0xFF positions come from
+    numpy, so multi-MB streams don't walk byte-by-byte in Python."""
+    import numpy as np
+
     n = len(data)
-    while pos + 1 < n:
-        if data[pos] == 0xFF:
-            m = data[pos + 1]
-            if m == EOI:
-                return pos + 2
-            if m == 0x00 or 0xD0 <= m <= 0xD7 or m == 0xFF:
-                pos += 2 if m != 0xFF else 1
-                continue
-            # Any other marker inside entropy data: malformed, but treat
-            # like the scanner does — keep searching.
-            pos += 2
+    arr = np.frombuffer(data, np.uint8, count=n)
+    cand = np.flatnonzero(arr[sos_end:n - 1] == 0xFF) + sos_end
+    # An 0xFF directly after another 0xFF can be a fill byte; the scan
+    # below resolves overlaps left to right (~1/256 of bytes are
+    # candidates, so the Python loop is short).
+    skip_until = sos_end
+    for p in cand:
+        if p < skip_until:
             continue
-        pos += 1
+        m = arr[p + 1]
+        if m == EOI:
+            return int(p) + 2
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            skip_until = p + 2
+        elif m == 0xFF:
+            skip_until = p + 1
+        else:
+            skip_until = p + 2
     return n  # no EOI found: image runs to the end of the buffer
 
 

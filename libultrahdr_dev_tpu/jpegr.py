@@ -298,9 +298,12 @@ class JpegR:
             rgba = kernel(yg, ug, vg, dummy, jnp.asarray(ql),
                           jnp.asarray(qc), jnp.asarray(ql), z, z, z,
                           jnp.float32(1.0))
+            # Keep the device array: materialization is the caller's
+            # choice (np.asarray), so decode dispatch stays async and
+            # TPU-side consumers read it zero-copy.
             result.image = RawImage(
                 fmt=PixelFormat.RGBA8888, width=w, height=h,
-                gamut=result.gamut, planes={"rgba": np.asarray(rgba)})
+                gamut=result.gamut, planes={"rgba": rgba})
             return result
 
         gmdec = codec.decode_jpeg_coefs(gainmap_bytes)
@@ -340,12 +343,9 @@ class JpegR:
                      jnp.float32(math.log2(metadata.max_content_boost)),
                      jnp.float32(boost_factor),
                      jnp.float32(display_boost))
-        # Gain map plane for get_gain_map_image(): derive host-side
-        # (cheap: quarter resolution) without a second device trip.
-        from .jpeg.dct import dequant_idct
-        result.gainmap = np.asarray(dequant_idct(
-            gg.reshape(-1, 64), qg, gg.shape[0] * 8,
-            gg.shape[1] * 8))[:gh, :gw]
+        # Gain map plane (get_gain_map_image) is derived lazily — it
+        # costs an extra device round trip most callers never need.
+        result._gainmap_parts = (gg, qg, gh, gw)
         fmt = {OutputFormat.HDR_LINEAR: PixelFormat.RGBA_F16,
                OutputFormat.HDR_PQ: PixelFormat.RGBA1010102,
                OutputFormat.HDR_HLG: PixelFormat.RGBA1010102,
@@ -359,7 +359,7 @@ class JpegR:
                 OutputFormat.HDR_HLG: ColorTransfer.HLG,
                 OutputFormat.HDR_LINEAR_RGB_10BIT: ColorTransfer.LINEAR,
             }[output_format],
-            planes={"rgba": np.asarray(out)})
+            planes={"rgba": out})  # device array; host reads on demand
         return result
 
 
@@ -379,8 +379,25 @@ class JpegRDecodeResult:
     width: int
     height: int
     image: RawImage | None = None
-    gainmap: np.ndarray | None = None
     metadata: GainMapMetadata | None = None
     exif: bytes | None = None
     icc: bytes | None = None
     gamut: ColorGamut = ColorGamut.UNSPECIFIED
+    # (coef grid, qtable, h, w) for lazy gain-map reconstruction.
+    _gainmap_parts: tuple | None = None
+    _gainmap_cache: np.ndarray | None = None
+
+    @property
+    def gainmap(self) -> np.ndarray | None:
+        """Decoded u8 gain-map plane, reconstructed on first access."""
+        if self._gainmap_cache is None and self._gainmap_parts is not None:
+            from .jpeg.dct import dequant_idct
+            gg, qg, gh, gw = self._gainmap_parts
+            self._gainmap_cache = np.asarray(dequant_idct(
+                gg.reshape(-1, 64), qg, gg.shape[0] * 8,
+                gg.shape[1] * 8))[:gh, :gw]
+        return self._gainmap_cache
+
+    @gainmap.setter
+    def gainmap(self, value):
+        self._gainmap_cache = value

@@ -189,13 +189,30 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
     icc = icc_mod.write_icc_profile("srgb", gamut)
     base_hdr = codec.yuv420_jpeg_headers(w, h, quality, icc=icc)
     gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4, 85)
+
+    # Per-image prefixes are read through addressable shards (no
+    # cross-device gather) with lengths rounded up to a coarse
+    # granularity so the prefix-slice jit compiles once, not per frame.
+    gran = 64 * 1024  # words (256 KB)
+
+    def read_prefix(arr, img_idx, n_words_used):
+        k = -(-max(int(n_words_used), 1) // gran) * gran
+        k = min(k, arr.shape[1])
+        for shard in arr.addressable_shards:
+            lo = shard.index[0].start or 0
+            hi = shard.index[0].stop or arr.shape[0]
+            if lo <= img_idx < hi:
+                return np.asarray(shard.data[img_idx - lo, :k])
+        return np.asarray(arr[img_idx, :k])  # non-addressable fallback
+
     out = []
     for i in range(n):
         nb = (int(base_bits[i]) + 7) // 8
         ng = (int(gm_bits[i]) + 7) // 8
-        base_stream = de._finalize(base_words[i, : (nb + 3) // 4],
-                                   base_bits[i])
-        gm_stream = de._finalize(gm_words[i, : (ng + 3) // 4], gm_bits[i])
+        base_stream = de._finalize(
+            read_prefix(base_words, i, (nb + 3) // 4), base_bits[i])
+        gm_stream = de._finalize(
+            read_prefix(gm_words, i, (ng + 3) // 4), gm_bits[i])
         base = base_hdr + base_stream + b"\xff\xd9"
         gmap = gm_hdr + gm_stream + b"\xff\xd9"
         out.append(mux.append_gainmap(base, gmap, metadata))
