@@ -69,25 +69,68 @@ def _bitlen(v):
                      0)
 
 
-def _units_for_blocks(blocks, dc_prev, dc_code, dc_size, ac_code, ac_size):
-    """Per-block emission units.
+def _pack_table(code_size) -> np.ndarray:
+    """(code, size) 256-entry tables packed as u32 (code << 5 | size):
+    one lookup instead of two."""
+    code, size = code_size
+    return ((code.astype(np.uint32) << 5)
+            | size.astype(np.uint32)).reshape(16, 16)
+
+
+_DC_LUMA_PACKED = _pack_table(_DC_LUMA)
+_AC_LUMA_PACKED = _pack_table(_AC_LUMA)
+_DC_CHROMA_PACKED = _pack_table(_DC_CHROMA)
+_AC_CHROMA_PACKED = _pack_table(_AC_CHROMA)
+
+
+def _lookup256(packed_16x16: np.ndarray, idx):
+    """Fast 256-entry table lookup on TPU.
+
+    A flat jnp.take from a 256-vector lowers to a catastrophically slow
+    gather (~600 ms for 20M lookups), and a (N, 16) row-take
+    materializes a 16x intermediate (OOM at 4K batch sizes). A chain of
+    selects over the table's POPULATED entries fuses into a single
+    elementwise pass: O(N) memory, ~1 ms for 74M lookups.
+    Returns (code u32, size i32)."""
+    flat = np.asarray(packed_16x16).reshape(-1)
+    valid = np.flatnonzero(flat != 0)
+    out = jnp.zeros(idx.shape, jnp.uint32)
+    for sym in valid:
+        out = jnp.where(idx == int(sym), np.uint32(flat[sym]), out)
+    return out >> 5, (out & 31).astype(jnp.int32)
+
+
+def _units_for_blocks(blocks, dc_prev, is_luma):
+    """Per-block emission units for MCU-interleaved blocks.
 
     blocks: (N, 64) int32 zigzag coefficients.
     dc_prev: (N,) int32 predicted DC (previous same-component DC).
-    dc/ac tables: (N, 256)-gatherable constants (may be (256,) shared).
+    is_luma: (N,) bool — which Huffman table pair each block uses.
     Returns (vals (N, 65) u32, lens (N, 65) i32).
     """
     n = blocks.shape[0]
     dc = blocks[:, 0]
     ac = blocks[:, 1:]
 
+    def lookup_dc(sym):
+        cl, ll = _lookup256(_DC_LUMA_PACKED, sym)
+        cc, lc = _lookup256(_DC_CHROMA_PACKED, sym)
+        lum = is_luma if sym.ndim == 1 else is_luma[:, None]
+        return jnp.where(lum, cl, cc), jnp.where(lum, ll, lc)
+
+    def lookup_ac(sym):
+        cl, ll = _lookup256(_AC_LUMA_PACKED, sym)
+        cc, lc = _lookup256(_AC_CHROMA_PACKED, sym)
+        lum = is_luma if sym.ndim == 1 else is_luma[:, None]
+        return jnp.where(lum, cl, cc), jnp.where(lum, ll, lc)
+
     # --- DC ---
     diff = dc - dc_prev
     s = _bitlen(diff)
     extra = jnp.where(diff >= 0, diff, diff + (1 << s) - 1).astype(
         jnp.uint32) & ((jnp.uint32(1) << s.astype(jnp.uint32)) - 1)
-    dcl = dc_size[s].astype(jnp.int32)
-    dc_val = (dc_code[s] << s.astype(jnp.uint32)) | extra
+    dc_code, dcl = lookup_dc(s)
+    dc_val = (dc_code << s.astype(jnp.uint32)) | extra
     dc_len = dcl + s
 
     # --- AC positions 1..63 ---
@@ -105,26 +148,24 @@ def _units_for_blocks(blocks, dc_prev, dc_code, dc_size, ac_code, ac_size):
 
     run = rel - 1
     sa = _bitlen(ac)
-    sym = ((run % 16) << 4) | sa
+    # One fused lookup covers the AC symbol, ZRL (0xF0) and EOB (0x00)
+    # cases: pick the symbol per position, then mask lengths.
+    is_zrl = (~nz) & (rel > 0) & (rel % 16 == 0) & has_later
+    sym = jnp.where(nz, ((run % 16) << 4) | sa,
+                    jnp.where(is_zrl, 0xF0, 0))
+    a_codes, a_sizes = lookup_ac(sym)
     a_extra = jnp.where(ac >= 0, ac, ac + (1 << sa) - 1).astype(
         jnp.uint32) & ((jnp.uint32(1) << sa.astype(jnp.uint32)) - 1)
-    a_codes = ac_code[sym]
-    a_sizes = ac_size[sym].astype(jnp.int32)
-    ac_val = (a_codes << sa.astype(jnp.uint32)) | a_extra
-    ac_len = a_sizes + sa
-
-    zrl_code = ac_code[0xF0]
-    zrl_len = ac_size[0xF0].astype(jnp.int32)
-    is_zrl = (~nz) & (rel > 0) & (rel % 16 == 0) & has_later
-
-    vals_ac = jnp.where(nz, ac_val, jnp.where(is_zrl, zrl_code, 0))
-    lens_ac = jnp.where(nz, ac_len, jnp.where(is_zrl, zrl_len, 0))
+    sa_u = jnp.where(nz, sa, 0)
+    vals_ac = jnp.where(nz | is_zrl,
+                        (a_codes << sa_u.astype(jnp.uint32))
+                        | jnp.where(nz, a_extra, 0), 0)
+    lens_ac = jnp.where(nz | is_zrl, a_sizes + sa_u, 0)
 
     # --- EOB (slot 64) ---
     last_nz = prev_incl[:, -1]  # 0 when no nonzero AC
     need_eob = last_nz < 63
-    eob_code = ac_code[0x00]
-    eob_len = ac_size[0x00].astype(jnp.int32)
+    eob_code, eob_len = lookup_ac(jnp.zeros_like(dc))
     eob_val = jnp.where(need_eob, eob_code, 0)
     eob_lens = jnp.where(need_eob, eob_len, 0)
 
@@ -170,54 +211,41 @@ def _assemble_bits(vals, lens):
 
 def _dc_prev_interleaved(blocks, pattern_len, y_per_mcu):
     """Previous-same-component DC for the [Y*ypm, U, V] MCU pattern:
-    slot 0 Y links to the previous MCU's last Y; U/V link back one MCU."""
+    slot 0 Y links to the previous MCU's last Y (lag pattern_len -
+    y_per_mcu + 1); U/V link back one MCU (lag pattern_len). Expressed
+    as static shifts + selects — no gather (slow on TPU)."""
     dc = blocks[:, 0]
     n = dc.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    slot = idx % pattern_len
-    prev_idx = jnp.where(
-        (slot > 0) & (slot < y_per_mcu), idx - 1,
-        jnp.where(slot == 0, idx - (pattern_len - y_per_mcu + 1),
-                  idx - pattern_len))
-    valid = prev_idx >= 0
-    return jnp.where(valid, dc[jnp.clip(prev_idx, 0)], 0)
+
+    def lag(k):
+        return jnp.concatenate([jnp.zeros(k, dc.dtype), dc[:-k]])
+
+    slot = jnp.arange(n, dtype=jnp.int32) % pattern_len
+    return jnp.where((slot > 0) & (slot < y_per_mcu), lag(1),
+                     jnp.where(slot == 0,
+                               lag(pattern_len - y_per_mcu + 1),
+                               lag(pattern_len)))
 
 
 def encode_yuv420_stream(blocks_i16):
     """Traceable: (n_mcus*6, 64) MCU-interleaved zigzag blocks
     (4 Y + U + V per MCU) -> (words u32, total_bits). Usable inside a
     larger jit (e.g. the fused batched encode)."""
-    dc_l_code, dc_l_size = _DC_LUMA
-    ac_l_code, ac_l_size = _AC_LUMA
-    dc_c_code, dc_c_size = _DC_CHROMA
-    ac_c_code, ac_c_size = _AC_CHROMA
-
     blocks = blocks_i16.astype(jnp.int32)
     dc_prev = _dc_prev_interleaved(blocks, 6, 4)
     n = blocks.shape[0]
     is_luma = (jnp.arange(n, dtype=jnp.int32) % 6) < 4
-
-    v_l, l_l = _units_for_blocks(
-        blocks, dc_prev, jnp.asarray(dc_l_code), jnp.asarray(dc_l_size),
-        jnp.asarray(ac_l_code), jnp.asarray(ac_l_size))
-    v_c, l_c = _units_for_blocks(
-        blocks, dc_prev, jnp.asarray(dc_c_code), jnp.asarray(dc_c_size),
-        jnp.asarray(ac_c_code), jnp.asarray(ac_c_size))
-    vals = jnp.where(is_luma[:, None], v_l, v_c)
-    lens = jnp.where(is_luma[:, None], l_l, l_c)
+    vals, lens = _units_for_blocks(blocks, dc_prev, is_luma)
     return _assemble_bits(vals, lens)
 
 
 def encode_gray_stream(blocks_i16):
     """Traceable grayscale variant of encode_yuv420_stream."""
-    dc_code, dc_size = _DC_LUMA
-    ac_code, ac_size = _AC_LUMA
     blocks = blocks_i16.astype(jnp.int32)
     dc = blocks[:, 0]
     dc_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), dc[:-1]])
-    vals, lens = _units_for_blocks(
-        blocks, dc_prev, jnp.asarray(dc_code), jnp.asarray(dc_size),
-        jnp.asarray(ac_code), jnp.asarray(ac_size))
+    is_luma = jnp.ones(blocks.shape[0], bool)
+    vals, lens = _units_for_blocks(blocks, dc_prev, is_luma)
     return _assemble_bits(vals, lens)
 
 
