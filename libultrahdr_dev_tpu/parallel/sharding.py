@@ -190,29 +190,32 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
     base_hdr = codec.yuv420_jpeg_headers(w, h, quality, icc=icc)
     gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4, 85)
 
-    # Per-image prefixes are read through addressable shards (no
-    # cross-device gather) with lengths rounded up to a coarse
-    # granularity so the prefix-slice jit compiles once, not per frame.
+    # One prefix transfer per (array, shard): the whole batch's used
+    # prefix is fetched in a single d2h (per-transfer overhead on the
+    # chip link is ~150 ms, dwarfing the bytes), with the length
+    # rounded up to a coarse granularity so the slice compiles once.
     gran = 64 * 1024  # words (256 KB)
 
-    def read_prefix(arr, img_idx, n_words_used):
-        k = -(-max(int(n_words_used), 1) // gran) * gran
+    def read_prefixes(arr, bits):
+        k = int(max((int(b) + 7) // 8 for b in bits))
+        k = -(-max((k + 3) // 4, 1) // gran) * gran
         k = min(k, arr.shape[1])
-        for shard in arr.addressable_shards:
+        shards = arr.addressable_shards
+        rows = {}
+        for shard in shards:
             lo = shard.index[0].start or 0
-            hi = shard.index[0].stop or arr.shape[0]
-            if lo <= img_idx < hi:
-                return np.asarray(shard.data[img_idx - lo, :k])
-        return np.asarray(arr[img_idx, :k])  # non-addressable fallback
+            data = np.asarray(shard.data[:, :k])
+            for j in range(data.shape[0]):
+                rows[lo + j] = data[j]
+        return [rows[i] for i in range(arr.shape[0])]
+
+    base_prefixes = read_prefixes(base_words, base_bits)
+    gm_prefixes = read_prefixes(gm_words, gm_bits)
 
     out = []
     for i in range(n):
-        nb = (int(base_bits[i]) + 7) // 8
-        ng = (int(gm_bits[i]) + 7) // 8
-        base_stream = de._finalize(
-            read_prefix(base_words, i, (nb + 3) // 4), base_bits[i])
-        gm_stream = de._finalize(
-            read_prefix(gm_words, i, (ng + 3) // 4), gm_bits[i])
+        base_stream = de._finalize(base_prefixes[i], base_bits[i])
+        gm_stream = de._finalize(gm_prefixes[i], gm_bits[i])
         base = base_hdr + base_stream + b"\xff\xd9"
         gmap = gm_hdr + gm_stream + b"\xff\xd9"
         out.append(mux.append_gainmap(base, gmap, metadata))
