@@ -27,7 +27,7 @@ Host-side postprocessing is only 0xFF byte stuffing + final-byte
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -274,6 +274,222 @@ def _finalize(words, total_bits) -> bytes:
     if ff.size:
         arr = np.insert(arr, ff + 1, 0)
     return arr.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Scatter-free assembly (the production encode path).
+#
+# XLA's TPU scatter serializes (~19 ns/update -> ~350 ms for a 4K
+# frame), so the stream is assembled without one:
+#   1. per-block word buffers via one-hot byte matmuls (MXU-exact:
+#      byte planes stay < 256 because co-located bits are disjoint)
+#   2. blocks -> restart-interval chunks via a doubling merge (5 levels
+#      of vectorized bit/word shifts, no gathers)
+#   3. chunks are 1-filled to 32-bit alignment (legal: pad bits + 0xFF
+#      fill bytes before an RSTn marker, T.81 B.1.1.2), making every
+#      chunk word's destination unique -> compaction is ONE
+#      jax.lax.sort (bitonic, fully parallel) by destination word
+#
+# Restart markers every R MCUs cost ~2-5 bytes per interval (~3% at 4K
+# with R=4) and reset DC prediction, in exchange for a fully parallel
+# encoder (and, later, parallel decode of our own streams).
+# ---------------------------------------------------------------------------
+
+_BLOCK_WORDS = 20          # per-block buffer: 640 bits (overflow-checked)
+_BLOCK_BIT_CAP = (_BLOCK_WORDS - 1) * 32
+
+
+def _block_word_buffers(vals, lens):
+    """(N, 65) units -> per-block (N, _BLOCK_WORDS) u32 word buffers +
+    (N,) bit lengths + overflow flag, via one-hot byte matmuls."""
+    n = vals.shape[0]
+    ends = jnp.cumsum(lens, axis=1)
+    blen = ends[:, -1]
+    starts = ends - lens
+    overflow = jnp.any(blen > _BLOCK_BIT_CAP)
+
+    w = jnp.clip(starts >> 5, 0, _BLOCK_WORDS - 2)
+    shift = 32 - (starts & 31) - lens
+    ps = jnp.clip(shift, 0, 31).astype(jnp.uint32)
+    ns = jnp.clip(-shift, 0, 31).astype(jnp.uint32)
+    hi = jnp.where(shift >= 0, vals << ps, vals >> ns)
+    lo = jnp.where(shift >= 0, jnp.uint32(0), vals << ((32 - ns) & 31))
+    live = lens > 0
+    hi = jnp.where(live, hi, 0)
+    lo = jnp.where(live, lo, 0)
+
+    cols = np.arange(_BLOCK_WORDS, dtype=np.int32)
+    oh_hi = (w[..., None] == cols).astype(jnp.float32)
+    oh_lo = ((w + 1)[..., None] == cols).astype(jnp.float32)
+
+    def bytes_of(x):
+        return jnp.stack([((x >> (8 * k)) & 0xFF).astype(jnp.float32)
+                          for k in range(4)], axis=-1)
+
+    acc = (jnp.einsum("nub,nuw->nwb", bytes_of(hi), oh_hi,
+                      precision=jax.lax.Precision.HIGHEST)
+           + jnp.einsum("nub,nuw->nwb", bytes_of(lo), oh_lo,
+                        precision=jax.lax.Precision.HIGHEST))
+    acc = acc.astype(jnp.uint32)
+    words = (acc[..., 0] | (acc[..., 1] << 8) | (acc[..., 2] << 16)
+             | (acc[..., 3] << 24))
+    return words, blen.astype(jnp.int32), overflow
+
+
+def _merge_level(buf, lens):
+    """One doubling-merge level: concatenate segment pairs bitwise.
+
+    buf: (..., S, W) u32, lens: (..., S) i32 -> (..., S//2, 2W), lens/2.
+    """
+    w_in = buf.shape[-1]
+    left, right = buf[..., 0::2, :], buf[..., 1::2, :]
+    l_left = lens[..., 0::2]
+    l_right = lens[..., 1::2]
+
+    bitoff = (l_left & 31).astype(jnp.uint32)[..., None]
+    wordoff = (l_left >> 5)[..., None]
+
+    zero = jnp.zeros_like(left[..., :1])
+    ext = jnp.concatenate([right, zero], axis=-1)
+    prev = jnp.concatenate([zero, right], axis=-1)
+    sr = (ext >> bitoff) | jnp.where(
+        bitoff > 0, prev << ((32 - bitoff) & 31), 0)
+
+    w_out = 2 * w_in
+    placed = jnp.concatenate(
+        [sr, jnp.zeros(sr.shape[:-1] + (w_out - sr.shape[-1],),
+                       jnp.uint32)], axis=-1)
+    nbits_idx = max(int(np.ceil(np.log2(w_out))), 1)
+    for b in range(nbits_idx):
+        shifted = jnp.concatenate(
+            [jnp.zeros(placed.shape[:-1] + (1 << b,), jnp.uint32),
+             placed[..., : w_out - (1 << b)]], axis=-1)
+        placed = jnp.where((wordoff >> b) & 1 == 1, shifted, placed)
+
+    merged = jnp.concatenate(
+        [left, jnp.zeros(left.shape[:-1] + (w_in,), jnp.uint32)],
+        axis=-1) | placed
+    return merged, l_left + l_right
+
+
+def encode_yuv420_rst_stream(blocks_i16, r_mcus: int):
+    """Traceable scatter-free encode of MCU-interleaved 4:2:0 blocks
+    with a restart interval of r_mcus.
+
+    Returns (stream_words sorted-compact, chunk_bits (NC,),
+    total_words scalar, overflow flag)."""
+    blocks = blocks_i16.astype(jnp.int32)
+    n = blocks.shape[0]
+    assert n % 6 == 0
+    n_mcus = n // 6
+    cb = 6 * r_mcus                       # blocks per chunk
+    nc = -(-n_mcus // r_mcus)             # chunks
+    pad_blocks = nc * cb - n
+
+    dc_prev = _dc_prev_interleaved(blocks, 6, 4)
+    # DC prediction resets at each restart interval (T.81 E.2.4).
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    in_chunk = gidx % cb
+    resets = (in_chunk == 0) | (in_chunk == 4) | (in_chunk == 5)
+    dc_prev = jnp.where(resets, 0, dc_prev)
+
+    is_luma = (gidx % 6) < 4
+    vals, lens = _units_for_blocks(blocks, dc_prev, is_luma)
+    words, blen, overflow = _block_word_buffers(vals, lens)
+
+    if pad_blocks:
+        words = jnp.concatenate(
+            [words, jnp.zeros((pad_blocks, _BLOCK_WORDS), jnp.uint32)])
+        blen = jnp.concatenate(
+            [blen, jnp.zeros(pad_blocks, jnp.int32)])
+
+    # Pad each chunk's block list to a power of two for the merge.
+    p = 1 << int(np.ceil(np.log2(cb)))
+    buf = words.reshape(nc, cb, _BLOCK_WORDS)
+    seg_lens = blen.reshape(nc, cb)
+    if p != cb:
+        buf = jnp.concatenate(
+            [buf, jnp.zeros((nc, p - cb, _BLOCK_WORDS), jnp.uint32)],
+            axis=1)
+        seg_lens = jnp.concatenate(
+            [seg_lens, jnp.zeros((nc, p - cb), jnp.int32)], axis=1)
+
+    levels = int(np.log2(p))
+    for _ in range(levels):
+        buf, seg_lens = _merge_level(buf, seg_lens)
+    cbuf = buf[:, 0, :]                   # (NC, p * _BLOCK_WORDS)
+    clen = seg_lens[:, 0]                 # bits per chunk
+
+    # 1-fill to the 32-bit boundary (pad bits + 0xFF fill bytes).
+    rem = (clen & 31).astype(jnp.uint32)
+    fill = jnp.where(rem > 0,
+                     (jnp.uint32(1) << ((32 - rem) & 31)) - 1,
+                     jnp.uint32(0))
+    wcols = np.arange(cbuf.shape[1], dtype=np.int32)
+    cbuf = cbuf | jnp.where(wcols[None, :] == (clen >> 5)[:, None],
+                            fill[:, None], 0)
+    cwords = ((clen + 31) >> 5).astype(jnp.int32)
+
+    # Unique word destinations -> ONE parallel sort compacts the stream.
+    bases = jnp.cumsum(cwords) - cwords
+    keys = jnp.where(wcols[None, :] < cwords[:, None],
+                     bases[:, None] + wcols[None, :],
+                     jnp.int32(2**31 - 1))
+    keys_f, vals_f = keys.reshape(-1), cbuf.reshape(-1)
+    keys_s, vals_s = jax.lax.sort((keys_f, vals_f), num_keys=1)
+    total_words = jnp.sum(cwords)
+    return vals_s, clen, total_words, overflow
+
+
+@lru_cache(maxsize=None)
+def _rst_kernel_yuv420(n_blocks: int, r_mcus: int):
+    return jax.jit(partial(encode_yuv420_rst_stream, r_mcus=r_mcus))
+
+
+def finalize_rst_stream(stream_words: np.ndarray, chunk_bits: np.ndarray,
+                        r_mcus: int) -> bytes:
+    """Host tail for the RST path: split compact words into chunks,
+    strip word-alignment fill, byte-stuff data, join with RSTn markers.
+    Fully vectorized (a per-chunk Python loop costs ~100 ms/frame at
+    4K). stream_words: the used prefix (>= total words)."""
+    chunk_bits = np.asarray(chunk_bits, np.int64)
+    nc = len(chunk_bits)
+    cwords = (chunk_bits + 31) >> 5
+    dbytes = (chunk_bits + 7) >> 3
+    word_bases = np.concatenate([[0], np.cumsum(cwords)])[:-1]
+    raw = np.frombuffer(
+        np.ascontiguousarray(stream_words).astype(">u4").tobytes(),
+        np.uint8)
+
+    # Keep only data bytes (drop per-chunk word-alignment fill).
+    byte_idx = np.arange(len(raw), dtype=np.int64)
+    chunk_of = np.zeros(len(raw), np.int64)
+    np.add.at(chunk_of, word_bases[1:] * 4, 1)
+    chunk_of = np.cumsum(chunk_of)
+    rel = byte_idx - word_bases[chunk_of] * 4
+    data = raw[rel < dbytes[chunk_of]]
+
+    # Byte-stuff: 0x00 after every data 0xFF (applies inside chunks;
+    # chunk boundaries tracked through stuffed lengths).
+    chunk_of_data = chunk_of[rel < dbytes[chunk_of]]
+    ff_pos = np.flatnonzero(data == 0xFF)
+    nff_per_chunk = np.bincount(chunk_of_data[ff_pos], minlength=nc) \
+        if ff_pos.size else np.zeros(nc, np.int64)
+    if ff_pos.size:
+        data = np.insert(data, ff_pos + 1, 0)
+
+    if nc == 1:
+        return data.tobytes()
+
+    # Insert RSTn between chunks at stuffed boundaries.
+    stuffed = dbytes + nff_per_chunk
+    bounds = np.cumsum(stuffed)[:-1]
+    markers = np.empty((nc - 1, 2), np.uint8)
+    markers[:, 0] = 0xFF
+    markers[:, 1] = 0xD0 + (np.arange(nc - 1) % 8)
+    out = np.insert(data, np.repeat(bounds, 2),
+                    markers.reshape(-1))
+    return out.tobytes()
 
 
 def interleave_blocks_device(yz, uz, vz, mcus_x: int, mcus_y: int):

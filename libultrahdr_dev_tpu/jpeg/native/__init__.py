@@ -28,7 +28,8 @@ def _build() -> bool:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_m:
             return True
         subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
+            ["g++", "-O3", "-funroll-loops", "-std=c++17", "-shared",
+             "-fPIC", _SRC,
              "-o", _SO + ".tmp"],
             check=True, capture_output=True)
         os.replace(_SO + ".tmp", _SO)

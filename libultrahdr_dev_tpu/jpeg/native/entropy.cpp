@@ -170,18 +170,15 @@ struct BitReader {
     return v;
   }
 
-  // Align to byte boundary and consume an RSTn marker if present.
+  // Align to byte boundary and consume an RSTn marker if present
+  // (any number of 0xFF fill bytes may precede it, T.81 B.1.1.2).
   inline bool sync_restart() {
-    nbits -= nbits % 8;
-    // drop buffered whole bytes too: simplest is to recompute pos
-    // conservatively; instead just clear the accumulator — buffered
-    // bytes were already consumed from data, so keep them.
-    // For simplicity: drain buffered bytes (they are pre-marker bytes).
     nbits = 0;
     acc = 0;
-    // skip fill bytes then expect FF Dn
-    while (pos + 1 < len && data[pos] == 0xFF &&
-           (data[pos + 1] >= 0xD0 && data[pos + 1] <= 0xD7)) {
+    while (pos + 1 < len && data[pos] == 0xFF && data[pos + 1] == 0xFF)
+      ++pos;  // fill byte
+    if (pos + 1 < len && data[pos] == 0xFF &&
+        data[pos + 1] >= 0xD0 && data[pos + 1] <= 0xD7) {
       pos += 2;
       hit_marker = false;
       return true;

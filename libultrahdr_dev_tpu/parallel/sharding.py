@@ -90,6 +90,48 @@ def _batched_encode_to_streams(mesh: Mesh, gamut: str, hdr_tf: str,
     return kernel, max_boost
 
 
+RST_INTERVAL = 4  # MCUs per restart marker in the batched encoder
+
+
+@lru_cache(maxsize=None)
+def _batched_encode_to_streams_rst(mesh: Mesh, gamut: str, hdr_tf: str,
+                                   base_quality: int, h: int, w: int):
+    """Scatter-free batched encode: base stream via the restart-marker
+    parallel assembly (device_entropy.encode_yuv420_rst_stream), gain
+    map via the (small) scatter path. Returns per image:
+    (base_sorted_words, base_chunk_bits, base_total_words, overflow,
+     gm_words, gm_bits)."""
+    from ..jpeg import device_entropy as de
+
+    max_boost = color.hdr_inv_oetf_fn(hdr_tf)[1] / color.SDR_WHITE_NITS
+    spec = _batch_sharding(mesh)
+    mcus_x, mcus_y = w // 16, h // 16
+
+    def streams_one(yz, uz, vz, gz):
+        inter = de.interleave_blocks_device(yz, uz, vz, mcus_x, mcus_y)
+        sw, cbits, total, ovf = de.encode_yuv420_rst_stream(
+            inter, RST_INTERVAL)
+        gw, gb = de.encode_gray_stream(gz)
+        # All per-image scalars/vectors in ONE small array: each d2h
+        # transfer costs ~150 ms of fixed overhead on the chip link.
+        meta = jnp.concatenate([
+            jnp.stack([ovf.astype(jnp.int32), total.astype(jnp.int32),
+                       gb.astype(jnp.int32)]),
+            cbits.astype(jnp.int32)])
+        return sw, gw, meta
+
+    @partial(jax.jit, in_shardings=(spec, spec),
+             out_shardings=(spec,) * 3)
+    def kernel(p010_y_batch, p010_uv_batch):
+        coefs = jax.vmap(
+            lambda y, uv: _encode_one_image_coefs(y, uv, gamut, hdr_tf,
+                                                  base_quality)
+        )(p010_y_batch, p010_uv_batch)
+        return jax.vmap(streams_one)(*coefs)
+
+    return kernel, max_boost
+
+
 def _encode_one_image_coefs(p010_y, p010_uv, gamut, hdr_tf, base_quality):
     """Traceable single-image API-0 device compute (tonemap + gain map
     + 601 + fDCT/quant); shared by the coefficient and stream paths."""
@@ -175,19 +217,8 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
     if h % 16 or w % 16:
         raise ValueError(f"batched encode requires 16-aligned dims, "
                          f"got {w}x{h}")
-    kernel, max_boost = _batched_encode_to_streams(
-        mesh, gamut, hdr_tf, int(quality), h, w)
-    metadata = GainMapMetadata(
-        max_content_boost=max_boost, min_content_boost=1.0,
-        hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
-    base_words, base_bits, gm_words, gm_bits = kernel(
-        jnp.asarray(p010_y_batch), jnp.asarray(p010_uv_batch))
-    # Only the bit counts + used word prefixes cross the link.
-    base_bits = np.asarray(base_bits)
-    gm_bits = np.asarray(gm_bits)
-
+    metadata = None
     icc = icc_mod.write_icc_profile("srgb", gamut)
-    base_hdr = codec.yuv420_jpeg_headers(w, h, quality, icc=icc)
     gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4, 85)
 
     # One prefix transfer per (array, shard): the whole batch's used
@@ -196,28 +227,59 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
     # rounded up to a coarse granularity so the slice compiles once.
     gran = 64 * 1024  # words (256 KB)
 
-    def read_prefixes(arr, bits):
-        k = int(max((int(b) + 7) // 8 for b in bits))
-        k = -(-max((k + 3) // 4, 1) // gran) * gran
+    def read_prefixes(arr, n_words_used):
+        k = -(-max(int(max(n_words_used)), 1) // gran) * gran
         k = min(k, arr.shape[1])
-        shards = arr.addressable_shards
         rows = {}
-        for shard in shards:
+        for shard in arr.addressable_shards:
             lo = shard.index[0].start or 0
             data = np.asarray(shard.data[:, :k])
             for j in range(data.shape[0]):
                 rows[lo + j] = data[j]
         return [rows[i] for i in range(arr.shape[0])]
 
-    base_prefixes = read_prefixes(base_words, base_bits)
-    gm_prefixes = read_prefixes(gm_words, gm_bits)
+    # Fast path: scatter-free restart-marker assembly.
+    kernel, max_boost = _batched_encode_to_streams_rst(
+        mesh, gamut, hdr_tf, int(quality), h, w)
+    metadata = GainMapMetadata(
+        max_content_boost=max_boost, min_content_boost=1.0,
+        hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
+    sw, gm_words, meta = kernel(
+        jnp.asarray(p010_y_batch), jnp.asarray(p010_uv_batch))
+    meta = np.asarray(meta)
+    ovf, totals, gm_bits = meta[:, 0], meta[:, 1], meta[:, 2]
+    cbits = meta[:, 3:]
+    overflow = bool(np.any(ovf))
 
+    if overflow:
+        # Rare dense-content fallback: exact scatter-based assembly.
+        kernel2, _ = _batched_encode_to_streams(
+            mesh, gamut, hdr_tf, int(quality), h, w)
+        base_words, base_bits, gm_words, gm_bits = kernel2(
+            jnp.asarray(p010_y_batch), jnp.asarray(p010_uv_batch))
+        base_bits = np.asarray(base_bits)
+        gm_bits = np.asarray(gm_bits)
+        base_hdr = codec.yuv420_jpeg_headers(w, h, quality, icc=icc)
+        base_prefixes = read_prefixes(
+            base_words, [(int(b) + 31) // 32 for b in base_bits])
+        base_streams = [de._finalize(base_prefixes[i], base_bits[i])
+                        for i in range(n)]
+    else:
+        base_hdr = codec.yuv420_jpeg_headers(
+            w, h, quality, icc=icc, restart_interval=RST_INTERVAL)
+        base_prefixes = read_prefixes(sw, totals)
+        base_streams = [
+            de.finalize_rst_stream(base_prefixes[i][:int(totals[i])],
+                                   cbits[i], RST_INTERVAL)
+            for i in range(n)]
+
+    gm_prefixes = read_prefixes(
+        gm_words, [(int(b) + 31) // 32 for b in gm_bits])
     out = []
     for i in range(n):
-        base_stream = de._finalize(base_prefixes[i], base_bits[i])
-        gm_stream = de._finalize(gm_prefixes[i], gm_bits[i])
-        base = base_hdr + base_stream + b"\xff\xd9"
-        gmap = gm_hdr + gm_stream + b"\xff\xd9"
+        base = base_hdr + base_streams[i] + b"\xff\xd9"
+        gmap = (gm_hdr + de._finalize(gm_prefixes[i], gm_bits[i])
+                + b"\xff\xd9")
         out.append(mux.append_gainmap(base, gmap, metadata))
     return out
 
