@@ -369,6 +369,7 @@ def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
     comps: list[_Component] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
     result = DecodedCoefs(0, 0, 0)
     scan_comps: list[int] = []
 
@@ -411,9 +412,17 @@ def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
             for i in range(nc):
                 cid, samp, qt = p[6 + i * 3], p[7 + i * 3], p[8 + i * 3]
                 comps.append(_Component(cid, samp >> 4, samp & 15, qt))
-        elif seg.marker == 0xC2:
-            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
-                      "progressive JPEG not supported")
+        elif seg.marker == 0xC2:  # SOF2 progressive
+            p = seg.payload
+            if len(p) < 6 or len(p) < 6 + p[5] * 3:
+                raise err("UHDR_CODEC_ERROR", "truncated SOF2 header")
+            h = (p[1] << 8) | p[2]
+            w = (p[3] << 8) | p[4]
+            comps = []
+            for i in range(p[5]):
+                cid, samp, qt = p[6 + i * 3], p[7 + i * 3], p[8 + i * 3]
+                comps.append(_Component(cid, samp >> 4, samp & 15, qt))
+            progressive = True
         elif seg.marker in set(range(0xC3, 0xD0)) - {0xC4, 0xC8, 0xCC}:
             raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
                       f"SOF marker {seg.marker:#x} not supported")
@@ -442,6 +451,9 @@ def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
         raise err("UHDR_CODEC_ERROR", "no frame header found")
     if w > MAX_DIM or h > MAX_DIM:
         raise err("UHDR_CODEC_ERROR", f"image too large {w}x{h}")
+    if progressive:
+        result.width, result.height = w, h
+        return _decode_progressive(data, result, comps, w, h, qtables)
     if len(scan_comps) != len(comps):
         raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
                   "multi-scan baseline not supported")
@@ -515,10 +527,238 @@ def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
     return result
 
 
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) decoding: multi-scan orchestration over the
+# native per-scan decoders (T.81 Annex G.2). The reference inherits
+# progressive support from libjpeg (jpegdecoderhelper.cpp uses the
+# full jpeg_read_* API); here each scan refines per-component
+# coefficient grids host-side and the final dequant/IDCT still runs on
+# the device.
+# ---------------------------------------------------------------------------
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """Offset of the first real marker after entropy data at start."""
+    arr = np.frombuffer(data, np.uint8)
+    cand = np.flatnonzero(arr[start:len(data) - 1] == 0xFF) + start
+    skip_until = start
+    for p in cand:
+        if p < skip_until:
+            continue
+        m = arr[p + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            skip_until = p + 2
+        elif m == 0xFF:
+            skip_until = p + 1
+        else:
+            return int(p)
+    return len(data)
+
+
+def _decode_progressive(data: bytes, result: DecodedCoefs,
+                        comps: list, w: int, h: int,
+                        qtables: dict) -> DecodedCoefs:
+    """Run all scans of a progressive JPEG into per-component grids."""
+    lib = _native()
+    import ctypes
+
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    if len(comps) == 1:
+        grid_dims = [(-(-h // 8), -(-w // 8))]
+    else:
+        grid_dims = [(mcus_y * c.v, mcus_x * c.h) for c in comps]
+    grids = [np.zeros((gh, gw, 64), np.int16) for gh, gw in grid_dims]
+
+    dc_tables: dict[int, tuple] = {}
+    ac_tables: dict[int, tuple] = {}
+    restart = 0
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise err("UHDR_CODEC_ERROR", "marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker in _STANDALONE_PROG:
+            pos += 2
+            continue
+        seg_len = (data[pos + 2] << 8) | data[pos + 3]
+        payload = data[pos + 4: pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xC4:  # DHT
+            p2 = 0
+            while p2 < len(payload):
+                tc, th = payload[p2] >> 4, payload[p2] & 15
+                p2 += 1
+                bits = list(payload[p2:p2 + 16])
+                p2 += 16
+                nvals = sum(bits)
+                vals = list(payload[p2:p2 + nvals])
+                p2 += nvals
+                (dc_tables if tc == 0 else ac_tables)[th] = (bits, vals)
+        elif marker == 0xDB:  # DQT may be (re)defined between scans
+            p2 = 0
+            while p2 < len(payload):
+                pq, tq = payload[p2] >> 4, payload[p2] & 15
+                p2 += 1
+                if pq == 0:
+                    zz = np.frombuffer(payload[p2:p2 + 64], np.uint8)
+                    p2 += 64
+                else:
+                    zz = np.frombuffer(payload[p2:p2 + 128], ">u2")
+                    p2 += 128
+                nat = np.zeros(64, np.int32)
+                nat[tables.ZIGZAG] = zz
+                qtables[tq] = nat.reshape(8, 8)
+        elif marker == 0xDD:
+            restart = int.from_bytes(payload[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            scan = []
+            for i in range(ns):
+                cid, sel = payload[1 + i * 2], payload[2 + i * 2]
+                ci = next(i2 for i2, c in enumerate(comps)
+                          if c.cid == cid)
+                scan.append((ci, sel >> 4, sel & 15))
+            ss, se = payload[1 + ns * 2], payload[2 + ns * 2]
+            a = payload[3 + ns * 2]
+            ah, al = a >> 4, a & 15
+            e0 = pos
+            e1 = _entropy_end(data, e0)
+            pos = e1
+            entropy = np.frombuffer(data, np.uint8,
+                                    count=e1 - e0, offset=e0)
+            _run_scan(lib, entropy, scan, comps, grids, grid_dims,
+                      mcus_x, mcus_y, ss, se, ah, al, restart,
+                      dc_tables, ac_tables, w, h, hmax, vmax)
+
+    for i, c in enumerate(comps):
+        if c.qtbl not in qtables:
+            raise err("UHDR_CODEC_ERROR", "missing quant table")
+        cw = -(-w * c.h // hmax)
+        ch = -(-h * c.v // vmax)
+        result.comps.append((grids[i], qtables[c.qtbl], ch, cw,
+                             (c.h, c.v)))
+    result.ncomp = len(comps)
+    return result
+
+
+_STANDALONE_PROG = set(range(0xD0, 0xD8)) | {0x01}
+
+
+def _scan_order_indices(scan, comps, grid_dims, mcus_x, mcus_y):
+    """Flat grid indices (per comp) of blocks in interleaved MCU scan
+    order; returns list of (comp_idx, flat_index_array)."""
+    out = []
+    for ci, _, _ in scan:
+        c = comps[ci]
+        gh, gw = grid_dims[ci]
+        my, mx = np.meshgrid(np.arange(mcus_y), np.arange(mcus_x),
+                             indexing="ij")
+        vy, hx = np.meshgrid(np.arange(c.v), np.arange(c.h),
+                             indexing="ij")
+        rows = (my[..., None, None] * c.v + vy)  # (my, mx, v, h)
+        colsx = (mx[..., None, None] * c.h + hx)
+        out.append((ci, (rows * gw + colsx).reshape(mcus_y, mcus_x, -1)))
+    return out
+
+
+def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
+              mcus_y, ss, se, ah, al, restart, dc_tables, ac_tables,
+              w, h, hmax, vmax):
+    import ctypes
+
+    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    i16p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+    if ss == 0:  # DC scan
+        if len(scan) > 1:
+            idxmaps = _scan_order_indices(scan, comps, grid_dims,
+                                          mcus_x, mcus_y)
+            mcu_blocks = sum(comps[ci].h * comps[ci].v
+                             for ci, _, _ in scan)
+            n_mcus = mcus_x * mcus_y
+            nblocks = n_mcus * mcu_blocks
+            buf = np.zeros((nblocks, 64), np.int16)
+            comp_ids = np.zeros(nblocks, np.uint8)
+            # columns occupied by each scan component within an MCU,
+            # plus the flat grid index of every block in scan order.
+            layout = []  # (ci, buf_row_selector, grid_flat_indices)
+            col = 0
+            for ci, idx in idxmaps:
+                nb = idx.shape[-1]
+                sel = (np.arange(n_mcus)[:, None] * mcu_blocks
+                       + np.arange(col, col + nb)).reshape(-1)
+                gidx = idx.reshape(-1)
+                comp_ids[sel] = ci
+                buf[sel] = grids[ci].reshape(-1, 64)[gidx]
+                layout.append((ci, sel, gidx))
+                col += nb
+        else:
+            ci = scan[0][0]
+            gh, gw = grid_dims[ci]
+            nblocks = gh * gw
+            buf = grids[ci].reshape(-1, 64).copy()
+            comp_ids = np.zeros(nblocks, np.uint8)
+            mcu_blocks = 1
+
+        if ah == 0:
+            dcb = np.zeros((4, 17), np.uint8)
+            dcv = np.zeros((4, 256), np.uint8)
+            dc_sel = np.zeros(len(comps), np.uint8)
+            for ci, dsel, _ in scan:
+                if dsel not in dc_tables:
+                    raise err("UHDR_CODEC_ERROR", "missing DC table")
+                b, v = tables.pack_huff_table(*dc_tables[dsel])
+                dcb[dsel] = b
+                dcv[dsel] = v
+                dc_sel[ci] = dsel
+            rc = lib.uhdr_prog_dc_first(
+                u8p(entropy), len(entropy), nblocks, u8p(comp_ids),
+                len(comps), u8p(dc_sel), u8p(dcb.reshape(-1)),
+                u8p(dcv.reshape(-1)), al, restart, mcu_blocks, i16p(buf))
+        else:
+            rc = lib.uhdr_prog_dc_refine(
+                u8p(entropy), len(entropy), nblocks, al, restart,
+                mcu_blocks, i16p(buf))
+        if rc != 0:
+            raise err("UHDR_CODEC_ERROR", f"progressive DC scan failed {rc}")
+
+        # write back
+        if len(scan) > 1:
+            for ci, sel, gidx in layout:
+                grids[ci].reshape(-1, 64)[gidx] = buf[sel]
+        else:
+            ci = scan[0][0]
+            grids[ci][...] = buf.reshape(grids[ci].shape)
+        return
+
+    # AC scan: single component, over its ceil-dims block grid.
+    if len(scan) != 1:
+        raise err("UHDR_CODEC_ERROR", "interleaved AC scan is illegal")
+    ci, _, asel = scan[0]
+    c = comps[ci]
+    cw_b = -(-(-(-w * c.h // hmax)) // 8)
+    ch_b = -(-(-(-h * c.v // vmax)) // 8)
+    sub = np.ascontiguousarray(grids[ci][:ch_b, :cw_b])
+    if asel not in ac_tables:
+        raise err("UHDR_CODEC_ERROR", "missing AC table")
+    b, v = tables.pack_huff_table(*ac_tables[asel])
+    fn = lib.uhdr_prog_ac_first if ah == 0 else lib.uhdr_prog_ac_refine
+    rc = fn(u8p(entropy), len(entropy), ch_b * cw_b, u8p(b), u8p(v),
+            ss, se, al, restart, i16p(sub))
+    if rc != 0:
+        raise err("UHDR_CODEC_ERROR", f"progressive AC scan failed {rc}")
+    grids[ci][:ch_b, :cw_b] = sub
+
+
 def decode_jpeg(data: bytes) -> DecodedJpeg:
-    """Decode a baseline JPEG to per-component planes (no chroma
-    upsampling — JPEG/R consumes 4:2:0 planes directly, matching the
-    reference's jpeg_read_raw_data path)."""
+    """Decode a baseline or progressive JPEG to per-component planes
+    (no chroma upsampling — JPEG/R consumes 4:2:0 planes directly,
+    matching the reference's jpeg_read_raw_data path)."""
     coefs = decode_jpeg_coefs(data)
     result = DecodedJpeg(coefs.width, coefs.height, coefs.ncomp,
                          icc=coefs.icc, exif=coefs.exif, xmp=coefs.xmp)

@@ -60,5 +60,24 @@ def get_lib():
             u8p, ctypes.c_long, ctypes.c_long, u8p, ctypes.c_int,
             u8p, u8p, u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
             i16p]
+        lib.uhdr_prog_dc_first.restype = ctypes.c_long
+        lib.uhdr_prog_dc_first.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, u8p, ctypes.c_int,
+            u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i16p]
+        lib.uhdr_prog_dc_refine.restype = ctypes.c_long
+        lib.uhdr_prog_dc_refine.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, i16p]
+        lib.uhdr_prog_ac_first.restype = ctypes.c_long
+        lib.uhdr_prog_ac_first.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, u8p, u8p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i16p]
+        lib.uhdr_prog_ac_refine.restype = ctypes.c_long
+        lib.uhdr_prog_ac_refine.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, u8p, u8p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i16p]
         _lib = lib
         return _lib

@@ -355,4 +355,172 @@ long uhdr_huff_decode(const uint8_t* data, long len, long nblocks,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Progressive JPEG scan decoding (T.81 Annex G.2). Each scan refines a
+// persistent coefficient buffer; Python orchestrates the scan sequence
+// and owns the per-component grids.
+// ---------------------------------------------------------------------------
+
+// DC scan, first pass (Ah == 0): diffs scaled by 1 << Al.
+// blocks are in scan order (interleaved MCU order when ncomp > 1).
+long uhdr_prog_dc_first(const uint8_t* data, long len, long nblocks,
+                        const uint8_t* comp_ids, int ncomp,
+                        const uint8_t* dc_sel, const uint8_t* dc_bits,
+                        const uint8_t* dc_vals, int al,
+                        int restart_interval, int mcu_blocks,
+                        int16_t* coefs /* (nblocks, 64) zigzag */) {
+  HuffDecTable dct[4];
+  for (int i = 0; i < 4; ++i)
+    build_dec_table(dc_bits + i * 17, dc_vals + i * 256, &dct[i]);
+  BitReader br{data, len};
+  int pred[4] = {0, 0, 0, 0};
+  long mcu_count = 0;
+  for (long b = 0; b < nblocks; ++b) {
+    if (restart_interval && mcu_blocks && b % mcu_blocks == 0 &&
+        mcu_count && mcu_count % restart_interval == 0) {
+      br.sync_restart();
+      pred[0] = pred[1] = pred[2] = pred[3] = 0;
+    }
+    if (mcu_blocks && b % mcu_blocks == 0) ++mcu_count;
+    int c = comp_ids[b];
+    int size = decode_huff(br, dct[dc_sel[c]]);
+    if (br.error) return -(b + 1);
+    int diff = size ? extend((int)br.get(size), size) : 0;
+    pred[c] += diff;
+    coefs[b * 64] = (int16_t)(pred[c] << al);
+  }
+  return 0;
+}
+
+// DC refinement (Ah > 0): one appended bit per block.
+long uhdr_prog_dc_refine(const uint8_t* data, long len, long nblocks,
+                         int al, int restart_interval, int mcu_blocks,
+                         int16_t* coefs) {
+  BitReader br{data, len};
+  long mcu_count = 0;
+  for (long b = 0; b < nblocks; ++b) {
+    if (restart_interval && mcu_blocks && b % mcu_blocks == 0 &&
+        mcu_count && mcu_count % restart_interval == 0)
+      br.sync_restart();
+    if (mcu_blocks && b % mcu_blocks == 0) ++mcu_count;
+    if (br.get(1)) coefs[b * 64] |= (int16_t)(1 << al);
+    if (br.error) return -(b + 1);
+  }
+  return 0;
+}
+
+// AC scan, first pass (Ah == 0): run-length with EOB runs, single
+// component, spectral band [ss, se], values scaled by 1 << Al.
+long uhdr_prog_ac_first(const uint8_t* data, long len, long nblocks,
+                        const uint8_t* ac_bits, const uint8_t* ac_vals,
+                        int ss, int se, int al, int restart_interval,
+                        int16_t* coefs) {
+  HuffDecTable act;
+  build_dec_table(ac_bits, ac_vals, &act);
+  BitReader br{data, len};
+  long eobrun = 0;
+  for (long b = 0; b < nblocks; ++b) {
+    if (restart_interval && b && b % restart_interval == 0) {
+      br.sync_restart();
+      eobrun = 0;
+    }
+    if (eobrun > 0) {
+      --eobrun;
+      continue;
+    }
+    int16_t* blk = coefs + b * 64;
+    int k = ss;
+    while (k <= se) {
+      int sym = decode_huff(br, act);
+      if (br.error) return -(b + 1);
+      int r = sym >> 4, s = sym & 15;
+      if (s == 0) {
+        if (r == 15) { k += 16; continue; }  // ZRL
+        eobrun = (1l << r) - 1;
+        if (r) eobrun += br.get(r);
+        break;  // EOB for this block
+      }
+      k += r;
+      if (k > se) return -(b + 1);
+      blk[k] = (int16_t)(extend((int)br.get(s), s) << al);
+      ++k;
+    }
+  }
+  return 0;
+}
+
+// AC refinement (Ah > 0): append a bit to already-nonzero
+// coefficients, insert new +-(1 << Al) coefficients (T.81 G.2.2).
+long uhdr_prog_ac_refine(const uint8_t* data, long len, long nblocks,
+                         const uint8_t* ac_bits, const uint8_t* ac_vals,
+                         int ss, int se, int al, int restart_interval,
+                         int16_t* coefs) {
+  HuffDecTable act;
+  build_dec_table(ac_bits, ac_vals, &act);
+  BitReader br{data, len};
+  long eobrun = 0;
+  const int16_t p1 = (int16_t)(1 << al);
+  const int16_t m1 = (int16_t)(-(1 << al));
+
+  for (long b = 0; b < nblocks; ++b) {
+    if (restart_interval && b && b % restart_interval == 0) {
+      br.sync_restart();
+      eobrun = 0;
+    }
+    int16_t* blk = coefs + b * 64;
+    int k = ss;
+    if (eobrun == 0) {
+      while (k <= se) {
+        int sym = decode_huff(br, act);
+        if (br.error) return -(b + 1);
+        int r = sym >> 4, s = sym & 15;
+        int16_t newval = 0;
+        if (s == 0) {
+          if (r != 15) {
+            eobrun = (1l << r);
+            if (r) eobrun += br.get(r);
+            break;
+          }
+          // r == 15: skip 16 zero-history coefficients
+        } else {
+          // s must be 1; the new coefficient is +-1 << al
+          newval = br.get(1) ? p1 : m1;
+        }
+        // advance over r zero-history coefficients, refining nonzero
+        // ones along the way
+        while (k <= se) {
+          if (blk[k]) {
+            if (br.get(1)) {
+              if ((blk[k] & p1) == 0)
+                blk[k] += (int16_t)(blk[k] >= 0 ? p1 : m1);
+            }
+          } else {
+            if (r == 0) break;
+            --r;
+          }
+          ++k;
+        }
+        if (newval && k <= se) blk[k] = newval;
+        ++k;
+        if (br.error) return -(b + 1);
+      }
+    }
+    if (eobrun > 0) {
+      // EOB run: still refine existing nonzero coefficients in band.
+      while (k <= se) {
+        if (blk[k]) {
+          if (br.get(1)) {
+            if ((blk[k] & p1) == 0)
+              blk[k] += (int16_t)(blk[k] >= 0 ? p1 : m1);
+          }
+        }
+        ++k;
+      }
+      --eobrun;
+    }
+    if (br.error) return -(b + 1);
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -185,15 +185,61 @@ class TestCrossValidationPIL:
         assert psnr(dec.planes[0], want) > 45
 
 
-class TestErrors:
-    def test_progressive_rejected(self):
+class TestProgressive:
+    """Progressive (SOF2) decode — the reference inherits this from
+    libjpeg; here multi-scan orchestration over native per-scan
+    decoders (jpeg/native/entropy.cpp uhdr_prog_*)."""
+
+    def _roundtrip(self, img_array, mode, **save_kw):
         Image = pytest.importorskip("PIL.Image")
         buf = io.BytesIO()
-        Image.fromarray(smooth_plane(32, 32)).convert("RGB").save(
-            buf, "JPEG", quality=90, progressive=True)
-        from libultrahdr_dev_tpu.types import UhdrError
-        with pytest.raises(UhdrError):
-            codec.decode_jpeg(buf.getvalue())
+        Image.fromarray(img_array).convert(mode).save(
+            buf, "JPEG", progressive=True, **save_kw)
+        blob = buf.getvalue()
+        dec = codec.decode_jpeg(blob)
+        # must match the baseline decode of the same pixels bitstream-
+        # independently: compare against PIL's own decode.
+        return dec, Image.open(io.BytesIO(blob))
+
+    def test_progressive_color(self):
+        rgb = np.dstack([smooth_plane(64, 80, seed=s) for s in (1, 2, 3)])
+        dec, pil = self._roundtrip(rgb, "RGB", quality=92)
+        want = np.asarray(pil.convert("YCbCr"))[:, :, 0]
+        assert dec.ncomp == 3 and dec.sampling[0] == (2, 2)
+        assert psnr(dec.planes[0], want) > 45
+
+    def test_progressive_gray(self):
+        y = smooth_plane(56, 72, seed=4)
+        dec, pil = self._roundtrip(y, "L", quality=90)
+        want = np.asarray(pil.convert("L"))
+        assert psnr(dec.planes[0], want) > 49
+
+    def test_progressive_with_restarts(self):
+        rgb = np.dstack([smooth_plane(48, 48, seed=s) for s in (5, 6, 7)])
+        Image = pytest.importorskip("PIL.Image")
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, "JPEG", quality=85,
+                                  progressive=True,
+                                  restart_marker_blocks=2)
+        dec = codec.decode_jpeg(buf.getvalue())
+        want = np.asarray(Image.open(buf).convert("YCbCr"))[:, :, 0]
+        assert psnr(dec.planes[0], want) > 45
+
+    def test_progressive_matches_baseline_decode(self):
+        rgb = np.dstack([smooth_plane(64, 64, seed=s) for s in (8, 9, 10)])
+        Image = pytest.importorskip("PIL.Image")
+        b1, b2 = io.BytesIO(), io.BytesIO()
+        Image.fromarray(rgb).save(b1, "JPEG", quality=92)
+        Image.fromarray(rgb).save(b2, "JPEG", quality=92,
+                                  progressive=True)
+        d1 = codec.decode_jpeg(b1.getvalue())
+        d2 = codec.decode_jpeg(b2.getvalue())
+        # same quantized coefficients -> identical planes
+        for p1, p2 in zip(d1.planes, d2.planes):
+            np.testing.assert_array_equal(p1, p2)
+
+
+class TestErrors:
 
     def test_garbage_rejected(self):
         from libultrahdr_dev_tpu.types import UhdrError
