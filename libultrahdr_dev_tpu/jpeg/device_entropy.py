@@ -372,39 +372,19 @@ def _merge_level(buf, lens):
     return merged, l_left + l_right
 
 
-def encode_yuv420_rst_stream(blocks_i16, r_mcus: int):
-    """Traceable scatter-free encode of MCU-interleaved 4:2:0 blocks
-    with a restart interval of r_mcus.
-
-    Returns (stream_words sorted-compact, chunk_bits (NC,),
-    total_words scalar, overflow flag)."""
-    blocks = blocks_i16.astype(jnp.int32)
-    n = blocks.shape[0]
-    assert n % 6 == 0
-    n_mcus = n // 6
-    cb = 6 * r_mcus                       # blocks per chunk
-    nc = -(-n_mcus // r_mcus)             # chunks
+def _rst_assemble(words, blen, cb: int):
+    """Shared tail of the RST paths: group per-block buffers into
+    cb-block chunks, doubling-merge, word-align, sort-compact.
+    Returns (sorted_words, chunk_bits, total_words)."""
+    n = words.shape[0]
+    nc = -(-n // cb)
     pad_blocks = nc * cb - n
-
-    dc_prev = _dc_prev_interleaved(blocks, 6, 4)
-    # DC prediction resets at each restart interval (T.81 E.2.4).
-    gidx = jnp.arange(n, dtype=jnp.int32)
-    in_chunk = gidx % cb
-    resets = (in_chunk == 0) | (in_chunk == 4) | (in_chunk == 5)
-    dc_prev = jnp.where(resets, 0, dc_prev)
-
-    is_luma = (gidx % 6) < 4
-    vals, lens = _units_for_blocks(blocks, dc_prev, is_luma)
-    words, blen, overflow = _block_word_buffers(vals, lens)
-
     if pad_blocks:
         words = jnp.concatenate(
             [words, jnp.zeros((pad_blocks, _BLOCK_WORDS), jnp.uint32)])
-        blen = jnp.concatenate(
-            [blen, jnp.zeros(pad_blocks, jnp.int32)])
+        blen = jnp.concatenate([blen, jnp.zeros(pad_blocks, jnp.int32)])
 
-    # Pad each chunk's block list to a power of two for the merge.
-    p = 1 << int(np.ceil(np.log2(cb)))
+    p = 1 << int(np.ceil(np.log2(max(cb, 2))))
     buf = words.reshape(nc, cb, _BLOCK_WORDS)
     seg_lens = blen.reshape(nc, cb)
     if p != cb:
@@ -413,12 +393,10 @@ def encode_yuv420_rst_stream(blocks_i16, r_mcus: int):
             axis=1)
         seg_lens = jnp.concatenate(
             [seg_lens, jnp.zeros((nc, p - cb), jnp.int32)], axis=1)
-
-    levels = int(np.log2(p))
-    for _ in range(levels):
+    for _ in range(int(np.log2(p))):
         buf, seg_lens = _merge_level(buf, seg_lens)
-    cbuf = buf[:, 0, :]                   # (NC, p * _BLOCK_WORDS)
-    clen = seg_lens[:, 0]                 # bits per chunk
+    cbuf = buf[:, 0, :]
+    clen = seg_lens[:, 0]
 
     # 1-fill to the 32-bit boundary (pad bits + 0xFF fill bytes).
     rem = (clen & 31).astype(jnp.uint32)
@@ -435,15 +413,59 @@ def encode_yuv420_rst_stream(blocks_i16, r_mcus: int):
     keys = jnp.where(wcols[None, :] < cwords[:, None],
                      bases[:, None] + wcols[None, :],
                      jnp.int32(2**31 - 1))
-    keys_f, vals_f = keys.reshape(-1), cbuf.reshape(-1)
-    keys_s, vals_s = jax.lax.sort((keys_f, vals_f), num_keys=1)
-    total_words = jnp.sum(cwords)
-    return vals_s, clen, total_words, overflow
+    keys_s, vals_s = jax.lax.sort(
+        (keys.reshape(-1), cbuf.reshape(-1)), num_keys=1)
+    return vals_s, clen, jnp.sum(cwords)
+
+
+def encode_yuv420_rst_stream(blocks_i16, r_mcus: int):
+    """Traceable scatter-free encode of MCU-interleaved 4:2:0 blocks
+    with a restart interval of r_mcus.
+
+    Returns (stream_words sorted-compact, chunk_bits (NC,),
+    total_words scalar, overflow flag)."""
+    blocks = blocks_i16.astype(jnp.int32)
+    n = blocks.shape[0]
+    assert n % 6 == 0
+    cb = 6 * r_mcus
+
+    dc_prev = _dc_prev_interleaved(blocks, 6, 4)
+    # DC prediction resets at each restart interval (T.81 E.2.4).
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    in_chunk = gidx % cb
+    resets = (in_chunk == 0) | (in_chunk == 4) | (in_chunk == 5)
+    dc_prev = jnp.where(resets, 0, dc_prev)
+
+    is_luma = (gidx % 6) < 4
+    vals, lens = _units_for_blocks(blocks, dc_prev, is_luma)
+    words, blen, overflow = _block_word_buffers(vals, lens)
+    sw, clen, total = _rst_assemble(words, blen, cb)
+    return sw, clen, total, overflow
+
+
+def encode_gray_rst_stream(blocks_i16, r_mcus: int):
+    """Grayscale variant of the scatter-free path: MCU = 1 block."""
+    blocks = blocks_i16.astype(jnp.int32)
+    n = blocks.shape[0]
+    dc = blocks[:, 0]
+    dc_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), dc[:-1]])
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    dc_prev = jnp.where(gidx % r_mcus == 0, 0, dc_prev)
+    is_luma = jnp.ones(n, bool)
+    vals, lens = _units_for_blocks(blocks, dc_prev, is_luma)
+    words, blen, overflow = _block_word_buffers(vals, lens)
+    sw, clen, total = _rst_assemble(words, blen, r_mcus)
+    return sw, clen, total, overflow
 
 
 @lru_cache(maxsize=None)
 def _rst_kernel_yuv420(n_blocks: int, r_mcus: int):
     return jax.jit(partial(encode_yuv420_rst_stream, r_mcus=r_mcus))
+
+
+@lru_cache(maxsize=None)
+def _rst_kernel_gray(n_blocks: int, r_mcus: int):
+    return jax.jit(partial(encode_gray_rst_stream, r_mcus=r_mcus))
 
 
 def finalize_rst_stream(stream_words: np.ndarray, chunk_bits: np.ndarray,

@@ -111,17 +111,24 @@ def _batched_encode_to_streams_rst(mesh: Mesh, gamut: str, hdr_tf: str,
         inter = de.interleave_blocks_device(yz, uz, vz, mcus_x, mcus_y)
         sw, cbits, total, ovf = de.encode_yuv420_rst_stream(
             inter, RST_INTERVAL)
-        gw, gb = de.encode_gray_stream(gz)
-        # All per-image scalars/vectors in ONE small array: each d2h
-        # transfer costs ~150 ms of fixed overhead on the chip link.
+        gsw, gcbits, gtotal, govf = de.encode_gray_rst_stream(
+            gz, RST_INTERVAL)
+        # Everything the host needs in TWO arrays (each d2h transfer
+        # costs ~150 ms of fixed overhead on the chip link): a small
+        # metadata vector and one combined [gainmap | base] stream
+        # buffer whose used prefix is read in a single transfer.
         meta = jnp.concatenate([
-            jnp.stack([ovf.astype(jnp.int32), total.astype(jnp.int32),
-                       gb.astype(jnp.int32)]),
+            jnp.stack([(ovf | govf).astype(jnp.int32),
+                       total.astype(jnp.int32),
+                       gtotal.astype(jnp.int32),
+                       jnp.int32(gsw.shape[0])]),
+            gcbits.astype(jnp.int32),
             cbits.astype(jnp.int32)])
-        return sw, gw, meta
+        combined = jnp.concatenate([gsw, sw])
+        return combined, meta
 
     @partial(jax.jit, in_shardings=(spec, spec),
-             out_shardings=(spec,) * 3)
+             out_shardings=(spec,) * 2)
     def kernel(p010_y_batch, p010_uv_batch):
         coefs = jax.vmap(
             lambda y, uv: _encode_one_image_coefs(y, uv, gamut, hdr_tf,
@@ -244,11 +251,20 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
     metadata = GainMapMetadata(
         max_content_boost=max_boost, min_content_boost=1.0,
         hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
-    sw, gm_words, meta = kernel(
+    combined, meta = kernel(
         jnp.asarray(p010_y_batch), jnp.asarray(p010_uv_batch))
     meta = np.asarray(meta)
-    ovf, totals, gm_bits = meta[:, 0], meta[:, 1], meta[:, 2]
-    cbits = meta[:, 3:]
+
+    n_mcus = (w // 16) * (h // 16)
+    nc = -(-n_mcus // RST_INTERVAL)
+    gbh, gbw = -(-(h // 4) // 8), -(-(w // 4) // 8)
+    ncg = -(-(gbh * gbw) // RST_INTERVAL)
+    ovf = meta[:, 0]
+    base_totals = meta[:, 1]
+    gm_totals = meta[:, 2]
+    gm_region = int(meta[0, 3])          # static gray buffer length
+    gm_cbits = meta[:, 4:4 + ncg]
+    base_cbits = meta[:, 4 + ncg:4 + ncg + nc]
     overflow = bool(np.any(ovf))
 
     if overflow:
@@ -264,22 +280,30 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
             base_words, [(int(b) + 31) // 32 for b in base_bits])
         base_streams = [de._finalize(base_prefixes[i], base_bits[i])
                         for i in range(n)]
+        gm_prefixes = read_prefixes(
+            gm_words, [(int(b) + 31) // 32 for b in gm_bits])
+        gm_streams = [de._finalize(gm_prefixes[i], gm_bits[i])
+                      for i in range(n)]
     else:
         base_hdr = codec.yuv420_jpeg_headers(
             w, h, quality, icc=icc, restart_interval=RST_INTERVAL)
-        base_prefixes = read_prefixes(sw, totals)
-        base_streams = [
-            de.finalize_rst_stream(base_prefixes[i][:int(totals[i])],
-                                   cbits[i], RST_INTERVAL)
-            for i in range(n)]
+        gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4, 85,
+                                         restart_interval=RST_INTERVAL)
+        prefixes = read_prefixes(combined, gm_region + base_totals)
+        base_streams = []
+        gm_streams = []
+        for i in range(n):
+            gm_streams.append(de.finalize_rst_stream(
+                prefixes[i][:int(gm_totals[i])], gm_cbits[i],
+                RST_INTERVAL))
+            base_streams.append(de.finalize_rst_stream(
+                prefixes[i][gm_region:gm_region + int(base_totals[i])],
+                base_cbits[i], RST_INTERVAL))
 
-    gm_prefixes = read_prefixes(
-        gm_words, [(int(b) + 31) // 32 for b in gm_bits])
     out = []
     for i in range(n):
         base = base_hdr + base_streams[i] + b"\xff\xd9"
-        gmap = (gm_hdr + de._finalize(gm_prefixes[i], gm_bits[i])
-                + b"\xff\xd9")
+        gmap = gm_hdr + gm_streams[i] + b"\xff\xd9"
         out.append(mux.append_gainmap(base, gmap, metadata))
     return out
 
