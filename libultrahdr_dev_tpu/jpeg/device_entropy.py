@@ -4,25 +4,37 @@ The classic CPU formulation (and this framework's host fallback,
 native/entropy.cpp) is a sequential bit-writer. Here the whole entropy
 stage is reformulated as data-parallel XLA ops so the only bytes that
 ever cross the host<->device link are the compressed stream itself
-(~1-2 MB for a 4K frame instead of ~36 MB of raw coefficients):
+(~1-2 MB for a 4K frame instead of ~36 MB of raw coefficients).
 
+Shared front end (for both assembly paths):
 1. every (block, position) pair maps to at most ONE emission unit:
-     slot 0        : the DC code+extra (DC diffs computed vectorized
-                     from the per-component scan order)
+     slot 0        : the DC code+extra (DC diffs from static lag
+                     selects in per-component scan order)
      slots 1..63   : an AC code+extra at nonzero positions; at zero
                      positions, a ZRL exactly when the zero-run length
                      since the last nonzero hits a multiple of 16 and a
-                     later nonzero exists (this reproduces the
-                     run-length semantics positionally)
+                     later nonzero exists (run-length semantics become
+                     positional predicates)
      slot 64       : EOB when the block has trailing zeros
-2. per-unit bit lengths -> exclusive cumsum = absolute bit offsets
-   (the stream layout is known without any sequential pass)
-3. each unit's value is added into one or two 32-bit words of the
-   output (bit ranges are disjoint by construction, and offsets are
-   monotone, so a sorted scatter-add assembles the stream)
+   All table lookups are fused select chains (a flat TPU gather is
+   ~600 ms for 20M lookups; the chains are ~1 ms).
 
-Host-side postprocessing is only 0xFF byte stuffing + final-byte
-1-padding over the ~1 MB result.
+Assembly paths:
+- encode_*_rst_stream (production): per-block word buffers via one-hot
+  byte MATMULS (exact: co-located bits are disjoint so byte-plane sums
+  stay < 256), blocks -> restart-interval chunks via a doubling merge
+  of vectorized bit/word shifts, chunks 1-filled to 32-bit alignment
+  (legal pad bits + 0xFF fill before RSTn, T.81 B.1.1.2) so every word
+  has a unique destination, then ONE parallel lax.sort compacts the
+  stream. Byte-identical to the host bit-writer at the same restart
+  interval. Dense content overflowing the per-block cap raises the
+  overflow flag; callers fall back to the scatter path.
+- encode_*_stream (fallback): cumsum bit offsets + sorted scatter-add.
+  Exact for any content but XLA's TPU scatter serializes
+  (~19 ns/update -> ~350 ms per 4K frame).
+
+Host postprocessing is only byte stuffing + restart-marker insertion
+over the ~1 MB result (finalize_rst_stream / _finalize).
 """
 
 from __future__ import annotations

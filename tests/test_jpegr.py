@@ -191,6 +191,28 @@ class TestCrossParity:
         p = psnr_float(ours, want, peak=1.0)
         assert p >= 55.0, f"PSNR {p:.2f} dB < 55 dB"
 
+    def test_decode_reference_pq_psnr(self):
+        """PQ path: our HDR_PQ (RGBA1010102) decode of the reference's
+        PQ encode vs the reference's own decode."""
+        golden_raw = os.path.join(GOLDENS, "dec0_pq.raw.gz")
+        golden_jpegr = os.path.join(GOLDENS, "enc0_pq.jpegr")
+        if not (os.path.exists(golden_raw) and os.path.exists(golden_jpegr)):
+            pytest.skip("PQ goldens unavailable")
+        with open(golden_jpegr, "rb") as f:
+            blob = f.read()
+        res = JpegR().decode(blob, OutputFormat.HDR_PQ,
+                             max_display_boost=49.261084)
+        ours = np.asarray(res.image.planes["rgba"]).astype(np.uint32)
+        want = np.frombuffer(gzip.open(golden_raw).read(),
+                             np.uint32).reshape(H, W)
+        chans_psnr = []
+        for shift in (0, 10, 20):
+            a = ((ours >> shift) & 0x3FF).astype(np.float64)
+            b = ((want >> shift) & 0x3FF).astype(np.float64)
+            mse = np.mean((a - b) ** 2)
+            chans_psnr.append(10 * np.log10(1023.0 ** 2 / mse))
+        assert min(chans_psnr) >= 50.0, chans_psnr
+
     def test_reference_decodes_our_encode(self, tmp_path):
         """The reference binary must decode our JPEG/R output, and its
         pixels must match its decode of its own encode to >= 45 dB."""
