@@ -13,7 +13,7 @@ jpegr.cpp:823-876).
 
 from __future__ import annotations
 
-from ..types import CompressedImage, GainMapMetadata, err
+from ..types import GainMapMetadata, err
 from . import jfif, mpf, xmp
 
 _XMP_NS = xmp.XMP_NAMESPACE.encode() + b"\x00"  # 29 bytes

@@ -26,7 +26,7 @@ import numpy as np
 
 from .ops import gainmap as gm
 from .types import (ColorTransfer, GainMapMetadata, OutputFormat,
-                    PixelFormat, RawImage, err)
+                    RawImage, err)
 
 
 def _heif_support() -> str | None:

@@ -16,7 +16,7 @@ the host container codecs (container/):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
 
 import jax
@@ -27,7 +27,7 @@ from .container import icc as icc_mod
 from .container import jfif, mux, xmp
 from .jpeg import codec
 from .ops import gainmap as gm
-from .types import (ColorGamut, ColorTransfer, CompressedImage,
+from .types import (ColorGamut, ColorTransfer,
                     GainMapMetadata, MAP_COMPRESS_QUALITY, MAX_HEIGHT,
                     MAX_WIDTH, MIN_HEIGHT, MIN_WIDTH, OutputFormat,
                     PixelFormat, RawImage, err)

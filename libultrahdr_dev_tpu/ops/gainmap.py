@@ -20,7 +20,7 @@ batches, from sharding the batch axis over the device mesh
 from __future__ import annotations
 
 import math
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
