@@ -140,6 +140,18 @@ class JpegR:
         _validate_quality(quality)
         gamut = _GAMUT[p010.gamut]
 
+        # Fast path: fully on-device encode (entropy coding included)
+        # for 16-aligned frames without external EXIF; the bitstream
+        # carries restart markers (see docs/jpegr_format.md).
+        if p010.width % 16 == 0 and p010.height % 16 == 0 and exif is None:
+            from .parallel import sharding
+
+            return sharding.batched_encode_api0(
+                np.asarray(p010.planes["y"])[None],
+                np.asarray(p010.planes["uv"])[None],
+                sharding.single_device_mesh(), gamut=gamut,
+                hdr_tf=_TF[hdr_tf], quality=quality)[0]
+
         y8, u8, v8 = gm.tonemap_p010(p010.planes["y"], p010.planes["uv"])
         gmap, metadata = gm.generate_gainmap(
             y8, u8, v8, p010.planes["y"], p010.planes["uv"],

@@ -34,6 +34,12 @@ def default_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("batch",))
 
 
+@lru_cache(maxsize=1)
+def single_device_mesh() -> Mesh:
+    """Mesh over the first local device (single-image fast paths)."""
+    return Mesh(np.asarray(jax.devices()[:1]), axis_names=("batch",))
+
+
 def _batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P("batch"))
 
