@@ -180,6 +180,22 @@ class JpegR:
         y8 = np.asarray(yuv420.planes["y"])
         u8 = np.asarray(yuv420.planes["u"])
         v8 = np.asarray(yuv420.planes["v"])
+
+        # Fast path: fully on-device (restart-marker bitstream), with
+        # host fallback on dense-content overflow.
+        if p010.width % 16 == 0 and p010.height % 16 == 0 and exif is None:
+            from .parallel import sharding
+
+            try:
+                return sharding.batched_encode_api1(
+                    np.asarray(p010.planes["y"])[None],
+                    np.asarray(p010.planes["uv"])[None],
+                    y8[None], u8[None], v8[None],
+                    sharding.single_device_mesh(), sdr_gamut=sdr_gamut,
+                    hdr_gamut=hdr_gamut, hdr_tf=_TF[hdr_tf],
+                    quality=quality)[0]
+            except OverflowError:
+                pass
         gmap, metadata = gm.generate_gainmap(
             y8, u8, v8, p010.planes["y"], p010.planes["uv"],
             sdr_gamut=sdr_gamut, hdr_gamut=hdr_gamut, hdr_tf=_TF[hdr_tf])

@@ -145,12 +145,34 @@ def _batched_encode_to_streams_rst(mesh: Mesh, gamut: str, hdr_tf: str,
     return kernel, max_boost
 
 
-def _encode_one_image_coefs(p010_y, p010_uv, gamut, hdr_tf, base_quality):
-    """Traceable single-image API-0 device compute (tonemap + gain map
-    + 601 + fDCT/quant); shared by the coefficient and stream paths."""
+def _fdct_zigzag(plane_u8, q):
+    """Traceable fDCT/quant of a u8 plane (pads to 8-multiples)."""
+    d = np.asarray(_D, np.float32)
+    hh, ww = plane_u8.shape
+    ph, pw = (-hh) % 8, (-ww) % 8
+    if ph or pw:
+        plane_u8 = jnp.pad(plane_u8, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = hh + ph, ww + pw
+    x = plane_u8.astype(jnp.float32) - 128.0
+    blocks = x.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+    blocks = blocks.reshape(-1, 8, 8)
+    coefs = jnp.einsum("ux,nxy,vy->nuv", d, blocks, d,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    return jnp.round(coefs / q.reshape(1, 8, 8)).astype(
+        jnp.int16).reshape(-1, 64)[:, tables.ZIGZAG]
+
+
+def _gainmap_and_coefs(y8, u8, v8, p010_y, p010_uv, sdr_gamut, hdr_gamut,
+                       hdr_tf, base_quality, sdr_is_601=False):
+    """Traceable device compute shared by API-0/1: gain map from an
+    SDR/HDR pair + BT.601 conversion + fDCT/quant of everything."""
     hdr_inv_oetf, hdr_white = color.hdr_inv_oetf_fn(hdr_tf)
-    luminance = color.luminance_fn(gamut)
-    yuv_to_rgb = color.yuv_to_rgb_fn(gamut)
+    luminance = color.luminance_fn(sdr_gamut)
+    sdr_yuv_to_rgb = (color.p3_yuv_to_rgb if sdr_is_601
+                      else color.yuv_to_rgb_fn(sdr_gamut))
+    hdr_yuv_to_rgb = color.yuv_to_rgb_fn(hdr_gamut)
+    gamut_m = color.hdr_gamut_conversion_matrix(sdr_gamut, hdr_gamut)
     max_boost = hdr_white / color.SDR_WHITE_NITS
     ql = tables.scale_quant_table(
         tables.STD_LUMINANCE_QUANT, base_quality).astype(np.float32)
@@ -158,43 +180,144 @@ def _encode_one_image_coefs(p010_y, p010_uv, gamut, hdr_tf, base_quality):
         tables.STD_CHROMINANCE_QUANT, base_quality).astype(np.float32)
     qg = tables.scale_quant_table(
         tables.STD_LUMINANCE_QUANT, 85).astype(np.float32)
-    d = np.asarray(_D, np.float32)
-    zig = tables.ZIGZAG
 
-    def fdct(plane_u8, q):
-        hh, ww = plane_u8.shape
-        ph, pw = (-hh) % 8, (-ww) % 8
-        if ph or pw:
-            plane_u8 = jnp.pad(plane_u8, ((0, ph), (0, pw)), mode="edge")
-        hh, ww = hh + ph, ww + pw
-        x = plane_u8.astype(jnp.float32) - 128.0
-        blocks = x.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
-        blocks = blocks.reshape(-1, 8, 8)
-        coefs = jnp.einsum("ux,nxy,vy->nuv", d, blocks, d,
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
-        return jnp.round(coefs / q.reshape(1, 8, 8)).astype(
-            jnp.int16).reshape(-1, 64)[:, zig]
-
-    y8 = (p010_y >> 8).astype(jnp.uint8)
-    u8 = (p010_uv[:, 0::2] >> 8).astype(jnp.uint8)
-    v8 = (p010_uv[:, 1::2] >> 8).astype(jnp.uint8)
     sy, su, sv = gm.yuv420_to_float(y8, u8, v8)
     sy = gm._box_mean(sy, gm.SCALE)
     su = gm._box_mean(su, gm.SCALE // 2)
     sv = gm._box_mean(sv, gm.SCALE // 2)
     sdr_rgb = color.apply_channelwise(
-        color.srgb_inv_oetf, yuv_to_rgb((sy, su, sv)))
+        color.srgb_inv_oetf, sdr_yuv_to_rgb((sy, su, sv)))
     sdr_nits = luminance(sdr_rgb) * color.SDR_WHITE_NITS
     hy, hu, hv = gm.p010_to_float(p010_y, p010_uv)
     hy = gm._box_mean(hy, gm.SCALE)
     hu = gm._box_mean(hu, gm.SCALE // 2)
     hv = gm._box_mean(hv, gm.SCALE // 2)
-    hdr_rgb = color.apply_channelwise(hdr_inv_oetf, yuv_to_rgb((hy, hu, hv)))
+    hdr_rgb = color.apply_channelwise(hdr_inv_oetf,
+                                      hdr_yuv_to_rgb((hy, hu, hv)))
+    if gamut_m is not None:
+        hdr_rgb = color.apply_matrix3(gamut_m, hdr_rgb)
     hdr_nits = luminance(hdr_rgb) * hdr_white
     gmap = color.encode_gain(sdr_nits, hdr_nits, 1.0, max_boost)
-    yb, ub, vb = gm.convert_yuv_encoding(y8, u8, v8, gamut, "p3")
-    return (fdct(yb, ql), fdct(ub, qc), fdct(vb, qc), fdct(gmap, qg))
+    yb, ub, vb = gm.convert_yuv_encoding(y8, u8, v8, sdr_gamut, "p3")
+    return (_fdct_zigzag(yb, ql), _fdct_zigzag(ub, qc),
+            _fdct_zigzag(vb, qc), _fdct_zigzag(gmap, qg))
+
+
+def _encode_one_image_coefs(p010_y, p010_uv, gamut, hdr_tf, base_quality):
+    """Traceable single-image API-0 device compute (tonemap + gain map
+    + 601 + fDCT/quant); shared by the coefficient and stream paths."""
+    y8 = (p010_y >> 8).astype(jnp.uint8)
+    u8 = (p010_uv[:, 0::2] >> 8).astype(jnp.uint8)
+    v8 = (p010_uv[:, 1::2] >> 8).astype(jnp.uint8)
+    return _gainmap_and_coefs(y8, u8, v8, p010_y, p010_uv, gamut, gamut,
+                              hdr_tf, base_quality)
+
+
+@lru_cache(maxsize=None)
+def _batched_encode_api1_kernel(mesh: Mesh, sdr_gamut: str, hdr_gamut: str,
+                                hdr_tf: str, base_quality: int, h: int,
+                                w: int):
+    """API-1 (provided SDR + HDR pair) streams kernel, RST path."""
+    from ..jpeg import device_entropy as de
+
+    max_boost = color.hdr_inv_oetf_fn(hdr_tf)[1] / color.SDR_WHITE_NITS
+    spec = _batch_sharding(mesh)
+    mcus_x, mcus_y = w // 16, h // 16
+
+    def one(p010_y, p010_uv, y8, u8, v8):
+        yz, uz, vz, gz = _gainmap_and_coefs(
+            y8, u8, v8, p010_y, p010_uv, sdr_gamut, hdr_gamut, hdr_tf,
+            base_quality)
+        inter = de.interleave_blocks_device(yz, uz, vz, mcus_x, mcus_y)
+        sw, cbits, total, ovf = de.encode_yuv420_rst_stream(
+            inter, RST_INTERVAL)
+        gsw, gcbits, gtotal, govf = de.encode_gray_rst_stream(
+            gz, RST_INTERVAL)
+        meta = jnp.concatenate([
+            jnp.stack([(ovf | govf).astype(jnp.int32),
+                       total.astype(jnp.int32),
+                       gtotal.astype(jnp.int32),
+                       jnp.int32(gsw.shape[0])]),
+            gcbits.astype(jnp.int32),
+            cbits.astype(jnp.int32)])
+        return jnp.concatenate([gsw, sw]), meta
+
+    @partial(jax.jit, in_shardings=(spec,) * 5, out_shardings=(spec,) * 2)
+    def kernel(py, puv, y8, u8, v8):
+        return jax.vmap(one)(py, puv, y8, u8, v8)
+
+    return kernel, max_boost
+
+
+def batched_encode_api1(p010_y_batch, p010_uv_batch, sdr_y_batch,
+                        sdr_u_batch, sdr_v_batch, mesh: Mesh,
+                        sdr_gamut: str = "bt709",
+                        hdr_gamut: str = "bt2100", hdr_tf: str = "hlg",
+                        quality: int = 95) -> list[bytes]:
+    """Batched API-1 encode (raw HDR + raw SDR), fully on device."""
+    from ..container import icc as icc_mod, mux
+    from ..jpeg import codec, device_entropy as de
+
+    n, h, w = p010_y_batch.shape
+    if h % 16 or w % 16:
+        raise ValueError(f"batched encode requires 16-aligned dims, "
+                         f"got {w}x{h}")
+    kernel, max_boost = _batched_encode_api1_kernel(
+        mesh, sdr_gamut, hdr_gamut, hdr_tf, int(quality), h, w)
+    metadata = GainMapMetadata(
+        max_content_boost=max_boost, min_content_boost=1.0,
+        hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
+    combined, meta = kernel(
+        jnp.asarray(p010_y_batch), jnp.asarray(p010_uv_batch),
+        jnp.asarray(sdr_y_batch), jnp.asarray(sdr_u_batch),
+        jnp.asarray(sdr_v_batch))
+    return _assemble_rst_outputs(combined, np.asarray(meta), n, h, w,
+                                 quality, sdr_gamut, metadata)
+
+
+def _assemble_rst_outputs(combined, meta, n, h, w, quality, gamut,
+                          metadata):
+    """Host tail shared by the batched RST encode paths."""
+    from ..container import icc as icc_mod, mux
+    from ..jpeg import codec, device_entropy as de
+
+    n_mcus = (w // 16) * (h // 16)
+    nc = -(-n_mcus // RST_INTERVAL)
+    gbh, gbw = -(-(h // 4) // 8), -(-(w // 4) // 8)
+    ncg = -(-(gbh * gbw) // RST_INTERVAL)
+    if bool(np.any(meta[:, 0])):
+        raise OverflowError("dense-content overflow")  # caller fallback
+    totals = meta[:, 1]
+    gm_totals = meta[:, 2]
+    gm_region = int(meta[0, 3])
+    gm_cbits = meta[:, 4:4 + ncg]
+    base_cbits = meta[:, 4 + ncg:4 + ncg + nc]
+
+    icc = icc_mod.write_icc_profile("srgb", gamut)
+    base_hdr = codec.yuv420_jpeg_headers(
+        w, h, quality, icc=icc, restart_interval=RST_INTERVAL)
+    gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4, 85,
+                                     restart_interval=RST_INTERVAL)
+    gran = 64 * 1024
+    k = -(-int(max(gm_region + totals)) // gran) * gran
+    k = min(k, combined.shape[1])
+    rows = {}
+    for shard in combined.addressable_shards:
+        lo = shard.index[0].start or 0
+        data = np.asarray(shard.data[:, :k])
+        for j in range(data.shape[0]):
+            rows[lo + j] = data[j]
+    out = []
+    for i in range(n):
+        gs = de.finalize_rst_stream(rows[i][:int(gm_totals[i])],
+                                    gm_cbits[i], RST_INTERVAL)
+        bs = de.finalize_rst_stream(
+            rows[i][gm_region:gm_region + int(totals[i])],
+            base_cbits[i], RST_INTERVAL)
+        out.append(mux.append_gainmap(base_hdr + bs + b"\xff\xd9",
+                                      gm_hdr + gs + b"\xff\xd9",
+                                      metadata))
+    return out
 
 
 def batched_encode_device_stage(p010_y_batch, p010_uv_batch, mesh: Mesh,

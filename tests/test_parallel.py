@@ -97,3 +97,36 @@ class TestBatchedEncode:
         uv = np.zeros((2, 30, 90), np.uint16)
         with pytest.raises(ValueError):
             sharding.batched_encode_api0(y, uv, mesh)
+
+
+class TestBatchedApi1:
+    def test_api1_matches_serial_pixels(self):
+        mesh = sharding.default_mesh()
+        n = mesh.devices.size  # batch must divide the mesh
+        rng = np.random.default_rng(11)
+        py = (rng.integers(64, 940, (n, 64, 96)).astype(np.uint16)) << 6
+        puv = np.full((n, 32, 96), 512 << 6, np.uint16)
+        sy = (py >> 8).astype(np.uint8)
+        su = np.full((n, 32, 48), 128, np.uint8)
+        sv = np.full((n, 32, 48), 128, np.uint8)
+        blobs = sharding.batched_encode_api1(
+            py, puv, sy, su, sv, mesh, sdr_gamut="bt709",
+            hdr_gamut="bt2100", hdr_tf="hlg", quality=95)
+        assert len(blobs) == n
+        from libultrahdr_dev_tpu.jpegr import JpegR
+        from libultrahdr_dev_tpu.types import (ColorGamut, ColorTransfer,
+                                               OutputFormat, PixelFormat,
+                                               RawImage)
+        jr = JpegR()
+        res = jr.decode(blobs[0], OutputFormat.HDR_LINEAR, 4.9)
+        assert (res.width, res.height) == (96, 64)
+        # the serial API-1 (same fast path) must be bit-identical
+        serial = jr.encode_api1(
+            RawImage(fmt=PixelFormat.P010, width=96, height=64,
+                     gamut=ColorGamut.BT2100,
+                     planes={"y": py[0], "uv": puv[0]}),
+            RawImage(fmt=PixelFormat.YUV420, width=96, height=64,
+                     gamut=ColorGamut.BT709,
+                     planes={"y": sy[0], "u": su[0], "v": sv[0]}),
+            ColorTransfer.HLG, quality=95)
+        assert blobs[0] == serial
