@@ -340,28 +340,32 @@ def batched_encode_device_stage(p010_y_batch, p010_uv_batch, mesh: Mesh,
 def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
                         gamut: str = "bt2100", hdr_tf: str = "hlg",
                         quality: int = 95) -> list[bytes]:
-    """Full batched API-0 encode: device compute for the whole batch in
-    one sharded jit, then per-image host entropy coding + container
-    mux. Dims must be multiples of 16 (batch images share a shape; pad
-    to a bucket beforehand for mixed sizes)."""
+    """Full batched API-0 encode: device compute (entropy coding
+    included) in one sharded jit, then host marker/mux assembly. Dims
+    must be multiples of 16 and the batch must divide the mesh's batch
+    axis (pad to a bucket for mixed sizes)."""
     from ..container import icc as icc_mod, mux
-    from ..jpeg import codec
-
-    from ..jpeg import device_entropy as de
+    from ..jpeg import codec, device_entropy as de
 
     n, h, w = p010_y_batch.shape
     if h % 16 or w % 16:
         raise ValueError(f"batched encode requires 16-aligned dims, "
                          f"got {w}x{h}")
-    metadata = None
-    icc = icc_mod.write_icc_profile("srgb", gamut)
-    gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4, 85)
+    kernel, max_boost = _batched_encode_to_streams_rst(
+        mesh, gamut, hdr_tf, int(quality), h, w)
+    metadata = GainMapMetadata(
+        max_content_boost=max_boost, min_content_boost=1.0,
+        hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
+    combined, meta = kernel(
+        jnp.asarray(p010_y_batch), jnp.asarray(p010_uv_batch))
+    try:
+        return _assemble_rst_outputs(combined, np.asarray(meta), n, h, w,
+                                     quality, gamut, metadata)
+    except OverflowError:
+        pass
 
-    # One prefix transfer per (array, shard): the whole batch's used
-    # prefix is fetched in a single d2h (per-transfer overhead on the
-    # chip link is ~150 ms, dwarfing the bytes), with the length
-    # rounded up to a coarse granularity so the slice compiles once.
-    gran = 64 * 1024  # words (256 KB)
+    # Rare dense-content fallback: exact scatter-based assembly.
+    gran = 64 * 1024
 
     def read_prefixes(arr, n_words_used):
         k = -(-max(int(max(n_words_used)), 1) // gran) * gran
@@ -374,68 +378,27 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
                 rows[lo + j] = data[j]
         return [rows[i] for i in range(arr.shape[0])]
 
-    # Fast path: scatter-free restart-marker assembly.
-    kernel, max_boost = _batched_encode_to_streams_rst(
+    kernel2, _ = _batched_encode_to_streams(
         mesh, gamut, hdr_tf, int(quality), h, w)
-    metadata = GainMapMetadata(
-        max_content_boost=max_boost, min_content_boost=1.0,
-        hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
-    combined, meta = kernel(
+    base_words, base_bits, gm_words, gm_bits = kernel2(
         jnp.asarray(p010_y_batch), jnp.asarray(p010_uv_batch))
-    meta = np.asarray(meta)
-
-    n_mcus = (w // 16) * (h // 16)
-    nc = -(-n_mcus // RST_INTERVAL)
-    gbh, gbw = -(-(h // 4) // 8), -(-(w // 4) // 8)
-    ncg = -(-(gbh * gbw) // RST_INTERVAL)
-    ovf = meta[:, 0]
-    base_totals = meta[:, 1]
-    gm_totals = meta[:, 2]
-    gm_region = int(meta[0, 3])          # static gray buffer length
-    gm_cbits = meta[:, 4:4 + ncg]
-    base_cbits = meta[:, 4 + ncg:4 + ncg + nc]
-    overflow = bool(np.any(ovf))
-
-    if overflow:
-        # Rare dense-content fallback: exact scatter-based assembly.
-        kernel2, _ = _batched_encode_to_streams(
-            mesh, gamut, hdr_tf, int(quality), h, w)
-        base_words, base_bits, gm_words, gm_bits = kernel2(
-            jnp.asarray(p010_y_batch), jnp.asarray(p010_uv_batch))
-        base_bits = np.asarray(base_bits)
-        gm_bits = np.asarray(gm_bits)
-        base_hdr = codec.yuv420_jpeg_headers(w, h, quality, icc=icc)
-        base_prefixes = read_prefixes(
-            base_words, [(int(b) + 31) // 32 for b in base_bits])
-        base_streams = [de._finalize(base_prefixes[i], base_bits[i])
-                        for i in range(n)]
-        gm_prefixes = read_prefixes(
-            gm_words, [(int(b) + 31) // 32 for b in gm_bits])
-        gm_streams = [de._finalize(gm_prefixes[i], gm_bits[i])
-                      for i in range(n)]
-    else:
-        base_hdr = codec.yuv420_jpeg_headers(
-            w, h, quality, icc=icc, restart_interval=RST_INTERVAL)
-        gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4, 85,
-                                         restart_interval=RST_INTERVAL)
-        prefixes = read_prefixes(combined, gm_region + base_totals)
-        base_streams = []
-        gm_streams = []
-        for i in range(n):
-            gm_streams.append(de.finalize_rst_stream(
-                prefixes[i][:int(gm_totals[i])], gm_cbits[i],
-                RST_INTERVAL))
-            base_streams.append(de.finalize_rst_stream(
-                prefixes[i][gm_region:gm_region + int(base_totals[i])],
-                base_cbits[i], RST_INTERVAL))
-
+    base_bits = np.asarray(base_bits)
+    gm_bits = np.asarray(gm_bits)
+    icc = icc_mod.write_icc_profile("srgb", gamut)
+    base_hdr = codec.yuv420_jpeg_headers(w, h, quality, icc=icc)
+    gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4, 85)
+    base_prefixes = read_prefixes(
+        base_words, [(int(b) + 31) // 32 for b in base_bits])
+    gm_prefixes = read_prefixes(
+        gm_words, [(int(b) + 31) // 32 for b in gm_bits])
     out = []
     for i in range(n):
-        base = base_hdr + base_streams[i] + b"\xff\xd9"
-        gmap = gm_hdr + gm_streams[i] + b"\xff\xd9"
+        base = (base_hdr + de._finalize(base_prefixes[i], base_bits[i])
+                + b"\xff\xd9")
+        gmap = (gm_hdr + de._finalize(gm_prefixes[i], gm_bits[i])
+                + b"\xff\xd9")
         out.append(mux.append_gainmap(base, gmap, metadata))
     return out
-
 
 def batched_apply_gainmap(y8_batch, u8_batch, v8_batch, gmap_batch,
                           metadata: GainMapMetadata, output_format: str,
