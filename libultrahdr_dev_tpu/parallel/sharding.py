@@ -400,6 +400,62 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
         out.append(mux.append_gainmap(base, gmap, metadata))
     return out
 
+def batched_decode(blobs, output_format: str, max_display_boost: float,
+                   mesh: Mesh, use_luts: bool = False):
+    """Decode N same-geometry JPEG/R blobs with one batched device
+    dispatch: host Huffman decode per blob (sequential C++), then a
+    single vmapped fused dequant/IDCT/apply kernel over the mesh.
+    Returns a device array stacked on axis 0 (callers materialize)."""
+    import math
+
+    from ..container import mux, xmp
+    from ..jpeg import codec
+    from ..jpegr import _fused_decode_kernel
+
+    coefs = []
+    metadata = None
+    for blob in blobs:
+        primary, gmap = mux.extract_primary_and_gainmap(blob)
+        base = codec.decode_jpeg_coefs(primary)
+        gdec = codec.decode_jpeg_coefs(gmap)
+        if metadata is None:
+            metadata = xmp.get_metadata_from_xmp(gdec.xmp)
+        coefs.append((base, gdec))
+
+    base0, g0 = coefs[0]
+    w, h = base0.width, base0.height
+    yg, ql = base0.comps[0][0], base0.comps[0][1]
+    ug, qc = base0.comps[1][0], base0.comps[1][1]
+    gg, qg, gh, gw = g0.comps[0][0], g0.comps[0][1], g0.comps[0][2], \
+        g0.comps[0][3]
+    scale = w // gw
+    qkey = np.stack([ql, qc, qg]).astype(np.int32).tobytes()
+    kernel = _fused_decode_kernel(
+        output_format, yg.shape, ug.shape, gg.shape, w, h, scale,
+        bool(use_luts), qkey)
+
+    display_boost = min(max_display_boost, metadata.max_content_boost)
+    boost_factor = (display_boost / metadata.max_content_boost
+                    if display_boost > 0 else 1.0)
+    scalars = np.asarray(
+        [math.log2(metadata.min_content_boost),
+         math.log2(metadata.max_content_boost),
+         boost_factor, display_boost], np.float32)
+
+    flats = np.stack([
+        np.concatenate([b.comps[0][0].ravel(), b.comps[1][0].ravel(),
+                        b.comps[2][0].ravel(), g.comps[0][0].ravel()])
+        for b, g in coefs])
+
+    spec = _batch_sharding(mesh)
+
+    @partial(jax.jit, in_shardings=(spec, None), out_shardings=spec)
+    def batch_kernel(flat_batch, sc):
+        return jax.vmap(lambda f: kernel(f, sc))(flat_batch)
+
+    return batch_kernel(flats, scalars)
+
+
 def batched_apply_gainmap(y8_batch, u8_batch, v8_batch, gmap_batch,
                           metadata: GainMapMetadata, output_format: str,
                           max_display_boost: float, mesh: Mesh):

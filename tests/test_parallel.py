@@ -130,3 +130,19 @@ class TestBatchedApi1:
                      planes={"y": sy[0], "u": su[0], "v": sv[0]}),
             ColorTransfer.HLG, quality=95)
         assert blobs[0] == serial
+
+
+class TestBatchedDecode:
+    def test_matches_single_decode(self):
+        mesh = sharding.default_mesh()
+        n = mesh.devices.size
+        y, uv = p010_batch(n=n)
+        blobs = sharding.batched_encode_api0(y, uv, mesh)
+        out = sharding.batched_decode(blobs, "hdr_hlg", 4.9, mesh)
+        out = np.asarray(out)
+        assert out.shape[0] == n
+        from libultrahdr_dev_tpu.jpegr import JpegR
+        from libultrahdr_dev_tpu.types import OutputFormat
+        single = np.asarray(JpegR().decode(
+            blobs[0], OutputFormat.HDR_HLG, 4.9).image.planes["rgba"])
+        np.testing.assert_array_equal(out[0], single)
