@@ -124,17 +124,28 @@ def _units_for_blocks(blocks, dc_prev, is_luma):
     dc = blocks[:, 0]
     ac = blocks[:, 1:]
 
-    def lookup_dc(sym):
-        cl, ll = _lookup256(_DC_LUMA_PACKED, sym)
-        cc, lc = _lookup256(_DC_CHROMA_PACKED, sym)
-        lum = is_luma if sym.ndim == 1 else is_luma[:, None]
-        return jnp.where(lum, cl, cc), jnp.where(lum, ll, lc)
+    if isinstance(is_luma, bool):
+        # Static table selection: one select chain instead of two.
+        dc_tbl = _DC_LUMA_PACKED if is_luma else _DC_CHROMA_PACKED
+        ac_tbl = _AC_LUMA_PACKED if is_luma else _AC_CHROMA_PACKED
 
-    def lookup_ac(sym):
-        cl, ll = _lookup256(_AC_LUMA_PACKED, sym)
-        cc, lc = _lookup256(_AC_CHROMA_PACKED, sym)
-        lum = is_luma if sym.ndim == 1 else is_luma[:, None]
-        return jnp.where(lum, cl, cc), jnp.where(lum, ll, lc)
+        def lookup_dc(sym):
+            return _lookup256(dc_tbl, sym)
+
+        def lookup_ac(sym):
+            return _lookup256(ac_tbl, sym)
+    else:
+        def lookup_dc(sym):
+            cl, ll = _lookup256(_DC_LUMA_PACKED, sym)
+            cc, lc = _lookup256(_DC_CHROMA_PACKED, sym)
+            lum = is_luma if sym.ndim == 1 else is_luma[:, None]
+            return jnp.where(lum, cl, cc), jnp.where(lum, ll, lc)
+
+        def lookup_ac(sym):
+            cl, ll = _lookup256(_AC_LUMA_PACKED, sym)
+            cc, lc = _lookup256(_AC_CHROMA_PACKED, sym)
+            lum = is_luma if sym.ndim == 1 else is_luma[:, None]
+            return jnp.where(lum, cl, cc), jnp.where(lum, ll, lc)
 
     # --- DC ---
     diff = dc - dc_prev
@@ -256,8 +267,7 @@ def encode_gray_stream(blocks_i16):
     blocks = blocks_i16.astype(jnp.int32)
     dc = blocks[:, 0]
     dc_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), dc[:-1]])
-    is_luma = jnp.ones(blocks.shape[0], bool)
-    vals, lens = _units_for_blocks(blocks, dc_prev, is_luma)
+    vals, lens = _units_for_blocks(blocks, dc_prev, True)
     return _assemble_bits(vals, lens)
 
 
@@ -434,22 +444,43 @@ def encode_yuv420_rst_stream(blocks_i16, r_mcus: int):
     """Traceable scatter-free encode of MCU-interleaved 4:2:0 blocks
     with a restart interval of r_mcus.
 
+    Luma and chroma blocks are processed as separate slices (static
+    strided views of the [4Y, U, V] MCU pattern) so each subset runs
+    only its own table's select chains — the per-position symbol work
+    halves vs computing both variants and selecting.
+
     Returns (stream_words sorted-compact, chunk_bits (NC,),
     total_words scalar, overflow flag)."""
     blocks = blocks_i16.astype(jnp.int32)
     n = blocks.shape[0]
     assert n % 6 == 0
     cb = 6 * r_mcus
+    by_mcu = blocks.reshape(-1, 6, 64)
+    luma = by_mcu[:, :4].reshape(-1, 64)       # (4*n_mcus, 64)
+    chroma = by_mcu[:, 4:].reshape(-1, 64)     # (2*n_mcus, 64)
 
-    dc_prev = _dc_prev_interleaved(blocks, 6, 4)
-    # DC prediction resets at each restart interval (T.81 E.2.4).
-    gidx = jnp.arange(n, dtype=jnp.int32)
-    in_chunk = gidx % cb
-    resets = (in_chunk == 0) | (in_chunk == 4) | (in_chunk == 5)
-    dc_prev = jnp.where(resets, 0, dc_prev)
+    # DC predictions with per-restart-interval resets (T.81 E.2.4).
+    ldc = luma[:, 0]
+    ldc_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), ldc[:-1]])
+    lidx = jnp.arange(luma.shape[0], dtype=jnp.int32)
+    ldc_prev = jnp.where(lidx % (4 * r_mcus) == 0, 0, ldc_prev)
+    cdc = chroma.reshape(-1, 2, 64)[:, :, 0]   # (n_mcus, [U, V])
+    cdc_prev = jnp.concatenate(
+        [jnp.zeros((1, 2), jnp.int32), cdc[:-1]], axis=0)
+    midx = jnp.arange(cdc.shape[0], dtype=jnp.int32)
+    cdc_prev = jnp.where((midx % r_mcus == 0)[:, None], 0, cdc_prev)
 
-    is_luma = (gidx % 6) < 4
-    vals, lens = _units_for_blocks(blocks, dc_prev, is_luma)
+    lvals, llens = _units_for_blocks(luma, ldc_prev, True)
+    cvals, clens = _units_for_blocks(chroma, cdc_prev.reshape(-1), False)
+
+    # Re-interleave per-MCU: [4 luma, 2 chroma] unit rows.
+    vals = jnp.concatenate(
+        [lvals.reshape(-1, 4, 65), cvals.reshape(-1, 2, 65)],
+        axis=1).reshape(-1, 65)
+    lens = jnp.concatenate(
+        [llens.reshape(-1, 4, 65), clens.reshape(-1, 2, 65)],
+        axis=1).reshape(-1, 65)
+
     words, blen, overflow = _block_word_buffers(vals, lens)
     sw, clen, total = _rst_assemble(words, blen, cb)
     return sw, clen, total, overflow
@@ -463,8 +494,7 @@ def encode_gray_rst_stream(blocks_i16, r_mcus: int):
     dc_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), dc[:-1]])
     gidx = jnp.arange(n, dtype=jnp.int32)
     dc_prev = jnp.where(gidx % r_mcus == 0, 0, dc_prev)
-    is_luma = jnp.ones(n, bool)
-    vals, lens = _units_for_blocks(blocks, dc_prev, is_luma)
+    vals, lens = _units_for_blocks(blocks, dc_prev, True)
     words, blen, overflow = _block_word_buffers(vals, lens)
     sw, clen, total = _rst_assemble(words, blen, r_mcus)
     return sw, clen, total, overflow
