@@ -1,0 +1,499 @@
+"""JPEG Huffman entropy DECODING on the TPU for restart-interval
+streams.
+
+The host/CPU formulation (native/entropy.cpp, mirroring what the
+reference delegates to libjpeg's serial bit-reader,
+/root/reference/lib/src/jpegdecoderhelper.cpp:422) walks the bitstream
+one codeword at a time. That serial decode forces ~36 MB of decoded
+coefficients across the host<->device link per 4K frame. This module
+decodes ON the device instead, so only the ~1.5 MB entropy-coded bytes
+are uploaded.
+
+Key idea: streams this framework encodes carry restart markers every
+R MCUs (device_entropy.py). Each restart interval is byte-aligned,
+DC-prediction-reset and independent — so a 4K frame is ~12k intervals
+that decode in parallel lanes. Decoding within an interval is
+bit-serial, expressed as one jax.lax.while_loop whose body decodes one
+codeword per lane per step:
+
+  - the bitstream is pre-expanded (vectorized, once) into a
+    nibble-indexed window table W[(lane, n)] = 32 stream bits starting
+    at nibble n, so any bit position needs only ONE indexed read, and
+    a left shift of <=3 exposes >=29 valid bits (max codeword+extra is
+    16+11 = 27 for DC, 16+10 = 26 for AC);
+  - all per-lane indexed reads/writes use compare+select against an
+    iota instead of gather/scatter (XLA's TPU gather/scatter serialize
+    at ~19-31 ns per element; the select forms are dense VPU work);
+  - canonical Huffman decode is a select chain over the table's
+    left-aligned code boundaries (sorted ascending by construction),
+    evaluating luma+chroma variants with per-entry constant selects.
+
+Lanes that finish their interval (block count reached) freeze; the
+loop ends when every lane is done. Output is the dense per-interval
+coefficient array, reshaped to per-component block grids by static
+transposes — ready to fuse with dequant/IDCT and the gain-map apply in
+a single jit.
+
+Only streams whose Huffman tables are the Annex-K defaults (everything
+this framework encodes) take this path; callers must verify via
+`can_device_decode` and fall back to the host decoder otherwise.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import tables
+from .device_entropy import _build_code_table
+
+# ---------------------------------------------------------------------------
+# Decode chain constants: canonical left-aligned code boundaries.
+# ---------------------------------------------------------------------------
+
+
+def _chain_consts(bits, vals):
+    """Per-symbol (boundary, packed) arrays, ascending by boundary.
+
+    boundary = first 16-bit left-aligned codeword value for the symbol;
+    packed = (symbol << 5) | code_length. A peek16 maps to the LAST
+    entry whose boundary is <= peek16 (canonical codes partition the
+    code space in ascending order).
+    """
+    code, size = _build_code_table(bits, vals)
+    entries = []
+    for sym in range(256):
+        if size[sym]:
+            left = int(code[sym]) << (16 - int(size[sym]))
+            entries.append((left, (sym << 5) | int(size[sym])))
+    entries.sort()
+    bnd = np.asarray([e[0] for e in entries], np.uint32)
+    pck = np.asarray([e[1] for e in entries], np.uint32)
+    return bnd, pck
+
+
+_DC_L = _chain_consts(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS)
+_AC_L = _chain_consts(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS)
+_DC_C = _chain_consts(tables.DC_CHROMA_BITS, tables.DC_CHROMA_VALS)
+_AC_C = _chain_consts(tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS)
+
+
+def _eval_chain(peek16, consts):
+    """Single-table canonical decode: select chain over boundaries.
+    Returns packed (sym << 5 | len) u32."""
+    bnd, pck = consts
+    out = jnp.full(peek16.shape, np.uint32(pck[0]))
+    for i in range(1, len(bnd)):
+        out = jnp.where(peek16 >= np.uint32(bnd[i]), np.uint32(pck[i]),
+                        out)
+    return out
+
+
+def _eval_chain_pair(peek16, luma_consts, chroma_consts, is_luma):
+    """Two same-length tables (luma/chroma) fused into one chain with
+    per-entry constant selects."""
+    bl, pl = luma_consts
+    bc, pc = chroma_consts
+    assert len(bl) == len(bc)
+    out = jnp.where(is_luma, np.uint32(pl[0]), np.uint32(pc[0]))
+    for i in range(1, len(bl)):
+        b = jnp.where(is_luma, np.uint32(bl[i]), np.uint32(bc[i]))
+        p = jnp.where(is_luma, np.uint32(pl[i]), np.uint32(pc[i]))
+        out = jnp.where(peek16 >= b, p, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host prep: destuff + split the entropy segment at restart markers.
+# ---------------------------------------------------------------------------
+
+_LEN_BUCKETS = (48, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536,
+                2048, 3072, 4096, 6144, 8192)
+
+
+def _bucket_len(n: int) -> int:
+    for b in _LEN_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 8192) * 8192
+
+
+def split_rst_stream(entropy: bytes, n_chunks: int):
+    """Destuff and split an entropy-coded segment with RSTn markers
+    into an (n_chunks, L) u8 matrix (L bucketed for compile reuse).
+
+    The segment must contain only entropy data + RST markers (ending
+    before EOI). Returns the padded chunk matrix.
+    """
+    arr = np.frombuffer(entropy, np.uint8)
+    if arr.size == 0:
+        raise ValueError("empty entropy segment")
+    # 0xFF bytes are rare (~1%): classify only those instead of running
+    # full-array prev/next compares.
+    ff = np.flatnonzero(arr == 0xFF)
+    ff = ff[ff + 1 < arr.size]
+    nxt = arr[ff + 1]
+    rst_ff = ff[(nxt >= 0xD0) & (nxt <= 0xD7)]
+    stuff = ff[nxt == 0x00] + 1
+    n_found = rst_ff.size + 1
+    if n_found != n_chunks:
+        raise ValueError(
+            f"expected {n_chunks} restart intervals, found {n_found}")
+    keep = np.ones(arr.size, bool)
+    keep[rst_ff] = False
+    keep[rst_ff + 1] = False
+    keep[stuff] = False
+    data = arr[keep]
+    # Chunk k (destuffed) spans raw [rst_ff[k-1]+2, rst_ff[k]) minus
+    # the stuffed zeros inside that range.
+    raw_starts = np.concatenate([[0], rst_ff + 2])
+    raw_ends = np.concatenate([rst_ff, [arr.size]])
+    stuff_before_start = np.searchsorted(stuff, raw_starts)
+    stuff_before_end = np.searchsorted(stuff, raw_ends)
+    lens = ((raw_ends - raw_starts)
+            - (stuff_before_end - stuff_before_start))
+    if np.any(lens < 0):
+        raise ValueError("marker structure corrupt")
+    L = _bucket_len(int(lens.max()))
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    idx = (starts[:, None] + np.arange(L, dtype=np.int64)[None, :])
+    valid = np.arange(L)[None, :] < lens[:, None]
+    out = np.where(valid, data[np.minimum(idx, data.size - 1)],
+                   np.uint8(0))
+    return np.ascontiguousarray(out, np.uint8)
+
+
+def can_device_decode(segments, comps, restart_interval: int) -> bool:
+    """True when a parsed baseline JPEG uses the exact Annex-K Huffman
+    tables and a restart interval — the streams this framework's
+    encoder emits (device_entropy.py)."""
+    if restart_interval <= 0:
+        return False
+    want = {}
+    if len(comps) == 1:
+        want[(0, 0)] = (list(tables.DC_LUMA_BITS), list(tables.DC_LUMA_VALS))
+        want[(1, 0)] = (list(tables.AC_LUMA_BITS), list(tables.AC_LUMA_VALS))
+    else:
+        want[(0, 0)] = (list(tables.DC_LUMA_BITS), list(tables.DC_LUMA_VALS))
+        want[(1, 0)] = (list(tables.AC_LUMA_BITS), list(tables.AC_LUMA_VALS))
+        want[(0, 1)] = (list(tables.DC_CHROMA_BITS),
+                        list(tables.DC_CHROMA_VALS))
+        want[(1, 1)] = (list(tables.AC_CHROMA_BITS),
+                        list(tables.AC_CHROMA_VALS))
+    seen = {}
+    for seg in segments:
+        if seg.marker != 0xC4:
+            continue
+        p = seg.payload
+        pos = 0
+        while pos < len(p):
+            tc, th = p[pos] >> 4, p[pos] & 15
+            pos += 1
+            bits = list(p[pos:pos + 16])
+            pos += 16
+            nvals = sum(bits)
+            seen[(tc, th)] = (bits, list(p[pos:pos + nvals]))
+            pos += nvals
+    return all(seen.get(k) == v for k, v in want.items())
+
+
+# ---------------------------------------------------------------------------
+# Device kernel.
+# ---------------------------------------------------------------------------
+
+
+def _window_table(chunks_u8):
+    """(NC, L) u8 -> (NC, 2L) u32 nibble-indexed windows: entry n holds
+    the 32 stream bits starting at nibble n (zero-padded past the
+    end). Pure static shifts/slices — vectorized, runs once."""
+    nc, L = chunks_u8.shape
+    b = chunks_u8.astype(jnp.uint32)
+    z = jnp.zeros((nc, 4), jnp.uint32)
+    bp = jnp.concatenate([b, z], axis=1)
+    w = ((bp[:, :L] << 24) | (bp[:, 1:L + 1] << 16)
+         | (bp[:, 2:L + 2] << 8) | bp[:, 3:L + 3])
+    w_odd = (w << 4) | (bp[:, 4:L + 4] >> 4)
+    return jnp.stack([w, w_odd], axis=2).reshape(nc, 2 * L)
+
+
+def _select_read(table, idx):
+    """table[(lane, idx[lane])] without an XLA gather: compare+select
+    against a column iota (dense VPU work; gather serializes)."""
+    cols = jnp.arange(table.shape[1], dtype=jnp.int32)
+    return jnp.sum(jnp.where(cols[None, :] == idx[:, None], table, 0),
+                   axis=1, dtype=table.dtype)
+
+
+def _signed_extend(extra, nbits):
+    """JPEG F.2.2.1 EXTEND: map nbits-bit magnitude to signed value."""
+    half = jnp.where(nbits > 0, jnp.int32(1) << (nbits - 1).astype(
+        jnp.uint32).clip(0, 31).astype(jnp.int32), jnp.int32(1))
+    full = (jnp.int32(1) << nbits.astype(jnp.uint32).clip(0, 31).astype(
+        jnp.int32)) - 1
+    e = extra.astype(jnp.int32)
+    return jnp.where(nbits > 0,
+                     jnp.where(e < half, e - full, e), 0)
+
+
+def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool):
+    """Traceable device decode of restart-interval chunks.
+
+    chunks_u8: (NC, L) u8 destuffed interval bytes (zero-padded).
+    Returns (NC * r_mcus * bpm, 64) i16 MCU-ordered zigzag blocks
+    (bpm = 6 for 4:2:0, 1 for grayscale); trailing pad blocks (beyond
+    n_mcus) are zero.
+    """
+    nc, L = chunks_u8.shape
+    bpm = 1 if gray else 6
+    cb = bpm * r_mcus
+    W = _window_table(chunks_u8)
+    lane = jnp.arange(nc, dtype=jnp.int32)
+    last_mcus = n_mcus - r_mcus * (nc - 1)
+    target = jnp.where(lane < nc - 1, cb, bpm * last_mcus)
+    max_bits = L * 8
+    out_cols = jnp.arange(cb * 64, dtype=jnp.int32)[None, :]
+
+    # Emission upper bound: every coefficient + per-block DC/EOB/ZRL
+    # overhead, bounded by the bit budget (each unit costs >= 2 bits).
+    step_cap = max_bits // 2 + 2
+
+    def cond(state):
+        return jnp.any(~state[4])
+
+    def body(state):
+        bit, blk, k, dcp, done, out, nstep = state
+        w = _select_read(W, bit >> 2)
+        win = w << (bit & 3).astype(jnp.uint32)
+        peek = win >> 16
+
+        slot = blk % 6
+        is_luma = True if gray else slot < 4
+        is_dc = k == 0
+        if gray:
+            dc_pk = _eval_chain(peek, _DC_L)
+            ac_pk = _eval_chain(peek, _AC_L)
+        else:
+            dc_pk = _eval_chain_pair(peek, _DC_L, _DC_C, is_luma)
+            ac_pk = _eval_chain_pair(peek, _AC_L, _AC_C, is_luma)
+        pk = jnp.where(is_dc, dc_pk, ac_pk)
+        sym = (pk >> 5).astype(jnp.int32)
+        clen = (pk & 31).astype(jnp.int32)
+
+        nextra = jnp.where(is_dc, sym, sym & 15)
+        extra = jnp.where(
+            nextra > 0,
+            (win << clen.astype(jnp.uint32))
+            >> ((32 - nextra).astype(jnp.uint32) & 31), jnp.uint32(0))
+        val = _signed_extend(extra, nextra)
+
+        # --- DC unit ---
+        if gray:
+            comp = jnp.zeros_like(blk)
+            dc_pred = dcp[:, 0]
+        else:
+            comp = jnp.where(slot < 4, 0, slot - 3)
+            dc_pred = jnp.where(slot < 4, dcp[:, 0],
+                                jnp.where(slot == 4, dcp[:, 1],
+                                          dcp[:, 2]))
+        new_dc = dc_pred + val
+
+        # --- AC unit ---
+        is_eob = sym == 0
+        is_zrl = sym == 0xF0
+        run = sym >> 4
+        kk = jnp.minimum(k + run, 63)
+
+        emit = (~done) & (is_dc | ~(is_eob | is_zrl))
+        dest = jnp.where(is_dc, blk * 64, blk * 64 + kk)
+        eval_ = jnp.where(is_dc, new_dc, val)
+
+        blk_n = jnp.where(is_dc, blk,
+                          jnp.where(is_eob | (kk >= 63), blk + 1, blk))
+        k_n = jnp.where(is_dc, 1,
+                        jnp.where(is_eob | (kk >= 63), 0,
+                                  jnp.where(is_zrl, k + 16, kk + 1)))
+        bit_n = bit + clen + nextra
+
+        bit = jnp.where(done, bit, bit_n)
+        blk = jnp.where(done, blk, blk_n)
+        k = jnp.where(done, k, k_n)
+        if gray:
+            dcp = jnp.where((~done & is_dc)[:, None], new_dc[:, None],
+                            dcp)
+        else:
+            upd = (~done) & is_dc
+            for c in range(3):
+                dcp = dcp.at[:, c].set(
+                    jnp.where(upd & (comp == c), new_dc, dcp[:, c]))
+        out = jnp.where((out_cols == dest[:, None]) & emit[:, None],
+                        eval_.astype(jnp.int16)[:, None], out)
+        done = done | (blk >= target) | (bit > max_bits) \
+            | (nstep >= step_cap)
+        return bit, blk, k, dcp, done, out, nstep + 1
+
+    state = (jnp.zeros(nc, jnp.int32), jnp.zeros(nc, jnp.int32),
+             jnp.zeros(nc, jnp.int32), jnp.zeros((nc, 3), jnp.int32),
+             jnp.zeros(nc, bool), jnp.zeros((nc, cb * 64), jnp.int16),
+             jnp.int32(0))
+    out = jax.lax.while_loop(cond, body, state)[5]
+    return out.reshape(nc * r_mcus * bpm, 64)
+
+
+def deinterleave_yuv420_device(blocks, mcus_x: int, mcus_y: int):
+    """Inverse of device_entropy.interleave_blocks_device: MCU-ordered
+    [4Y, U, V] blocks -> per-component block grids (flattened row-major,
+    ready for dequant_idct). blocks may carry trailing pad MCUs."""
+    n = mcus_x * mcus_y
+    bm = blocks[: n * 6].reshape(n, 6, 64)
+    yb = bm[:, :4].reshape(mcus_y, mcus_x, 2, 2, 64)
+    yz = yb.transpose(0, 2, 1, 3, 4).reshape(mcus_y * 2 * mcus_x * 2, 64)
+    uz = bm[:, 4].reshape(mcus_y * mcus_x, 64)
+    vz = bm[:, 5].reshape(mcus_y * mcus_x, 64)
+    return yz, uz, vz
+
+
+# ---------------------------------------------------------------------------
+# Full-image entry: parse + prep on host, everything else device-side.
+# ---------------------------------------------------------------------------
+
+
+class DeviceStream:
+    """Host-parsed description of a device-decodable baseline JPEG."""
+
+    __slots__ = ("width", "height", "gray", "restart_interval", "chunks",
+                 "qtables", "icc", "exif", "xmp", "mcus_x", "mcus_y")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def parse_device_stream(data: bytes) -> DeviceStream | None:
+    """Parse a JPEG and return a DeviceStream when the bitstream is
+    device-decodable (baseline, Annex-K tables, restart intervals,
+    4:2:0 2x2/1x1/1x1 with MCU-aligned dims, or grayscale with
+    8-aligned dims); None otherwise."""
+    from ..container import jfif
+    from ..types import err
+
+    try:
+        segments, sos_end = jfif.scan_segments(data, 0)
+    except Exception:
+        return None
+    qtables = {}
+    comps = []
+    w = h = 0
+    restart = 0
+    icc = exif = xmp_b = None
+    progressive = False
+    nscans = 0
+    for seg in segments:
+        if seg.marker == 0xDB:
+            p = seg.payload
+            pos = 0
+            while pos < len(p):
+                pq, tq = p[pos] >> 4, p[pos] & 15
+                pos += 1
+                if pq == 0:
+                    zz = np.frombuffer(p[pos:pos + 64], np.uint8)
+                    pos += 64
+                else:
+                    zz = np.frombuffer(p[pos:pos + 128], ">u2")
+                    pos += 128
+                nat = np.zeros(64, np.int32)
+                nat[tables.ZIGZAG] = zz
+                qtables[tq] = nat.reshape(8, 8)
+        elif seg.marker in (0xC0, 0xC1):
+            p = seg.payload
+            if len(p) < 6 or len(p) < 6 + p[5] * 3:
+                return None
+            h = (p[1] << 8) | p[2]
+            w = (p[3] << 8) | p[4]
+            comps = [(p[6 + i * 3], p[7 + i * 3] >> 4, p[7 + i * 3] & 15,
+                      p[8 + i * 3]) for i in range(p[5])]
+        elif seg.marker == 0xC2:
+            progressive = True
+        elif seg.marker == 0xDD:
+            restart = int.from_bytes(seg.payload[:2], "big")
+        elif seg.marker == 0xDA:
+            nscans += 1
+        elif seg.marker == 0xE1:
+            if seg.payload.startswith(jfif.EXIF_SIG) and exif is None:
+                exif = seg.payload
+            elif seg.payload.startswith(jfif.XMP_SIG) and xmp_b is None:
+                xmp_b = seg.payload
+        elif seg.marker == 0xE2:
+            if seg.payload.startswith(jfif.ICC_SIG) and icc is None:
+                icc = seg.payload
+    if progressive or nscans != 1 or not comps or w == 0 or h == 0:
+        return None
+    if len(comps) == 1:
+        gray = True
+        if comps[0][1:3] != (1, 1):
+            return None
+        mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    elif len(comps) == 3:
+        gray = False
+        if [c[1:3] for c in comps] != [(2, 2), (1, 1), (1, 1)]:
+            return None
+        mcus_x, mcus_y = -(-w // 16), -(-h // 16)
+    else:
+        return None
+    if not can_device_decode(segments, comps, restart):
+        return None
+    if any(c[3] not in qtables for c in comps):
+        return None
+
+    eoi = data.find(b"\xff\xd9", sos_end)
+    entropy = data[sos_end:eoi if eoi >= 0 else len(data)]
+    n_mcus = mcus_x * mcus_y
+    n_chunks = -(-n_mcus // restart)
+    try:
+        chunks = split_rst_stream(entropy, n_chunks)
+    except ValueError:
+        return None
+    return DeviceStream(
+        width=w, height=h, gray=gray, restart_interval=restart,
+        chunks=chunks, qtables=[qtables[c[3]] for c in comps],
+        icc=icc, exif=exif, xmp=xmp_b, mcus_x=mcus_x, mcus_y=mcus_y)
+
+
+@lru_cache(maxsize=None)
+def _decode_to_planes_kernel(nc: int, L: int, r: int, n_mcus: int,
+                             mcus_x: int, mcus_y: int, gray: bool,
+                             qkey: bytes):
+    """Jitted chunks -> pixel planes (entropy decode + dequant/IDCT)."""
+    from .dct import dequant_idct
+
+    qts = np.frombuffer(qkey, np.int32).reshape(-1, 8, 8)
+
+    @jax.jit
+    def kernel(chunks):
+        blocks = decode_rst_chunks(chunks, r, n_mcus, gray)
+        if gray:
+            return (dequant_idct(blocks[: n_mcus], qts[0], mcus_y * 8,
+                                 mcus_x * 8),)
+        yz, uz, vz = deinterleave_yuv420_device(blocks, mcus_x, mcus_y)
+        y = dequant_idct(yz, qts[0], mcus_y * 16, mcus_x * 16)
+        u = dequant_idct(uz, qts[1], mcus_y * 8, mcus_x * 8)
+        v = dequant_idct(vz, qts[2], mcus_y * 8, mcus_x * 8)
+        return y, u, v
+
+    return kernel
+
+
+def decode_jpeg_device(data: bytes):
+    """Decode a device-decodable JPEG fully on device; returns
+    (DeviceStream, tuple of device pixel planes) or None if the
+    bitstream doesn't qualify."""
+    ds = parse_device_stream(data)
+    if ds is None:
+        return None
+    qkey = np.stack(ds.qtables).astype(np.int32).tobytes()
+    kernel = _decode_to_planes_kernel(
+        ds.chunks.shape[0], ds.chunks.shape[1], ds.restart_interval,
+        ds.mcus_x * ds.mcus_y, ds.mcus_x, ds.mcus_y, ds.gray, qkey)
+    return ds, kernel(jnp.asarray(ds.chunks))

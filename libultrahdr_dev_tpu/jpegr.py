@@ -36,6 +36,20 @@ _GAMUT = {ColorGamut.BT709: "bt709", ColorGamut.P3: "p3",
           ColorGamut.BT2100: "bt2100"}
 _TF = {ColorTransfer.LINEAR: "linear", ColorTransfer.HLG: "hlg",
        ColorTransfer.PQ: "pq"}
+_OUT_PIXEL_FMT = {
+    OutputFormat.SDR: PixelFormat.RGBA8888,
+    OutputFormat.HDR_LINEAR: PixelFormat.RGBA_F16,
+    OutputFormat.HDR_PQ: PixelFormat.RGBA1010102,
+    OutputFormat.HDR_HLG: PixelFormat.RGBA1010102,
+    OutputFormat.HDR_LINEAR_RGB_10BIT: PixelFormat.RGB_10BIT_PLANAR,
+}
+_OUT_TRANSFER = {
+    OutputFormat.SDR: ColorTransfer.UNSPECIFIED,
+    OutputFormat.HDR_LINEAR: ColorTransfer.LINEAR,
+    OutputFormat.HDR_PQ: ColorTransfer.PQ,
+    OutputFormat.HDR_HLG: ColorTransfer.HLG,
+    OutputFormat.HDR_LINEAR_RGB_10BIT: ColorTransfer.LINEAR,
+}
 
 
 def _validate_p010(img: RawImage):
@@ -81,6 +95,49 @@ def _compress_base(y8, u8, v8, gamut: str, quality: int) -> bytes:
     return codec.encode_jpeg(
         {"y": np.asarray(y8), "u": np.asarray(u8), "v": np.asarray(v8)},
         quality=quality, icc=icc)
+
+
+@lru_cache(maxsize=None)
+def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
+                             r_base: int, r_gm: int, w: int, h: int,
+                             bmx: int, bmy: int, gmx: int, gmy: int,
+                             gw: int, gh: int, scale: int,
+                             use_luts: bool, qkey: bytes):
+    """Fully-on-device decode: parallel RST entropy decode of the base
+    (and gain map) bitstreams + dequant/IDCT + gain-map apply (or SDR
+    conversion), one jit, one ~1.5 MB u8 upload. See
+    jpeg/device_decode.py for the entropy-decode formulation."""
+    from .jpeg.dct import dequant_idct
+    from .jpeg.device_decode import (decode_rst_chunks,
+                                     deinterleave_yuv420_device)
+
+    qts = np.frombuffer(qkey, np.int32).reshape(-1, 8, 8)
+    ql, qc, qg = qts[0], qts[1], qts[2]
+    nb = int(np.prod(base_shape))
+    n_mcus = bmx * bmy
+    g_mcus = gmx * gmy
+
+    @jax.jit
+    def kernel(combined_u8, scalars):
+        bch = combined_u8[:nb].reshape(base_shape)
+        blocks = decode_rst_chunks(bch, r_base, n_mcus, gray=False)
+        yz, uz, vz = deinterleave_yuv420_device(blocks, bmx, bmy)
+        y8 = dequant_idct(yz, ql, bmy * 16, bmx * 16)[:h, :w]
+        u8 = dequant_idct(uz, qc, bmy * 8, bmx * 8)[:(h + 1) // 2,
+                                                    :(w + 1) // 2]
+        v8 = dequant_idct(vz, qc, bmy * 8, bmx * 8)[:(h + 1) // 2,
+                                                    :(w + 1) // 2]
+        if output_format == "sdr":
+            return gm.yuv420_to_rgba8888(y8, u8, v8)
+        gch = combined_u8[nb:].reshape(gm_shape)
+        gblocks = decode_rst_chunks(gch, r_gm, g_mcus, gray=True)
+        gmap = dequant_idct(gblocks[:g_mcus], qg, gmy * 8,
+                            gmx * 8)[:gh, :gw]
+        apply_k = gm._apply_kernel(output_format, scale, use_luts)
+        return apply_k(y8, u8, v8, gmap, scalars[0], scalars[1],
+                       scalars[2], scalars[3])
+
+    return kernel
 
 
 @lru_cache(maxsize=None)
@@ -285,6 +342,97 @@ class JpegR:
     # Probe / decode
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _check_gainmap_metadata(metadata: GainMapMetadata):
+        """Decode-side metadata restrictions (ultrahdr.cpp:369-406)."""
+        if metadata.version != "1.0":
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      f"unsupported metadata version {metadata.version}")
+        if metadata.gamma != 1.0 or metadata.offset_sdr != 0.0 \
+                or metadata.offset_hdr != 0.0:
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      "unsupported gamma/offsets")
+        if (metadata.hdr_capacity_min != metadata.min_content_boost
+                or metadata.hdr_capacity_max != metadata.max_content_boost):
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      "hdr capacity != content boost")
+
+    def _decode_device_path(self, primary_bytes: bytes,
+                            gainmap_bytes: bytes,
+                            output_format: OutputFormat,
+                            max_display_boost: float,
+                            use_luts: bool) -> "JpegRDecodeResult | None":
+        """Fully-on-device decode for bitstreams this framework encodes
+        (baseline, Annex-K tables, restart intervals): entropy decode +
+        IDCT + apply in one jit, one small upload. Returns None when
+        either bitstream doesn't qualify (caller falls back to the host
+        Huffman path)."""
+        from .jpeg import device_decode as dd
+
+        ds = dd.parse_device_stream(primary_bytes)
+        if ds is None or ds.gray:
+            return None
+        dsg = dd.parse_device_stream(gainmap_bytes)
+        if dsg is None or not dsg.gray:
+            return None
+        if dsg.xmp is None:
+            raise err("UHDR_CODEC_ERROR", "gain map carries no XMP")
+        metadata = xmp.get_metadata_from_xmp(dsg.xmp)
+
+        w, h = ds.width, ds.height
+        gw, gh = dsg.width, dsg.height
+        result = JpegRDecodeResult(width=w, height=h)
+        result.exif = ds.exif
+        result.icc = ds.icc
+        if ds.icc is not None:
+            g = icc_mod.read_icc_color_gamut(ds.icc)
+            result.gamut = (ColorGamut(g) if g != "unspecified"
+                            else ColorGamut.UNSPECIFIED)
+
+        qkey = np.stack([ds.qtables[0], ds.qtables[1],
+                         dsg.qtables[0]]).astype(np.int32).tobytes()
+        combined = np.concatenate([ds.chunks.ravel(),
+                                   dsg.chunks.ravel()])
+
+        if output_format == OutputFormat.SDR:
+            kernel = _fused_decode_kernel_dev(
+                "sdr", ds.chunks.shape, dsg.chunks.shape,
+                ds.restart_interval, dsg.restart_interval, w, h,
+                ds.mcus_x, ds.mcus_y, dsg.mcus_x, dsg.mcus_y, gw, gh, 1,
+                bool(use_luts), qkey)
+            rgba = kernel(combined, np.zeros(4, np.float32))
+            result.image = RawImage(
+                fmt=PixelFormat.RGBA8888, width=w, height=h,
+                gamut=result.gamut, planes={"rgba": rgba})
+            return result
+
+        result.metadata = metadata
+        if w % gw or h % gh or (w * gh != h * gw):
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      f"non-integer map scale {w}x{h} vs {gw}x{gh}")
+        scale = w // gw
+        self._check_gainmap_metadata(metadata)
+
+        display_boost = min(max_display_boost, metadata.max_content_boost)
+        boost_factor = (display_boost / metadata.max_content_boost
+                        if display_boost > 0 else 1.0)
+        kernel = _fused_decode_kernel_dev(
+            output_format.value, ds.chunks.shape, dsg.chunks.shape,
+            ds.restart_interval, dsg.restart_interval, w, h,
+            ds.mcus_x, ds.mcus_y, dsg.mcus_x, dsg.mcus_y, gw, gh, scale,
+            bool(use_luts), qkey)
+        scalars = np.asarray(
+            [math.log2(metadata.min_content_boost),
+             math.log2(metadata.max_content_boost),
+             boost_factor, display_boost], np.float32)
+        out = kernel(combined, scalars)
+        result._gainmap_parts = ("device", dsg)
+        result.image = RawImage(
+            fmt=_OUT_PIXEL_FMT[output_format], width=w, height=h,
+            gamut=result.gamut, transfer=_OUT_TRANSFER[output_format],
+            planes={"rgba": out})
+        return result
+
     def get_info(self, jpegr_bytes: bytes) -> "JpegRInfo":
         """Container split + header parse without pixel decode
         (jpegr.cpp:624-653 getJPEGRInfo)."""
@@ -312,8 +460,17 @@ class JpegR:
                       f"bad max_display_boost {max_display_boost}")
         primary_bytes, gainmap_bytes = \
             mux.extract_primary_and_gainmap(jpegr_bytes)
+
+        fast = self._decode_device_path(primary_bytes, gainmap_bytes,
+                                        output_format, max_display_boost,
+                                        use_luts)
+        if fast is not None:
+            return fast
+
         base = codec.decode_jpeg_coefs(primary_bytes)
-        if base.ncomp != 3 or base.comps[0][4] != (2, 2):
+        if (base.ncomp != 3 or base.comps[0][4] != (2, 2)
+                or base.comps[1][4] != (1, 1)
+                or base.comps[2][4] != (1, 1)):
             raise err("UHDR_CODEC_ERROR", "base image is not YCbCr 4:2:0")
 
         result = JpegRDecodeResult(width=base.width, height=base.height)
@@ -359,17 +516,7 @@ class JpegR:
             raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
                       f"non-integer map scale {w}x{h} vs {gw}x{gh}")
         scale = w // gw
-        if metadata.version != "1.0":
-            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
-                      f"unsupported metadata version {metadata.version}")
-        if metadata.gamma != 1.0 or metadata.offset_sdr != 0.0 \
-                or metadata.offset_hdr != 0.0:
-            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
-                      "unsupported gamma/offsets")
-        if (metadata.hdr_capacity_min != metadata.min_content_boost
-                or metadata.hdr_capacity_max != metadata.max_content_boost):
-            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
-                      "hdr capacity != content boost")
+        self._check_gainmap_metadata(metadata)
 
         display_boost = min(max_display_boost, metadata.max_content_boost)
         boost_factor = (display_boost / metadata.max_content_boost
@@ -388,19 +535,10 @@ class JpegR:
         # Gain map plane (get_gain_map_image) is derived lazily — it
         # costs an extra device round trip most callers never need.
         result._gainmap_parts = (gg, qg, gh, gw)
-        fmt = {OutputFormat.HDR_LINEAR: PixelFormat.RGBA_F16,
-               OutputFormat.HDR_PQ: PixelFormat.RGBA1010102,
-               OutputFormat.HDR_HLG: PixelFormat.RGBA1010102,
-               OutputFormat.HDR_LINEAR_RGB_10BIT: PixelFormat.RGBA1010102,
-               }[output_format]
         result.image = RawImage(
-            fmt=fmt, width=base.width, height=base.height,
-            gamut=result.gamut, transfer={
-                OutputFormat.HDR_LINEAR: ColorTransfer.LINEAR,
-                OutputFormat.HDR_PQ: ColorTransfer.PQ,
-                OutputFormat.HDR_HLG: ColorTransfer.HLG,
-                OutputFormat.HDR_LINEAR_RGB_10BIT: ColorTransfer.LINEAR,
-            }[output_format],
+            fmt=_OUT_PIXEL_FMT[output_format], width=base.width,
+            height=base.height, gamut=result.gamut,
+            transfer=_OUT_TRANSFER[output_format],
             planes={"rgba": out})  # device array; host reads on demand
         return result
 
@@ -433,11 +571,24 @@ class JpegRDecodeResult:
     def gainmap(self) -> np.ndarray | None:
         """Decoded u8 gain-map plane, reconstructed on first access."""
         if self._gainmap_cache is None and self._gainmap_parts is not None:
-            from .jpeg.dct import dequant_idct
-            gg, qg, gh, gw = self._gainmap_parts
-            self._gainmap_cache = np.asarray(dequant_idct(
-                gg.reshape(-1, 64), qg, gg.shape[0] * 8,
-                gg.shape[1] * 8))[:gh, :gw]
+            if isinstance(self._gainmap_parts[0], str):
+                from .jpeg import device_decode as dd
+                dsg = self._gainmap_parts[1]
+                qkey = np.stack([dsg.qtables[0]]).astype(
+                    np.int32).tobytes()
+                kernel = dd._decode_to_planes_kernel(
+                    dsg.chunks.shape[0], dsg.chunks.shape[1],
+                    dsg.restart_interval, dsg.mcus_x * dsg.mcus_y,
+                    dsg.mcus_x, dsg.mcus_y, True, qkey)
+                plane = kernel(np.asarray(dsg.chunks))[0]
+                self._gainmap_cache = np.asarray(
+                    plane)[:dsg.height, :dsg.width]
+            else:
+                from .jpeg.dct import dequant_idct
+                gg, qg, gh, gw = self._gainmap_parts
+                self._gainmap_cache = np.asarray(dequant_idct(
+                    gg.reshape(-1, 64), qg, gg.shape[0] * 8,
+                    gg.shape[1] * 8))[:gh, :gw]
         return self._gainmap_cache
 
     @gainmap.setter

@@ -400,17 +400,96 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
         out.append(mux.append_gainmap(base, gmap, metadata))
     return out
 
+def _batched_decode_device(blobs, output_format: str,
+                           max_display_boost: float, mesh: Mesh,
+                           use_luts: bool):
+    """Batched fully-on-device decode (parallel RST entropy decode +
+    IDCT + apply, one vmapped jit) for blobs this framework encoded.
+    Returns None when any blob's bitstreams don't qualify."""
+    import math
+
+    from ..container import mux, xmp
+    from ..jpeg import device_decode as dd
+    from ..jpegr import _fused_decode_kernel_dev
+
+    parsed = []
+    for blob in blobs:
+        primary, gmap = mux.extract_primary_and_gainmap(blob)
+        ds = dd.parse_device_stream(primary)
+        dsg = dd.parse_device_stream(gmap)
+        if ds is None or ds.gray or dsg is None or not dsg.gray \
+                or dsg.xmp is None:
+            return None
+        parsed.append((ds, dsg))
+
+    ds0, dsg0 = parsed[0]
+    geom = (ds0.width, ds0.height, ds0.chunks.shape[0],
+            dsg0.chunks.shape[0], ds0.restart_interval,
+            dsg0.restart_interval)
+    for ds, dsg in parsed[1:]:
+        if (ds.width, ds.height, ds.chunks.shape[0],
+                dsg.chunks.shape[0], ds.restart_interval,
+                dsg.restart_interval) != geom:
+            return None
+
+    # Unify the (bucketed) chunk byte widths across the batch.
+    Lb = max(ds.chunks.shape[1] for ds, _ in parsed)
+    Lg = max(dsg.chunks.shape[1] for _, dsg in parsed)
+
+    def padw(m, L):
+        return np.pad(m, ((0, 0), (0, L - m.shape[1])))
+
+    combined = np.stack([
+        np.concatenate([padw(ds.chunks, Lb).ravel(),
+                        padw(dsg.chunks, Lg).ravel()])
+        for ds, dsg in parsed])
+
+    metadata = xmp.get_metadata_from_xmp(dsg0.xmp)
+    w, h = ds0.width, ds0.height
+    gw, gh = dsg0.width, dsg0.height
+    qkey = np.stack([ds0.qtables[0], ds0.qtables[1],
+                     dsg0.qtables[0]]).astype(np.int32).tobytes()
+    kernel = _fused_decode_kernel_dev(
+        output_format, (ds0.chunks.shape[0], Lb),
+        (dsg0.chunks.shape[0], Lg), ds0.restart_interval,
+        dsg0.restart_interval, w, h, ds0.mcus_x, ds0.mcus_y,
+        dsg0.mcus_x, dsg0.mcus_y, gw, gh, w // gw, bool(use_luts), qkey)
+
+    display_boost = min(max_display_boost, metadata.max_content_boost)
+    boost_factor = (display_boost / metadata.max_content_boost
+                    if display_boost > 0 else 1.0)
+    scalars = np.asarray(
+        [math.log2(metadata.min_content_boost),
+         math.log2(metadata.max_content_boost),
+         boost_factor, display_boost], np.float32)
+
+    spec = _batch_sharding(mesh)
+
+    @partial(jax.jit, in_shardings=(spec, None), out_shardings=spec)
+    def batch_kernel(combined_batch, sc):
+        return jax.vmap(lambda c: kernel(c, sc))(combined_batch)
+
+    return batch_kernel(combined, scalars)
+
+
 def batched_decode(blobs, output_format: str, max_display_boost: float,
                    mesh: Mesh, use_luts: bool = False):
     """Decode N same-geometry JPEG/R blobs with one batched device
-    dispatch: host Huffman decode per blob (sequential C++), then a
-    single vmapped fused dequant/IDCT/apply kernel over the mesh.
-    Returns a device array stacked on axis 0 (callers materialize)."""
+    dispatch. Streams this framework encoded take the fully-on-device
+    path (parallel RST entropy decode); foreign streams fall back to
+    host Huffman decode (sequential C++) + a vmapped fused
+    dequant/IDCT/apply kernel. Returns a device array stacked on axis 0
+    (callers materialize)."""
     import math
 
     from ..container import mux, xmp
     from ..jpeg import codec
     from ..jpegr import _fused_decode_kernel
+
+    fast = _batched_decode_device(blobs, output_format,
+                                  max_display_boost, mesh, use_luts)
+    if fast is not None:
+        return fast
 
     coefs = []
     metadata = None

@@ -70,6 +70,7 @@ class PixelFormat(enum.Enum):
     RGBA8888 = "rgba8888"
     RGBA_F16 = "rgbaf16"
     RGBA1010102 = "rgba1010102"
+    RGB_10BIT_PLANAR = "rgb10planar"  # (3, H, W) u16, 10-bit values
 
 
 class UhdrError(Exception):

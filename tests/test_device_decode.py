@@ -1,0 +1,109 @@
+"""Device-side RST entropy decode (jpeg/device_decode.py): bit-exact
+parity with the host Huffman decoder on streams this framework encodes,
+plus qualification/fallback behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from libultrahdr_dev_tpu.container import mux
+from libultrahdr_dev_tpu.jpeg import codec, device_decode as dd
+from libultrahdr_dev_tpu.jpegr import JpegR
+from libultrahdr_dev_tpu.parallel import sharding
+from libultrahdr_dev_tpu.types import OutputFormat
+
+
+def _encode_one(H, W, seed=0):
+    rng = np.random.default_rng(seed)
+    y10 = rng.integers(64, 940, (H, W)).astype(np.uint16) << 6
+    uv = rng.integers(64, 960, (H // 2, W)).astype(np.uint16) << 6
+    mesh = sharding.default_mesh(jax.devices()[:1])
+    return sharding.batched_encode_api0(y10[None], uv[None], mesh)[0]
+
+
+@pytest.fixture(scope="module")
+def blob():
+    return _encode_one(144, 208)
+
+
+def test_primary_planes_bit_exact(blob):
+    primary, _ = mux.extract_primary_and_gainmap(blob)
+    ref = codec.decode_jpeg(primary)
+    ds, planes = dd.decode_jpeg_device(primary)
+    assert not ds.gray
+    for p, rp in zip(planes, ref.planes):
+        a = np.asarray(p)[: rp.shape[0], : rp.shape[1]]
+        assert np.array_equal(a, rp)
+
+
+def test_gainmap_plane_bit_exact(blob):
+    _, gmap = mux.extract_primary_and_gainmap(blob)
+    ref = codec.decode_jpeg(gmap)
+    ds, planes = dd.decode_jpeg_device(gmap)
+    assert ds.gray
+    a = np.asarray(planes[0])[: ref.planes[0].shape[0],
+                              : ref.planes[0].shape[1]]
+    assert np.array_equal(a, ref.planes[0])
+
+
+@pytest.mark.parametrize("fmt", [OutputFormat.HDR_LINEAR,
+                                 OutputFormat.HDR_HLG,
+                                 OutputFormat.SDR])
+def test_full_decode_matches_host_path(blob, fmt):
+    jr = JpegR()
+    res_dev = jr.decode(blob, fmt, max_display_boost=1000 / 203)
+    orig = JpegR._decode_device_path
+    try:
+        JpegR._decode_device_path = lambda self, *a, **k: None
+        res_host = jr.decode(blob, fmt, max_display_boost=1000 / 203)
+    finally:
+        JpegR._decode_device_path = orig
+    a = np.asarray(res_dev.image.planes["rgba"])
+    b = np.asarray(res_host.image.planes["rgba"])
+    assert np.array_equal(a, b)
+    assert res_dev.image.fmt == res_host.image.fmt
+    if fmt != OutputFormat.SDR:
+        assert np.array_equal(res_dev.gainmap, res_host.gainmap)
+
+
+def test_foreign_stream_does_not_qualify():
+    # No restart interval -> host fallback (returns None).
+    gray = np.tile(np.arange(64, dtype=np.uint8), (64, 1))
+    jpg = codec.encode_jpeg({"y": gray}, quality=85)
+    assert dd.parse_device_stream(jpg) is None
+
+
+def test_batched_decode_device_path(blob):
+    blobs = [blob, _encode_one(144, 208, seed=1)]
+    mesh = sharding.default_mesh(jax.devices()[:1])
+    out = sharding._batched_decode_device(blobs, "hdr_hlg", 1000 / 203,
+                                          mesh, False)
+    assert out is not None
+    jr = JpegR()
+    for i, b in enumerate(blobs):
+        ref = jr.decode(b, OutputFormat.HDR_HLG,
+                        max_display_boost=1000 / 203)
+        a = np.asarray(out[i])
+        r = np.asarray(ref.image.planes["rgba"])
+        # The batched (vmapped) and single compilations may fuse float
+        # ops differently; allow 1-code rounding flips on a handful of
+        # pixels, matching test_parallel's batched-vs-serial tolerance.
+        for shift in (0, 10, 20):
+            ca = (a >> shift) & 0x3FF
+            cr = (r >> shift) & 0x3FF
+            diff = np.abs(ca.astype(int) - cr.astype(int))
+            assert diff.max() <= 1
+            assert np.mean(diff != 0) < 1e-3
+
+
+def test_truncated_stream_terminates():
+    # Corrupt/truncated entropy data must not hang the while_loop.
+    blob = _encode_one(96, 160, seed=2)
+    primary, _ = mux.extract_primary_and_gainmap(blob)
+    cut = primary[: len(primary) * 2 // 3]
+    ds = dd.parse_device_stream(cut + b"\xff\xd9")
+    if ds is not None:
+        kernel_in = dd.decode_jpeg_device(cut + b"\xff\xd9")
+        # Any result (including garbage planes) is fine; must return.
+        assert kernel_in is None or len(kernel_in) == 2
