@@ -12,18 +12,25 @@ decode at 1280x720 (BASELINE.md); scaled by pixel count to 4080x3072
 (13.6x) -> 1911 ms/frame for encode+decode on one x86 core.
 
 Decode output is RGBA1010102/HLG (one of the reference benchmark's
-decode configs). NOTE: in this harness the chip is reached through a
-relay capped at ~40 MB/s device->host, so the decoded-pixel readback
-(~50 MB/frame) — not TPU compute (<1 ms/frame) — sets the floor;
-encode avoids that wall by entropy-encoding on device and shipping
-only the ~1.5 MB bitstream.
+decode configs). NOTE: in this harness the chip sits behind a relay
+whose throughput fluctuates between ~13 and ~45 MB/s in BOTH
+directions, so the headline (host pixels in, host pixels out) is
+link-bound: ~23.5 MB packed P010 upload per encode and ~50 MB decoded
+pixel readback per decode. The TPU itself is >10x faster than that:
+the detail block reports device-compute times (encode ~125 ms/frame,
+decode ~45 ms/frame including on-device Huffman decode of the restart
+streams) and the measured link speed for normalization.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_4K_MS = 1911.0
 W, H = 4080, 3072
@@ -51,43 +58,34 @@ def synth_p010(h, w, seed=0):
 def main():
     import jax
 
-    from libultrahdr_dev_tpu.jpegr import JpegR
     from libultrahdr_dev_tpu.parallel import sharding
-    from libultrahdr_dev_tpu.types import OutputFormat
 
     dev = jax.devices()[0]
     mesh = sharding.default_mesh(jax.devices()[:1])
-    jr = JpegR()
+    boost = 1000 / 203
 
     ys = np.stack([synth_p010(H, W, seed=i)[0] for i in range(FRAMES)])
     uvs = np.stack([synth_p010(H, W, seed=i)[1] for i in range(FRAMES)])
+
+    def sync(x):
+        leaf = jax.tree_util.tree_leaves(x)[-1]
+        np.asarray(leaf[(0,) * leaf.ndim])
 
     def encode_all():
         return sharding.batched_encode_api0(ys, uvs, mesh)
 
     def decode_all(blobs):
-        results = []
-        for b in blobs:
-            res = jr.decode(b, OutputFormat.HDR_HLG,
-                            max_display_boost=1000 / 203)
-            arr = res.image.planes["rgba"]
-            # Start the device->host copy now so it overlaps the next
-            # frame's host-side Huffman decode.
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:
-                pass
-            results.append(arr)
-        return [np.asarray(a) for a in results]
+        out = sharding.batched_decode(blobs, "hdr_hlg", boost, mesh)
+        return np.asarray(out)
 
     # Warmup: compiles all 4K kernels + absorbs the first-transfer cost.
     blobs = encode_all()
-    decode_all(blobs[:1])
+    decode_all(blobs)
 
     # The relay link's throughput fluctuates 2-4x between runs; take
-    # the best of two measurement rounds.
+    # the best of three measurement rounds.
     enc = dec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         blobs = encode_all()
         t1 = time.perf_counter()
@@ -99,19 +97,42 @@ def main():
 
     # Decode-to-device (TPU-serving path: consumers read the decoded
     # planes on device, no host materialization).
-    t0 = time.perf_counter()
-    for b in blobs:
-        res = jr.decode(b, OutputFormat.HDR_HLG,
-                        max_display_boost=1000 / 203)
-        jax.block_until_ready(res.image.planes["rgba"])
-    dec_dev = (time.perf_counter() - t0) * 1000 / FRAMES
+    dec_dev = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = sharding.batched_decode(blobs, "hdr_hlg", boost, mesh)
+        sync(out)
+        dec_dev = min(dec_dev, (time.perf_counter() - t0) * 1000 / FRAMES)
 
-    # Context: measured link bandwidth (d2h dominates decode).
-    probe = jax.device_put(np.zeros(8 << 20, np.uint8))
-    jax.block_until_ready(probe)
+    # Device-compute-only times (inputs resident, outputs unsynced save
+    # a single element): isolates TPU work from the relay.
+    from libultrahdr_dev_tpu.jpeg.device_entropy import DEFAULT_CHUNK_CAP
+
+    kernel, _ = sharding._batched_encode_to_streams_rst(
+        mesh, "bt2100", "hlg", 95, H, W, DEFAULT_CHUNK_CAP)
+    packed = (*sharding.pack_p010_host(ys), *sharding.pack_p010_host(uvs))
+    dp = [jax.device_put(p) for p in packed]
+    sync(dp)
+    kout = kernel(*dp)
+    sync(kout)
+    enc_kernel = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        kout = kernel(*dp)
+        sync(kout)
+        enc_kernel = min(enc_kernel,
+                         (time.perf_counter() - t0) * 1000 / FRAMES)
+
+    # Context: measured link bandwidth (both directions fluctuate).
+    probe = np.zeros(8 << 20, np.uint8)
     t0 = time.perf_counter()
-    np.asarray(probe)
+    d = jax.device_put(probe)
+    sync(d)
+    h2d_mbps = 8.0 / max(time.perf_counter() - t0, 1e-9)
+    t0 = time.perf_counter()
+    np.asarray(d)
     d2h_mbps = 8.0 / max(time.perf_counter() - t0, 1e-9)
+
     result = {
         "metric": "4k_jpegr_encode_decode",
         "value": round(total, 2),
@@ -121,16 +142,20 @@ def main():
             "encode_ms_per_frame": round(enc, 2),
             "decode_ms_per_frame": round(dec, 2),
             "decode_to_device_ms_per_frame": round(dec_dev, 2),
+            "encode_device_compute_ms_per_frame": round(enc_kernel, 2),
             "frames": FRAMES,
             "device": str(dev),
             "jpegr_bytes": len(blobs[0]),
+            "h2d_MBps": round(h2d_mbps, 1),
             "d2h_MBps": round(d2h_mbps, 1),
-            "note": "decode floor = 50MB/frame pixel readback over the "
-                    "harness's ~20-40MB/s device->host relay; device "
-                    "compute is ~2ms/frame",
+            "note": "headline is link-bound on this harness: 23.5MB "
+                    "packed P010 upload per encode + 50MB pixel "
+                    "readback per decode over a 13-45MB/s relay; "
+                    "device compute is ~125ms encode / ~45ms decode "
+                    "per 4K frame (entropy coding on device both ways)",
         },
     }
-    assert all(p.shape == (H, W) for p in pixels)
+    assert pixels.shape == (FRAMES, H, W)
     print(json.dumps(result))
 
 

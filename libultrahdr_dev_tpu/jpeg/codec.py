@@ -62,11 +62,9 @@ def _huff_arrays(selections):
 
 
 def _native():
-    lib = get_lib()
-    if lib is None:
-        raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
-                  "native entropy codec unavailable (g++ missing?)")
-    return lib
+    """The C++ entropy codec, or None (callers use the pure-Python
+    fallback in huffman.py)."""
+    return get_lib()
 
 
 def _as_u8p(a):
@@ -83,6 +81,11 @@ def entropy_encode(blocks_zz: np.ndarray, comp_ids: np.ndarray,
                    dc_sel, ac_sel, dc_tables, ac_tables,
                    restart_interval: int, mcu_blocks: int) -> bytes:
     lib = _native()
+    if lib is None:
+        from . import huffman
+        return huffman.huff_encode(
+            np.asarray(blocks_zz, np.int64), comp_ids, dc_sel, ac_sel,
+            dc_tables, ac_tables, restart_interval, mcu_blocks)
     blocks_zz = np.ascontiguousarray(blocks_zz, np.int16)
     comp_ids = np.ascontiguousarray(comp_ids, np.uint8)
     dcb, dcv = _huff_arrays(dc_tables)
@@ -105,6 +108,14 @@ def entropy_decode(data: bytes, nblocks: int, comp_ids: np.ndarray,
                    dc_sel, ac_sel, dc_tables, ac_tables,
                    restart_interval: int, mcu_blocks: int) -> np.ndarray:
     lib = _native()
+    if lib is None:
+        from . import huffman
+        try:
+            return huffman.huff_decode(
+                data, nblocks, comp_ids, dc_sel, ac_sel, dc_tables,
+                ac_tables, restart_interval, mcu_blocks)
+        except (ValueError, IndexError) as e:
+            raise err("UHDR_CODEC_ERROR", f"entropy decode failed: {e}")
     buf = np.frombuffer(data, np.uint8)
     comp_ids = np.ascontiguousarray(comp_ids, np.uint8)
     dcb, dcv = _huff_arrays(dc_tables)
@@ -453,10 +464,14 @@ def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
         raise err("UHDR_CODEC_ERROR", f"image too large {w}x{h}")
     if progressive:
         result.width, result.height = w, h
-        return _decode_progressive(data, result, comps, w, h, qtables)
+        return _decode_multiscan(data, result, comps, w, h, qtables,
+                                 progressive=True)
     if len(scan_comps) != len(comps):
-        raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
-                  "multi-scan baseline not supported")
+        # Multi-scan baseline (T.81 allows several SOS, each covering a
+        # component subset); decode scan-by-scan like progressive.
+        result.width, result.height = w, h
+        return _decode_multiscan(data, result, comps, w, h, qtables,
+                                 progressive=False)
 
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
@@ -554,10 +569,11 @@ def _entropy_end(data: bytes, start: int) -> int:
     return len(data)
 
 
-def _decode_progressive(data: bytes, result: DecodedCoefs,
-                        comps: list, w: int, h: int,
-                        qtables: dict) -> DecodedCoefs:
-    """Run all scans of a progressive JPEG into per-component grids."""
+def _decode_multiscan(data: bytes, result: DecodedCoefs,
+                      comps: list, w: int, h: int,
+                      qtables: dict, progressive: bool) -> DecodedCoefs:
+    """Run all scans of a progressive (SOF2) or multi-scan baseline
+    (multiple SOS under SOF0) JPEG into per-component grids."""
     lib = _native()
     import ctypes
 
@@ -631,9 +647,15 @@ def _decode_progressive(data: bytes, result: DecodedCoefs,
             pos = e1
             entropy = np.frombuffer(data, np.uint8,
                                     count=e1 - e0, offset=e0)
-            _run_scan(lib, entropy, scan, comps, grids, grid_dims,
-                      mcus_x, mcus_y, ss, se, ah, al, restart,
-                      dc_tables, ac_tables, w, h, hmax, vmax)
+            if progressive:
+                _run_scan(lib, entropy, scan, comps, grids, grid_dims,
+                          mcus_x, mcus_y, ss, se, ah, al, restart,
+                          dc_tables, ac_tables, w, h, hmax, vmax)
+            else:
+                _run_baseline_scan(entropy.tobytes(), scan, comps,
+                                   grids, mcus_x, mcus_y, restart,
+                                   dc_tables, ac_tables, w, h, hmax,
+                                   vmax)
 
     for i, c in enumerate(comps):
         if c.qtbl not in qtables:
@@ -698,10 +720,16 @@ def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
                 layout.append((ci, sel, gidx))
                 col += nb
         else:
+            # Non-interleaved scan: the block grid is ceil(comp/8) per
+            # T.81 A.2.2 — NOT the MCU-padded grid (which overreads
+            # blocks when luma dims aren't multiples of 16).
             ci = scan[0][0]
-            gh, gw = grid_dims[ci]
-            nblocks = gh * gw
-            buf = grids[ci].reshape(-1, 64).copy()
+            c = comps[ci]
+            cw_b = -(-(-(-w * c.h // hmax)) // 8)
+            ch_b = -(-(-(-h * c.v // vmax)) // 8)
+            nblocks = ch_b * cw_b
+            buf = np.ascontiguousarray(
+                grids[ci][:ch_b, :cw_b]).reshape(-1, 64)
             comp_ids = np.zeros(nblocks, np.uint8)
             mcu_blocks = 1
 
@@ -716,14 +744,29 @@ def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
                 dcb[dsel] = b
                 dcv[dsel] = v
                 dc_sel[ci] = dsel
-            rc = lib.uhdr_prog_dc_first(
-                u8p(entropy), len(entropy), nblocks, u8p(comp_ids),
-                len(comps), u8p(dc_sel), u8p(dcb.reshape(-1)),
-                u8p(dcv.reshape(-1)), al, restart, mcu_blocks, i16p(buf))
+            if lib is None:
+                from . import huffman
+                dct = [None] * 4
+                for _, dsel, _ in scan:
+                    dct[dsel] = dc_tables[dsel]
+                rc = huffman.prog_dc_first(
+                    entropy.tobytes(), buf, comp_ids, dc_sel, dct, al,
+                    restart, mcu_blocks)
+            else:
+                rc = lib.uhdr_prog_dc_first(
+                    u8p(entropy), len(entropy), nblocks, u8p(comp_ids),
+                    len(comps), u8p(dc_sel), u8p(dcb.reshape(-1)),
+                    u8p(dcv.reshape(-1)), al, restart, mcu_blocks,
+                    i16p(buf))
         else:
-            rc = lib.uhdr_prog_dc_refine(
-                u8p(entropy), len(entropy), nblocks, al, restart,
-                mcu_blocks, i16p(buf))
+            if lib is None:
+                from . import huffman
+                rc = huffman.prog_dc_refine(entropy.tobytes(), buf, al,
+                                            restart, mcu_blocks)
+            else:
+                rc = lib.uhdr_prog_dc_refine(
+                    u8p(entropy), len(entropy), nblocks, al, restart,
+                    mcu_blocks, i16p(buf))
         if rc != 0:
             raise err("UHDR_CODEC_ERROR", f"progressive DC scan failed {rc}")
 
@@ -732,8 +775,7 @@ def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
             for ci, sel, gidx in layout:
                 grids[ci].reshape(-1, 64)[gidx] = buf[sel]
         else:
-            ci = scan[0][0]
-            grids[ci][...] = buf.reshape(grids[ci].shape)
+            grids[ci][:ch_b, :cw_b] = buf.reshape(ch_b, cw_b, 64)
         return
 
     # AC scan: single component, over its ceil-dims block grid.
@@ -746,13 +788,76 @@ def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
     sub = np.ascontiguousarray(grids[ci][:ch_b, :cw_b])
     if asel not in ac_tables:
         raise err("UHDR_CODEC_ERROR", "missing AC table")
-    b, v = tables.pack_huff_table(*ac_tables[asel])
-    fn = lib.uhdr_prog_ac_first if ah == 0 else lib.uhdr_prog_ac_refine
-    rc = fn(u8p(entropy), len(entropy), ch_b * cw_b, u8p(b), u8p(v),
-            ss, se, al, restart, i16p(sub))
+    if lib is None:
+        from . import huffman
+        fn = (huffman.prog_ac_first if ah == 0
+              else huffman.prog_ac_refine)
+        rc = fn(entropy.tobytes(), sub.reshape(-1, 64),
+                ac_tables[asel], ss, se, al, restart)
+    else:
+        b, v = tables.pack_huff_table(*ac_tables[asel])
+        fn = (lib.uhdr_prog_ac_first if ah == 0
+              else lib.uhdr_prog_ac_refine)
+        rc = fn(u8p(entropy), len(entropy), ch_b * cw_b, u8p(b), u8p(v),
+                ss, se, al, restart, i16p(sub))
     if rc != 0:
         raise err("UHDR_CODEC_ERROR", f"progressive AC scan failed {rc}")
     grids[ci][:ch_b, :cw_b] = sub
+
+
+def _run_baseline_scan(entropy: bytes, scan, comps, grids, mcus_x,
+                       mcus_y, restart, dc_tables, ac_tables, w, h,
+                       hmax, vmax):
+    """Decode one full-precision baseline scan (one SOS of a multi-scan
+    SOF0 file) into the per-component grids."""
+    if len(scan) > 1:
+        # Interleaved: the frame's global MCU grid, scan components
+        # only (T.81 A.2.3).
+        mcu_blocks = sum(comps[ci].h * comps[ci].v for ci, _, _ in scan)
+        n_mcus = mcus_x * mcus_y
+        nblocks = n_mcus * mcu_blocks
+        pattern = []
+        for si, (ci, _, _) in enumerate(scan):
+            pattern += [si] * (comps[ci].h * comps[ci].v)
+        comp_ids = np.tile(np.asarray(pattern, np.uint8), n_mcus)
+    else:
+        ci = scan[0][0]
+        c = comps[ci]
+        cw_b = -(-(-(-w * c.h // hmax)) // 8)
+        ch_b = -(-(-(-h * c.v // vmax)) // 8)
+        nblocks = ch_b * cw_b
+        comp_ids = np.zeros(nblocks, np.uint8)
+        mcu_blocks = 1
+
+    def table_list(src: dict, sels):
+        out = [None] * 4
+        for s in sels:
+            if s not in src:
+                raise err("UHDR_CODEC_ERROR", f"missing huffman table {s}")
+            out[s] = src[s]
+        return out
+
+    dc_sel = [d for _, d, _ in scan]
+    ac_sel = [a for _, _, a in scan]
+    blocks = entropy_decode(
+        entropy, nblocks, comp_ids, dc_sel, ac_sel,
+        table_list(dc_tables, dc_sel), table_list(ac_tables, ac_sel),
+        restart, mcu_blocks)
+
+    if len(scan) == 1:
+        grids[ci][:ch_b, :cw_b] = blocks.reshape(ch_b, cw_b, 64)
+        return
+    grid = blocks.reshape(mcus_y, mcus_x, mcu_blocks, 64)
+    off = 0
+    for ci, _, _ in scan:
+        c = comps[ci]
+        nb = c.h * c.v
+        sub = grid[:, :, off:off + nb, :].reshape(
+            mcus_y, mcus_x, c.v, c.h, 64)
+        sub = sub.transpose(0, 2, 1, 3, 4).reshape(
+            mcus_y * c.v, mcus_x * c.h, 64)
+        grids[ci][: mcus_y * c.v, : mcus_x * c.h] = sub
+        off += nb
 
 
 def decode_jpeg(data: bytes) -> DecodedJpeg:

@@ -72,13 +72,14 @@ _AC_CHROMA = _build_code_table(tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS)
 
 
 def _bitlen(v):
-    """Number of bits of |v| (JPEG 'size' category), exact for
-    |v| < 2^24 via f32 log2."""
-    av = jnp.abs(v).astype(jnp.float32)
-    return jnp.where(av > 0,
-                     jnp.floor(jnp.log2(jnp.maximum(av, 1.0))).astype(
-                         jnp.int32) + 1,
-                     0)
+    """Number of bits of |v| (JPEG 'size' category), integer-exact via
+    a 15-compare select chain (a float log2 could be 1 ulp low at exact
+    powers of two depending on backend/XLA version)."""
+    av = jnp.abs(v)
+    out = jnp.zeros(jnp.shape(v), jnp.int32)
+    for k in range(1, 16):
+        out = jnp.where(av >= (1 << (k - 1)), k, out)
+    return out
 
 
 def _pack_table(code_size) -> np.ndarray:
@@ -394,10 +395,19 @@ def _merge_level(buf, lens):
     return merged, l_left + l_right
 
 
-def _rst_assemble(words, blen, cb: int):
+DEFAULT_CHUNK_CAP = 6  # sort-input cap: words per block (192 bits/block)
+
+
+def _rst_assemble(words, blen, cb: int, cap_per_block: int | None):
     """Shared tail of the RST paths: group per-block buffers into
-    cb-block chunks, doubling-merge, word-align, sort-compact.
-    Returns (sorted_words, chunk_bits, total_words)."""
+    cb-block chunks, doubling-merge, word-align, clamp, sort-compact.
+    Returns (sorted_words, chunk_bits, total_words, overflow).
+
+    The merge produces (nc, cb*_BLOCK_WORDS) chunk buffers, but typical
+    q95 content uses ~1-2 words per block — feeding the full padded
+    width to lax.sort wastes ~4x sort time. Chunks are clamped to
+    _CHUNK_WORD_CAP words/block before the sort; denser chunks raise
+    the overflow flag (callers fall back to the exact scatter path)."""
     n = words.shape[0]
     nc = -(-n // cb)
     pad_blocks = nc * cb - n
@@ -425,10 +435,15 @@ def _rst_assemble(words, blen, cb: int):
     fill = jnp.where(rem > 0,
                      (jnp.uint32(1) << ((32 - rem) & 31)) - 1,
                      jnp.uint32(0))
-    wcols = np.arange(cbuf.shape[1], dtype=np.int32)
+    cap = cbuf.shape[1]
+    if cap_per_block is not None:
+        cap = min(cap, cap_per_block * cb + 1)
+    cbuf = cbuf[:, :cap]
+    wcols = np.arange(cap, dtype=np.int32)
     cbuf = cbuf | jnp.where(wcols[None, :] == (clen >> 5)[:, None],
                             fill[:, None], 0)
     cwords = ((clen + 31) >> 5).astype(jnp.int32)
+    overflow = jnp.any(cwords > cap)
 
     # Unique word destinations -> ONE parallel sort compacts the stream.
     bases = jnp.cumsum(cwords) - cwords
@@ -437,10 +452,11 @@ def _rst_assemble(words, blen, cb: int):
                      jnp.int32(2**31 - 1))
     keys_s, vals_s = jax.lax.sort(
         (keys.reshape(-1), cbuf.reshape(-1)), num_keys=1)
-    return vals_s, clen, jnp.sum(cwords)
+    return vals_s, clen, jnp.sum(cwords), overflow
 
 
-def encode_yuv420_rst_stream(blocks_i16, r_mcus: int):
+def encode_yuv420_rst_stream(blocks_i16, r_mcus: int,
+                             cap_per_block: int | None = None):
     """Traceable scatter-free encode of MCU-interleaved 4:2:0 blocks
     with a restart interval of r_mcus.
 
@@ -482,11 +498,12 @@ def encode_yuv420_rst_stream(blocks_i16, r_mcus: int):
         axis=1).reshape(-1, 65)
 
     words, blen, overflow = _block_word_buffers(vals, lens)
-    sw, clen, total = _rst_assemble(words, blen, cb)
-    return sw, clen, total, overflow
+    sw, clen, total, covf = _rst_assemble(words, blen, cb, cap_per_block)
+    return sw, clen, total, overflow | covf
 
 
-def encode_gray_rst_stream(blocks_i16, r_mcus: int):
+def encode_gray_rst_stream(blocks_i16, r_mcus: int,
+                           cap_per_block: int | None = None):
     """Grayscale variant of the scatter-free path: MCU = 1 block."""
     blocks = blocks_i16.astype(jnp.int32)
     n = blocks.shape[0]
@@ -496,8 +513,9 @@ def encode_gray_rst_stream(blocks_i16, r_mcus: int):
     dc_prev = jnp.where(gidx % r_mcus == 0, 0, dc_prev)
     vals, lens = _units_for_blocks(blocks, dc_prev, True)
     words, blen, overflow = _block_word_buffers(vals, lens)
-    sw, clen, total = _rst_assemble(words, blen, r_mcus)
-    return sw, clen, total, overflow
+    sw, clen, total, covf = _rst_assemble(words, blen, r_mcus,
+                                          cap_per_block)
+    return sw, clen, total, overflow | covf
 
 
 @lru_cache(maxsize=None)

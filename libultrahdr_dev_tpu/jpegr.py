@@ -272,7 +272,9 @@ class JpegR:
         if (yuv420.width, yuv420.height) != (p010.width, p010.height):
             raise err("UHDR_CODEC_INVALID_PARAM",
                       "SDR/HDR resolution mismatch")
-        sdr_gamut = _GAMUT.get(yuv420.gamut, _GAMUT[p010.gamut])
+        if yuv420.gamut not in _GAMUT:
+            raise err("UHDR_CODEC_INVALID_PARAM", "unspecified SDR gamut")
+        sdr_gamut = _GAMUT[yuv420.gamut]
         gmap, metadata = gm.generate_gainmap(
             np.asarray(yuv420.planes["y"]), np.asarray(yuv420.planes["u"]),
             np.asarray(yuv420.planes["v"]), p010.planes["y"],

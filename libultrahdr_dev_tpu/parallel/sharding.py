@@ -44,6 +44,29 @@ def _batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P("batch"))
 
 
+def pack_p010_host(plane_u16: np.ndarray):
+    """Host-side 10-bit packing of P010 samples for upload: the chip
+    link is the encode bottleneck (~20-40 MB/s), so ship 1.25 B/sample
+    (hi8 + 4x2-bit tail bytes) instead of the 2 B/sample u16 layout.
+    Last dim must be a multiple of 4."""
+    v = (np.asarray(plane_u16) >> 6).astype(np.uint16)
+    hi = (v >> 2).astype(np.uint8)
+    lo = (v & 3).astype(np.uint8)
+    lo4 = lo.reshape(*lo.shape[:-1], lo.shape[-1] // 4, 4)
+    lob = (lo4[..., 0] | (lo4[..., 1] << 2) | (lo4[..., 2] << 4)
+           | (lo4[..., 3] << 6))
+    return hi, np.ascontiguousarray(lob)
+
+
+def _unpack_p010_device(hi, lob):
+    """Traceable inverse of pack_p010_host -> u16 P010 samples."""
+    lo4 = jnp.stack([(lob >> 0) & 3, (lob >> 2) & 3, (lob >> 4) & 3,
+                     (lob >> 6) & 3], axis=-1)
+    lo = lo4.reshape(hi.shape)
+    v = (hi.astype(jnp.uint16) << 2) | lo.astype(jnp.uint16)
+    return v << 6
+
+
 @lru_cache(maxsize=None)
 def _batched_encode_compute(mesh: Mesh, gamut: str, hdr_tf: str,
                             base_quality: int):
@@ -101,7 +124,8 @@ RST_INTERVAL = 4  # MCUs per restart marker in the batched encoder
 
 @lru_cache(maxsize=None)
 def _batched_encode_to_streams_rst(mesh: Mesh, gamut: str, hdr_tf: str,
-                                   base_quality: int, h: int, w: int):
+                                   base_quality: int, h: int, w: int,
+                                   cap: int | None):
     """Scatter-free batched encode: base stream via the restart-marker
     parallel assembly (device_entropy.encode_yuv420_rst_stream), gain
     map via the (small) scatter path. Returns per image:
@@ -116,9 +140,9 @@ def _batched_encode_to_streams_rst(mesh: Mesh, gamut: str, hdr_tf: str,
     def streams_one(yz, uz, vz, gz):
         inter = de.interleave_blocks_device(yz, uz, vz, mcus_x, mcus_y)
         sw, cbits, total, ovf = de.encode_yuv420_rst_stream(
-            inter, RST_INTERVAL)
+            inter, RST_INTERVAL, cap)
         gsw, gcbits, gtotal, govf = de.encode_gray_rst_stream(
-            gz, RST_INTERVAL)
+            gz, RST_INTERVAL, cap)
         # Everything the host needs in TWO arrays (each d2h transfer
         # costs ~150 ms of fixed overhead on the chip link): a small
         # metadata vector and one combined [gainmap | base] stream
@@ -133,13 +157,16 @@ def _batched_encode_to_streams_rst(mesh: Mesh, gamut: str, hdr_tf: str,
         combined = jnp.concatenate([gsw, sw])
         return combined, meta
 
-    @partial(jax.jit, in_shardings=(spec, spec),
+    @partial(jax.jit, in_shardings=(spec,) * 4,
              out_shardings=(spec,) * 2)
-    def kernel(p010_y_batch, p010_uv_batch):
-        coefs = jax.vmap(
-            lambda y, uv: _encode_one_image_coefs(y, uv, gamut, hdr_tf,
-                                                  base_quality)
-        )(p010_y_batch, p010_uv_batch)
+    def kernel(y_hi, y_lo, uv_hi, uv_lo):
+        def one(yh, yl, uh, ul):
+            y = _unpack_p010_device(yh, yl)
+            uv = _unpack_p010_device(uh, ul)
+            return _encode_one_image_coefs(y, uv, gamut, hdr_tf,
+                                           base_quality)
+
+        coefs = jax.vmap(one)(y_hi, y_lo, uv_hi, uv_lo)
         return jax.vmap(streams_one)(*coefs)
 
     return kernel, max_boost
@@ -216,7 +243,7 @@ def _encode_one_image_coefs(p010_y, p010_uv, gamut, hdr_tf, base_quality):
 @lru_cache(maxsize=None)
 def _batched_encode_api1_kernel(mesh: Mesh, sdr_gamut: str, hdr_gamut: str,
                                 hdr_tf: str, base_quality: int, h: int,
-                                w: int):
+                                w: int, cap: int | None):
     """API-1 (provided SDR + HDR pair) streams kernel, RST path."""
     from ..jpeg import device_entropy as de
 
@@ -224,15 +251,17 @@ def _batched_encode_api1_kernel(mesh: Mesh, sdr_gamut: str, hdr_gamut: str,
     spec = _batch_sharding(mesh)
     mcus_x, mcus_y = w // 16, h // 16
 
-    def one(p010_y, p010_uv, y8, u8, v8):
+    def one(y_hi, y_lo, uv_hi, uv_lo, y8, u8, v8):
+        p010_y = _unpack_p010_device(y_hi, y_lo)
+        p010_uv = _unpack_p010_device(uv_hi, uv_lo)
         yz, uz, vz, gz = _gainmap_and_coefs(
             y8, u8, v8, p010_y, p010_uv, sdr_gamut, hdr_gamut, hdr_tf,
             base_quality)
         inter = de.interleave_blocks_device(yz, uz, vz, mcus_x, mcus_y)
         sw, cbits, total, ovf = de.encode_yuv420_rst_stream(
-            inter, RST_INTERVAL)
+            inter, RST_INTERVAL, cap)
         gsw, gcbits, gtotal, govf = de.encode_gray_rst_stream(
-            gz, RST_INTERVAL)
+            gz, RST_INTERVAL, cap)
         meta = jnp.concatenate([
             jnp.stack([(ovf | govf).astype(jnp.int32),
                        total.astype(jnp.int32),
@@ -242,9 +271,9 @@ def _batched_encode_api1_kernel(mesh: Mesh, sdr_gamut: str, hdr_gamut: str,
             cbits.astype(jnp.int32)])
         return jnp.concatenate([gsw, sw]), meta
 
-    @partial(jax.jit, in_shardings=(spec,) * 5, out_shardings=(spec,) * 2)
-    def kernel(py, puv, y8, u8, v8):
-        return jax.vmap(one)(py, puv, y8, u8, v8)
+    @partial(jax.jit, in_shardings=(spec,) * 7, out_shardings=(spec,) * 2)
+    def kernel(yh, yl, uh, ul, y8, u8, v8):
+        return jax.vmap(one)(yh, yl, uh, ul, y8, u8, v8)
 
     return kernel, max_boost
 
@@ -262,17 +291,30 @@ def batched_encode_api1(p010_y_batch, p010_uv_batch, sdr_y_batch,
     if h % 16 or w % 16:
         raise ValueError(f"batched encode requires 16-aligned dims, "
                          f"got {w}x{h}")
-    kernel, max_boost = _batched_encode_api1_kernel(
-        mesh, sdr_gamut, hdr_gamut, hdr_tf, int(quality), h, w)
-    metadata = GainMapMetadata(
-        max_content_boost=max_boost, min_content_boost=1.0,
-        hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
-    combined, meta = kernel(
-        jnp.asarray(p010_y_batch), jnp.asarray(p010_uv_batch),
-        jnp.asarray(sdr_y_batch), jnp.asarray(sdr_u_batch),
-        jnp.asarray(sdr_v_batch))
-    return _assemble_rst_outputs(combined, np.asarray(meta), n, h, w,
-                                 quality, sdr_gamut, metadata)
+    metadata = None
+    yh, yl = pack_p010_host(p010_y_batch)
+    uh, ul = pack_p010_host(p010_uv_batch)
+    sdr = (jnp.asarray(sdr_y_batch), jnp.asarray(sdr_u_batch),
+           jnp.asarray(sdr_v_batch))
+    # Tight sort cap first; dense content retries at full width (still
+    # scatter-free, ~2x slower sort).
+    from ..jpeg.device_entropy import DEFAULT_CHUNK_CAP
+
+    for cap in (DEFAULT_CHUNK_CAP, None):
+        kernel, max_boost = _batched_encode_api1_kernel(
+            mesh, sdr_gamut, hdr_gamut, hdr_tf, int(quality), h, w, cap)
+        metadata = GainMapMetadata(
+            max_content_boost=max_boost, min_content_boost=1.0,
+            hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
+        combined, meta = kernel(yh, yl, uh, ul, *sdr)
+        try:
+            return _assemble_rst_outputs(combined, np.asarray(meta), n,
+                                         h, w, quality, sdr_gamut,
+                                         metadata)
+        except OverflowError:
+            if cap is None:
+                raise
+    raise AssertionError("unreachable")
 
 
 def _assemble_rst_outputs(combined, meta, n, h, w, quality, gamut,
@@ -351,18 +393,25 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
     if h % 16 or w % 16:
         raise ValueError(f"batched encode requires 16-aligned dims, "
                          f"got {w}x{h}")
-    kernel, max_boost = _batched_encode_to_streams_rst(
-        mesh, gamut, hdr_tf, int(quality), h, w)
-    metadata = GainMapMetadata(
-        max_content_boost=max_boost, min_content_boost=1.0,
-        hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
-    combined, meta = kernel(
-        jnp.asarray(p010_y_batch), jnp.asarray(p010_uv_batch))
-    try:
-        return _assemble_rst_outputs(combined, np.asarray(meta), n, h, w,
-                                     quality, gamut, metadata)
-    except OverflowError:
-        pass
+    from ..jpeg.device_entropy import DEFAULT_CHUNK_CAP
+
+    yh, yl = pack_p010_host(p010_y_batch)
+    uh, ul = pack_p010_host(p010_uv_batch)
+    metadata = None
+    # Tight sort cap first; dense content retries at full width (still
+    # scatter-free), then the exact scatter path as a last resort.
+    for cap in (DEFAULT_CHUNK_CAP, None):
+        kernel, max_boost = _batched_encode_to_streams_rst(
+            mesh, gamut, hdr_tf, int(quality), h, w, cap)
+        metadata = GainMapMetadata(
+            max_content_boost=max_boost, min_content_boost=1.0,
+            hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
+        combined, meta = kernel(yh, yl, uh, ul)
+        try:
+            return _assemble_rst_outputs(combined, np.asarray(meta), n,
+                                         h, w, quality, gamut, metadata)
+        except OverflowError:
+            continue
 
     # Rare dense-content fallback: exact scatter-based assembly.
     gran = 64 * 1024

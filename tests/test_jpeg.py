@@ -247,3 +247,76 @@ class TestErrors:
             codec.decode_jpeg(b"\x00" * 100)
         with pytest.raises(UhdrError):
             codec.decode_jpeg(b"\xff\xd8" + b"\xff\xc0\x00\x04\x08\x00")
+
+
+class TestMultiScanBaseline:
+    """Multi-scan baseline (several SOS under SOF0, T.81 A.2):
+    decode must match the equivalent single-scan file."""
+
+    def _build_multiscan(self, y, u, v, w, h, quality=90):
+        """Author a 3-scan (Y)(Cb)(Cr) non-interleaved baseline JPEG
+        from YUV420 planes using the framework's own entropy encoder."""
+        import numpy as np
+        from libultrahdr_dev_tpu.jpeg import codec, tables
+        from libultrahdr_dev_tpu.jpeg.dct import fdct_quant
+
+        ql = tables.scale_quant_table(tables.STD_LUMINANCE_QUANT, quality)
+        qc = tables.scale_quant_table(tables.STD_CHROMINANCE_QUANT,
+                                      quality)
+        out = bytearray(b"\xff\xd8")
+        out += codec._jfif_app0()
+        out += codec._marker(0xDB, codec._dqt(0, ql))
+        out += codec._marker(0xDB, codec._dqt(1, qc))
+        out += codec._marker(0xC0, codec._sof0(
+            w, h, [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]))
+        out += codec._marker(0xC4, codec._dht(0, 0, tables.DC_LUMA_BITS,
+                                              tables.DC_LUMA_VALS))
+        out += codec._marker(0xC4, codec._dht(1, 0, tables.AC_LUMA_BITS,
+                                              tables.AC_LUMA_VALS))
+        out += codec._marker(0xC4, codec._dht(0, 1,
+                                              tables.DC_CHROMA_BITS,
+                                              tables.DC_CHROMA_VALS))
+        out += codec._marker(0xC4, codec._dht(1, 1,
+                                              tables.AC_CHROMA_BITS,
+                                              tables.AC_CHROMA_VALS))
+        luma_tabs = ((tables.DC_LUMA_BITS, tables.DC_LUMA_VALS),
+                     (tables.AC_LUMA_BITS, tables.AC_LUMA_VALS))
+        chroma_tabs = ((tables.DC_CHROMA_BITS, tables.DC_CHROMA_VALS),
+                       (tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS))
+        planes = [(y, ql, 1, 0, luma_tabs),
+                  (u, qc, 2, 1, chroma_tabs),
+                  (v, qc, 3, 1, chroma_tabs)]
+        for plane, q, cid, tid, (dct_, act_) in planes:
+            # Non-interleaved scan: ceil(dim/8) block grid.
+            ph, pw = plane.shape
+            zz = np.asarray(fdct_quant(codec._pad_plane(plane, 8), q))
+            bh, bw = -(-ph // 8), -(-pw // 8)
+            zz = zz.reshape(bh, bw, 64)[:bh, :bw].reshape(-1, 64)
+            out += codec._marker(
+                0xDA, bytes([1, cid, (tid << 4) | tid, 0, 63, 0]))
+            dc_tabs = [None] * 4
+            ac_tabs = [None] * 4
+            dc_tabs[tid] = dct_
+            ac_tabs[tid] = act_
+            out += codec.entropy_encode(
+                zz, np.zeros(zz.shape[0], np.uint8), [tid], [tid],
+                dc_tabs, ac_tabs, 0, 1)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def test_multiscan_matches_single_scan(self):
+        import numpy as np
+        from libultrahdr_dev_tpu.jpeg import codec
+
+        rng = np.random.default_rng(3)
+        w, h = 24, 20  # odd block counts: luma ceil-dims != MCU-padded
+        y = rng.integers(0, 255, (h, w), np.uint8)
+        u = rng.integers(0, 255, (h // 2, w // 2), np.uint8)
+        v = rng.integers(0, 255, (h // 2, w // 2), np.uint8)
+        single = codec.encode_jpeg({"y": y, "u": u, "v": v}, quality=90)
+        ref = codec.decode_jpeg(single)
+        multi = self._build_multiscan(y, u, v, w, h)
+        got = codec.decode_jpeg(multi)
+        assert got.width == ref.width and got.height == ref.height
+        for a, b in zip(got.planes, ref.planes):
+            assert np.array_equal(a, b)
