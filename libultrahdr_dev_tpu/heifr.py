@@ -1,55 +1,56 @@
 """HeifR: gain-map HEIC/AVIF encode/decode.
 
 The reference implements this against a patched libheif fork exposing
-gain-map items (/root/reference/lib/src/heifr.cpp:35-36,141-410 —
-heif_context_encode_gain_map_image and friends), with the HEVC/AV1
-entropy layer provided by external codecs. That fork is not publicly
-buildable here; this module keeps full API parity (same entry points,
-same gain-map math via ops/gainmap) and performs the HEIF container +
-entropy work through an external `libheif` python binding or `heif-enc`
-binary when one is present, raising UHDR_CODEC_UNSUPPORTED_FEATURE
-otherwise — mirroring how the reference treats libheif as an external
-prebuilt (CMakeLists.txt:285-286).
+gain-map items (/root/reference/lib/src/heifr.cpp:35-36, 141-410 —
+heif_context_encode_gain_map_image and friends). The stock libheif in
+this environment has no gain-map API, so the split here is:
 
-The TPU-side pipeline (tone map, gain map generation/application,
-editor effects) is identical to the JPEG/R path; only the entropy
-container differs, so when a codec binding is available the heavy
-math still runs through ops/gainmap on device.
+  - pixel math (tone map, gain map generate/apply) — TPU, ops/gainmap,
+    identical to the JPEG/R path;
+  - coded images (HEVC/AV1) — system libheif via ctypes
+    (container/libheif.py), one standalone encode per image;
+  - the gain-map container — assembled/parsed directly
+    (container/isobmff.py) in the reference fork's ISO 21496-1-style
+    'tmap' layout, interoperable with
+    /root/reference/tests/data/sample_heicr.heic;
+  - metadata — fractional payload mirroring heifr.cpp:108-138.
+
+When no libheif is present every entry point raises
+UHDR_CODEC_UNSUPPORTED_FEATURE — never a silently gain-map-less file.
 """
 
 from __future__ import annotations
 
-import importlib
-import shutil
+import math
 
 import numpy as np
 
+from .container import isobmff as iso
+from .container import libheif as lh
 from .ops import gainmap as gm
-from .types import (ColorTransfer, GainMapMetadata, OutputFormat,
-                    RawImage, err)
+from .types import (ColorGamut, ColorTransfer, GainMapMetadata,
+                    OutputFormat, PixelFormat, RawImage, err)
 
-
-def _heif_support() -> str | None:
-    """Returns 'pillow-heif' / 'pyheif' / 'heif-enc' when an external
-    HEIF codec is importable/executable, else None."""
-    for mod in ("pillow_heif", "pyheif"):
-        try:
-            importlib.import_module(mod)
-            return mod
-        except ImportError:
-            continue
-    if shutil.which("heif-enc"):
-        return "heif-enc"
-    return None
+_CODED_TYPES = {"avif": "av01", "heic": "hvc1"}
+_GAINMAP_QUALITY = 85  # matches kMapCompressQualityDefault usage
 
 
 def heif_available() -> bool:
-    return _heif_support() is not None
+    return lh.available()
+
+
+class HeifRDecodeResult:
+    def __init__(self, width, height, image, metadata, gainmap):
+        self.width = width
+        self.height = height
+        self.image = image
+        self.metadata = metadata
+        self.gainmap = gainmap
 
 
 class HeifR:
     """Mirrors class HeifR (lib/include/ultrahdr/heifr.h:72-204):
-    encode API-0/1 and decode for HEIC_R / AVIF_R."""
+    encode API-0/1/x and decode for HEIC_R / AVIF_R."""
 
     def __init__(self, codec: str = "heic"):
         if codec not in ("heic", "avif"):
@@ -58,31 +59,29 @@ class HeifR:
         self.codec = codec
 
     def _require_codec(self):
-        backend = _heif_support()
-        if backend is None:
+        if not lh.available():
             raise err(
                 "UHDR_CODEC_UNSUPPORTED_FEATURE",
-                f"{self.codec}-R needs an external HEVC/AV1 codec "
-                "(pillow-heif / pyheif / heif-enc); none is installed. "
-                "The gain-map math itself is available via "
+                f"{self.codec}-R needs the libheif shared library "
+                "(HEVC/AV1 entropy layer); none is installed. The "
+                "gain-map math itself is available via "
                 "ops.gainmap.generate_gainmap/apply_gainmap.")
-        return backend
 
     # -- encode (heifr.cpp:141-299) ------------------------------------
 
     def encode_api0(self, p010: RawImage, hdr_tf: ColorTransfer,
                     quality: int = 95) -> bytes:
-        """Tone map + gain map on device, then HEIF-encode base +
-        gain-map images with ISO 21496-1-style metadata."""
+        """Tone map + gain map on device, then assemble base +
+        gain-map HEIF with ISO 21496-1-style metadata."""
         self._require_codec()
         y8, u8, v8 = gm.tonemap_p010(p010.planes["y"], p010.planes["uv"])
         gmap, metadata = gm.generate_gainmap(
             y8, u8, v8, p010.planes["y"], p010.planes["uv"],
             sdr_gamut=p010.gamut.value, hdr_gamut=p010.gamut.value,
             hdr_tf=hdr_tf.value)
-        return self._encode_heif(np.asarray(y8), np.asarray(u8),
-                                 np.asarray(v8), np.asarray(gmap),
-                                 metadata, quality)
+        return self._encode_gainmap_heif(
+            np.asarray(y8), np.asarray(u8), np.asarray(v8),
+            np.asarray(gmap), metadata, quality)
 
     def encode_api1(self, p010: RawImage, yuv420: RawImage,
                     hdr_tf: ColorTransfer, quality: int = 95) -> bytes:
@@ -92,40 +91,90 @@ class HeifR:
             np.asarray(yuv420.planes["v"]), p010.planes["y"],
             p010.planes["uv"], sdr_gamut=yuv420.gamut.value,
             hdr_gamut=p010.gamut.value, hdr_tf=hdr_tf.value)
-        return self._encode_heif(
+        return self._encode_gainmap_heif(
             np.asarray(yuv420.planes["y"]), np.asarray(yuv420.planes["u"]),
             np.asarray(yuv420.planes["v"]), np.asarray(gmap), metadata,
             quality)
 
-    def _encode_heif(self, y8, u8, v8, gmap, metadata: GainMapMetadata,
-                     quality: int) -> bytes:
-        backend = self._require_codec()
-        if backend == "pillow_heif":
-            import io
+    def encode_apix(self, yuv420: RawImage, gainmap_u8: np.ndarray,
+                    metadata: GainMapMetadata,
+                    quality: int = 95) -> bytes:
+        """Transcode variant: provided SDR + gain map + metadata
+        (heifr.cpp API-x)."""
+        self._require_codec()
+        return self._encode_gainmap_heif(
+            np.asarray(yuv420.planes["y"]), np.asarray(yuv420.planes["u"]),
+            np.asarray(yuv420.planes["v"]), np.asarray(gainmap_u8),
+            metadata, quality)
 
-            import pillow_heif
-            from PIL import Image
-
-            rgba = np.asarray(gm.yuv420_to_rgba8888(y8, u8, v8))
-            rgb = np.stack([(rgba & 0xFF), (rgba >> 8) & 0xFF,
-                            (rgba >> 16) & 0xFF], axis=-1).astype(np.uint8)
-            buf = io.BytesIO()
-            pillow_heif.register_heif_opener()
-            img = Image.fromarray(rgb)
-            fmt = "HEIF" if self.codec == "heic" else "AVIF"
-            # Gain map carried as an auxiliary image is only supported
-            # by the patched fork; store it in an auxiliary metadata box.
-            img.save(buf, format=fmt, quality=quality)
-            return buf.getvalue()
-        raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
-                  f"backend {backend} cannot write gain-map HEIF")
+    def _encode_gainmap_heif(self, y8, u8, v8, gmap,
+                             metadata: GainMapMetadata,
+                             quality: int) -> bytes:
+        base_file = lh.encode_image((y8, u8, v8), self.codec, quality)
+        gm_file = lh.encode_image((gmap,), self.codec, _GAINMAP_QUALITY)
+        bp = iso.parse_heif(base_file)
+        gp = iso.parse_heif(gm_file)
+        base_items = iso.extract_image_items(base_file, bp,
+                                             bp.primary or 1)
+        gm_items = iso.extract_image_items(gm_file, gp, gp.primary or 1)
+        return iso.build_tmap_container(
+            self.codec, base_items, gm_items,
+            iso.encode_tmap_metadata(metadata))
 
     # -- decode (heifr.cpp:302-410) ------------------------------------
 
     def decode(self, data: bytes,
                output_format: OutputFormat = OutputFormat.HDR_LINEAR,
-               max_display_boost: float = float("inf")) -> RawImage:
+               max_display_boost: float = float("inf"),
+               ) -> HeifRDecodeResult:
+        """Split the gain-map container, decode base + gain map via
+        libheif, reconstruct on device."""
         self._require_codec()
-        raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
-                  "gain-map HEIF decode requires the patched libheif "
-                  "fork's auxiliary-image API")
+        if max_display_boost < 1.0:
+            raise err("UHDR_CODEC_INVALID_PARAM",
+                      f"bad max_display_boost {max_display_boost}")
+        hp = iso.parse_heif(data)
+        tmap_ids = [i for i, it in hp.items.items()
+                    if it.item_type == "tmap"]
+        if not tmap_ids:
+            raise err("UHDR_CODEC_ERROR",
+                      "no gain-map (tmap) item in HEIF container")
+        tmap = tmap_ids[0]
+        refs = hp.refs.get(("dimg", tmap))
+        if not refs or len(refs) < 2:
+            raise err("UHDR_CODEC_ERROR", "tmap item lacks dimg refs")
+        base_id, gm_id = refs[0], refs[1]
+        metadata = iso.decode_tmap_metadata(
+            iso.item_payload(data, hp, tmap))
+
+        root_type = hp.items[base_id].item_type
+        if root_type == "grid":
+            kids = hp.refs.get(("dimg", base_id), [])
+            root_type = hp.items[kids[0]].item_type if kids else "hvc1"
+        codec = "avif" if root_type == "av01" else "heic"
+
+        def rebuild(item_id):
+            return iso.build_image_subtree(
+                codec, iso.extract_image_items(data, hp, item_id))
+
+        y8, u8, v8 = lh.decode_primary(rebuild(base_id),
+                                       monochrome=False)
+        gmap, = lh.decode_primary(rebuild(gm_id), monochrome=True)
+
+        h, w = y8.shape
+        if output_format == OutputFormat.SDR:
+            rgba = gm.yuv420_to_rgba8888(y8, u8, v8)
+            image = RawImage(fmt=PixelFormat.RGBA8888, width=w, height=h,
+                             gamut=ColorGamut.UNSPECIFIED,
+                             planes={"rgba": rgba})
+            return HeifRDecodeResult(w, h, image, metadata, gmap)
+
+        out = gm.apply_gainmap(y8, u8, v8, gmap, metadata,
+                               output_format.value, max_display_boost)
+        from .jpegr import _OUT_PIXEL_FMT, _OUT_TRANSFER
+
+        image = RawImage(fmt=_OUT_PIXEL_FMT[output_format], width=w,
+                         height=h, gamut=ColorGamut.UNSPECIFIED,
+                         transfer=_OUT_TRANSFER[output_format],
+                         planes={"rgba": out})
+        return HeifRDecodeResult(w, h, image, metadata, gmap)

@@ -8,10 +8,10 @@ add_raw), lazily tone-maps / decodes as needed, and converts to a
 requested output codec/format with an optional effect chain applied to
 the SDR + gain map before encode (ultrahdr.cpp:997-1009).
 
-HEIC/AVIF input/output requires an HEVC/AV1 entropy codec; like the
-reference (which delegates to a libheif fork), this build treats those
-as an external dependency and raises UHDR_CODEC_UNSUPPORTED_FEATURE
-when unavailable (SURVEY.md §7 stage 9).
+HEIC/AVIF input/output runs through HeifR (gain-map container by
+container/isobmff.py, coded images via the system libheif); when no
+libheif is installed those paths raise UHDR_CODEC_UNSUPPORTED_FEATURE
+like the reference does without its codec plugins.
 """
 
 from __future__ import annotations
@@ -53,6 +53,10 @@ class UltraHdrConfig:
     effects: list = field(default_factory=list)
     max_display_boost: float = float("inf")
     output_format: OutputFormat = OutputFormat.HDR_LINEAR
+    # For convert_to_raw: explicit raw output layout (P010 / YUV420
+    # passthrough outputs, ultrahdr.cpp:1296-1441); None derives the
+    # layout from output_format.
+    output_pixel_format: PixelFormat | None = None
 
 
 class UltraHdr:
@@ -93,9 +97,52 @@ class UltraHdr:
                 self.exif = pinfo.exif
             return self
         if kind in ("heic", "avif"):
-            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
-                      f"{kind} input requires an external HEVC/AV1 codec")
+            return self._add_heif(data)
         raise err("UHDR_CODEC_INVALID_PARAM", "unrecognized image format")
+
+    def _add_heif(self, data: bytes):
+        """HEIF/AVIF ingest (ultrahdr.cpp:631-743): gain-map containers
+        populate SDR + gain map + metadata; plain HEIFs populate the
+        SDR rendition."""
+        from .container import isobmff as iso, libheif as lh
+        from .heifr import HeifR
+
+        hp = iso.parse_heif(data)
+        tmaps = [i for i, it in hp.items.items()
+                 if it.item_type == "tmap"]
+        if tmaps:
+            refs = hp.refs[("dimg", tmaps[0])]
+            root_type = hp.items[refs[0]].item_type
+            if root_type == "grid":
+                kids = hp.refs.get(("dimg", refs[0]), [])
+                root_type = (hp.items[kids[0]].item_type if kids
+                             else "hvc1")
+            codec = "avif" if root_type == "av01" else "heic"
+            res = HeifR(codec).decode(data, OutputFormat.SDR)
+            # Re-derive planes rather than RGBA: keep the YUV420 SDR.
+            y8, u8, v8 = lh.decode_primary(
+                iso.build_image_subtree(
+                    codec, iso.extract_image_items(data, hp, refs[0])),
+                monochrome=False)
+            self.sdr_raw = RawImage(
+                fmt=PixelFormat.YUV420, width=y8.shape[1],
+                height=y8.shape[0], gamut=ColorGamut.UNSPECIFIED,
+                transfer=ColorTransfer.SRGB,
+                planes={"y": y8, "u": u8, "v": v8})
+            self.gainmap_raw = np.asarray(res.gainmap)
+            self.metadata = res.metadata
+            return self
+        # Plain HEIF: primary image is the SDR rendition.
+        if not lh.available():
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      "heif input requires the libheif shared library")
+        y8, u8, v8 = lh.decode_primary(data, monochrome=False)
+        self.sdr_raw = RawImage(
+            fmt=PixelFormat.YUV420, width=y8.shape[1],
+            height=y8.shape[0], gamut=ColorGamut.UNSPECIFIED,
+            transfer=ColorTransfer.SRGB,
+            planes={"y": y8, "u": u8, "v": v8})
+        return self
 
     def add_raw(self, img: RawImage):
         if img.fmt == PixelFormat.P010:
@@ -159,22 +206,145 @@ class UltraHdr:
             return self._convert_to_jpeg(config)
         if config.output_codec == "jpeg_r":
             return self._convert_to_jpegr(config)
-        if config.output_codec in ("heic_r", "avif_r", "heic", "avif"):
-            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
-                      f"{config.output_codec} output requires an external "
-                      "HEVC/AV1 codec")
+        if config.output_codec in ("heic_r", "avif_r"):
+            return self._convert_to_heifr(
+                config, config.output_codec[:4])
+        if config.output_codec in ("heic", "avif"):
+            return self._convert_to_heif10(config, config.output_codec)
         raise err("UHDR_CODEC_INVALID_PARAM",
                   f"unknown output codec {config.output_codec}")
 
+    def _convert_to_heifr(self, config: UltraHdrConfig,
+                          codec: str) -> bytes:
+        """Gain-map HEIC/AVIF output (ultrahdr.cpp:1049-1180), same
+        priority chain as jpeg_r minus the compressed-passthrough
+        cases."""
+        from .heifr import HeifR
+
+        hr = HeifR(codec)
+        # Raw SDR + raw gain map + metadata (API-x), effects applied.
+        if (self.sdr_raw is not None and self.gainmap_raw is not None
+                and self.metadata is not None):
+            sdr = editor.apply_effects(self.sdr_raw, config.effects)
+            gmap = self._gainmap_as_image()
+            if config.effects:
+                scale = self.sdr_raw.width // gmap.width
+                gmap = editor.apply_effects(
+                    gmap, editor.scale_effects(config.effects, scale))
+            return hr.encode_apix(sdr, gmap.planes["y"], self.metadata,
+                                  quality=config.quality)
+        if self.hdr_raw is not None and self.sdr_raw is not None:
+            if not config.effects:
+                return hr.encode_api1(self.hdr_raw, self.sdr_raw,
+                                      config.transfer,
+                                      quality=config.quality)
+        if self.hdr_raw is not None and not config.effects:
+            return hr.encode_api0(self.hdr_raw, config.transfer,
+                                  quality=config.quality)
+        if self.hdr_raw is not None or (
+                self.sdr_jpeg is not None and self.gainmap_raw is not None
+                and self.metadata is not None):
+            # Effects (or decoded-JPEG source): generate/reuse the gain
+            # map, apply chain, encode API-x.
+            self._maybe_decode_jpeg_sdr()
+            self._maybe_tonemap_raw_hdr()
+            self._ensure_gainmap(config)
+            sdr = editor.apply_effects(self.sdr_raw, config.effects)
+            gmap = self._gainmap_as_image()
+            if config.effects:
+                scale = self.sdr_raw.width // gmap.width
+                gmap = editor.apply_effects(
+                    gmap, editor.scale_effects(config.effects, scale))
+            return hr.encode_apix(sdr, gmap.planes["y"], self.metadata,
+                                  quality=config.quality)
+        raise err("UHDR_CODEC_INVALID_OPERATION",
+                  f"insufficient inputs for {codec}_r conversion")
+
+    def _convert_to_heif10(self, config: UltraHdrConfig,
+                           codec: str) -> bytes:
+        """10-bit HEIC/AVIF output: reconstruct HDR as 10-bit RGB
+        planes and encode 4:4:4 10-bit with CICP signaling
+        (ultrahdr.cpp:1207-1287)."""
+        from .container import libheif as lh
+
+        raw = self.convert_to_raw(UltraHdrConfig(
+            output_format=(OutputFormat.HDR_HLG
+                           if config.transfer == ColorTransfer.HLG
+                           else OutputFormat.HDR_PQ),
+            effects=config.effects,
+            max_display_boost=config.max_display_boost))
+        packed = np.asarray(raw.planes["rgba"])  # RGBA1010102 u32
+        planes = np.stack([(packed >> s10) & 0x3FF
+                           for s10 in (0, 10, 20)]).astype(np.uint16)
+        return lh.encode_rgb10(planes, codec, config.quality,
+                               transfer=config.transfer.value)
+
     def convert_to_raw(self, config: UltraHdrConfig) -> RawImage:
-        """Raw-pixel outputs (ultrahdr.cpp:1296-1441): SDR RGBA8888 or
-        HDR reconstruction at the configured output format."""
-        jr = JpegR()
-        blob = self._convert_to_jpegr(UltraHdrConfig(
-            output_codec="jpeg_r", quality=config.quality))
-        res = jr.decode(blob, config.output_format,
-                        config.max_display_boost)
-        return res.image
+        """Raw-pixel outputs (ultrahdr.cpp:1296-1441), computed
+        directly from the session's planes — no compress/decompress
+        round trip. Effects are honored on every layout that carries
+        pixel planes:
+
+          P010          - HDR passthrough (requires a raw HDR input)
+          YUV420        - SDR rendition + effects
+          RGBA8888/SDR  - SDR rendition + effects, packed
+          F16/1010102/10-bit planar - gain-map reconstruction on device
+        """
+        fmt = config.output_pixel_format
+        if fmt == PixelFormat.P010:
+            if self.hdr_raw is None:
+                raise err("UHDR_CODEC_INVALID_OPERATION",
+                          "no raw HDR input for P010 output")
+            return self.hdr_raw
+        if fmt == PixelFormat.YUV420:
+            self._maybe_decode_jpeg_sdr()
+            self._maybe_tonemap_raw_hdr()
+            if self.sdr_raw is None:
+                raise err("UHDR_CODEC_INVALID_OPERATION",
+                          "no SDR rendition available")
+            return editor.apply_effects(self.sdr_raw, config.effects)
+        if (config.output_format == OutputFormat.SDR
+                or fmt == PixelFormat.RGBA8888):
+            self._maybe_decode_jpeg_sdr()
+            self._maybe_tonemap_raw_hdr()
+            if self.sdr_raw is None:
+                raise err("UHDR_CODEC_INVALID_OPERATION",
+                          "no SDR rendition available")
+            img = editor.apply_effects(self.sdr_raw, config.effects)
+            rgba = gm.yuv420_to_rgba8888(
+                np.asarray(img.planes["y"]), np.asarray(img.planes["u"]),
+                np.asarray(img.planes["v"]))
+            return RawImage(fmt=PixelFormat.RGBA8888, width=img.width,
+                            height=img.height, gamut=img.gamut,
+                            planes={"rgba": rgba})
+
+        # HDR reconstruction: base + gain map through the device apply
+        # kernel at the requested output format.
+        self._maybe_decode_jpeg_sdr()
+        self._maybe_tonemap_raw_hdr()
+        if self.sdr_raw is None:
+            raise err("UHDR_CODEC_INVALID_OPERATION",
+                      "no SDR rendition available")
+        self._ensure_gainmap(config)
+        sdr = editor.apply_effects(self.sdr_raw, config.effects)
+        gmap = self._gainmap_as_image()
+        if config.effects:
+            scale = self.sdr_raw.width // gmap.width
+            gmap = editor.apply_effects(
+                gmap, editor.scale_effects(config.effects, scale))
+        out_fmt = config.output_format
+        if fmt == PixelFormat.RGB_10BIT_PLANAR:
+            out_fmt = OutputFormat.HDR_LINEAR_RGB_10BIT
+        out = gm.apply_gainmap(
+            np.asarray(sdr.planes["y"]), np.asarray(sdr.planes["u"]),
+            np.asarray(sdr.planes["v"]), np.asarray(gmap.planes["y"]),
+            self.metadata, out_fmt.value, config.max_display_boost)
+        from .jpegr import _OUT_PIXEL_FMT, _OUT_TRANSFER
+
+        return RawImage(fmt=_OUT_PIXEL_FMT[out_fmt], width=sdr.width,
+                        height=sdr.height, gamut=sdr.gamut,
+                        transfer=_OUT_TRANSFER[out_fmt],
+                        planes={"rgba": out})
 
     def _convert_to_jpeg(self, config: UltraHdrConfig) -> bytes:
         # Pass through when no effects and a JPEG already exists
@@ -249,26 +419,32 @@ class UltraHdr:
         raise err("UHDR_CODEC_INVALID_OPERATION",
                   "insufficient inputs for jpeg_r conversion")
 
+    def _ensure_gainmap(self, config: UltraHdrConfig):
+        """Generate the gain map from the raw pair when the session
+        doesn't carry one yet (ultrahdr.cpp:997-1009)."""
+        if self.gainmap_raw is not None and self.metadata is not None:
+            return
+        if self.hdr_raw is None or self.sdr_raw is None:
+            raise err("UHDR_CODEC_INVALID_OPERATION",
+                      "cannot generate gain map without HDR input")
+        gmap, md = gm.generate_gainmap(
+            np.asarray(self.sdr_raw.planes["y"]),
+            np.asarray(self.sdr_raw.planes["u"]),
+            np.asarray(self.sdr_raw.planes["v"]),
+            self.hdr_raw.planes["y"], self.hdr_raw.planes["uv"],
+            sdr_gamut=self.sdr_raw.gamut.value,
+            hdr_gamut=self.hdr_raw.gamut.value,
+            hdr_tf=config.transfer.value)
+        self.gainmap_raw = np.asarray(gmap)
+        self.metadata = md
+
     def _encode_with_effects(self, jr: JpegR,
                              config: UltraHdrConfig) -> bytes:
         """Generate (or reuse) the gain map, apply the effect chain to
         SDR + gain map, then encode via API-x
         (ultrahdr.cpp:997-1009, 1124-1180)."""
         self._maybe_tonemap_raw_hdr()
-        if self.gainmap_raw is None or self.metadata is None:
-            if self.hdr_raw is None or self.sdr_raw is None:
-                raise err("UHDR_CODEC_INVALID_OPERATION",
-                          "cannot generate gain map without HDR input")
-            gmap, md = gm.generate_gainmap(
-                np.asarray(self.sdr_raw.planes["y"]),
-                np.asarray(self.sdr_raw.planes["u"]),
-                np.asarray(self.sdr_raw.planes["v"]),
-                self.hdr_raw.planes["y"], self.hdr_raw.planes["uv"],
-                sdr_gamut=self.sdr_raw.gamut.value,
-                hdr_gamut=self.hdr_raw.gamut.value,
-                hdr_tf=config.transfer.value)
-            self.gainmap_raw = np.asarray(gmap)
-            self.metadata = md
+        self._ensure_gainmap(config)
         sdr = editor.apply_effects(self.sdr_raw, config.effects)
         gmap_img = self._gainmap_as_image()
         if config.effects:

@@ -99,13 +99,109 @@ class TestFlows:
             output_format=OutputFormat.HDR_LINEAR, max_display_boost=4.9))
         assert img.fmt == PixelFormat.RGBA_F16
 
-    def test_heif_rejected(self):
+    def test_garbage_heif_rejected(self):
         with pytest.raises(UhdrError):
             UltraHdr().add_image(b"\x00\x00\x00\x18ftypheic" + b"\x00" * 64)
-        u = UltraHdr().add_raw(p010())
-        with pytest.raises(UhdrError):
-            u.convert(UltraHdrConfig(output_codec="heic_r"))
 
     def test_insufficient_inputs(self):
         with pytest.raises(UhdrError):
             UltraHdr().convert(UltraHdrConfig(output_codec="jpeg_r"))
+
+
+class TestRawOutputs:
+    """Direct raw outputs (ultrahdr.cpp:1296-1441) — no JPEG round
+    trip, effects honored."""
+
+    def test_p010_passthrough(self):
+        src = p010()
+        img = UltraHdr().add_raw(src).convert_to_raw(UltraHdrConfig(
+            output_pixel_format=PixelFormat.P010))
+        assert img is src
+
+    def test_yuv420_with_effects(self):
+        u = UltraHdr().add_raw(p010())
+        img = u.convert_to_raw(UltraHdrConfig(
+            output_pixel_format=PixelFormat.YUV420,
+            effects=[editor.MirrorEffect("horizontal")]))
+        assert img.fmt == PixelFormat.YUV420
+        assert img.width == 96 and img.height == 64
+        # Mirrored: equals the plain SDR flipped.
+        plain = UltraHdr().add_raw(p010()).convert_to_raw(
+            UltraHdrConfig(output_pixel_format=PixelFormat.YUV420))
+        assert np.array_equal(np.asarray(img.planes["y"]),
+                              np.asarray(plain.planes["y"])[:, ::-1])
+
+    def test_rgba8888_sdr(self):
+        img = UltraHdr().add_raw(p010()).convert_to_raw(UltraHdrConfig(
+            output_format=OutputFormat.SDR))
+        assert img.fmt == PixelFormat.RGBA8888
+        assert np.asarray(img.planes["rgba"]).shape == (64, 96)
+
+    def test_hdr_direct_matches_apply(self):
+        """F16 output equals ops.gainmap.apply_gainmap on the session's
+        own planes (no compress/decompress round trip)."""
+        from libultrahdr_dev_tpu.ops import gainmap as gm
+
+        u = UltraHdr().add_raw(p010())
+        img = u.convert_to_raw(UltraHdrConfig(
+            output_format=OutputFormat.HDR_LINEAR,
+            max_display_boost=4.9))
+        ref = gm.apply_gainmap(
+            np.asarray(u.sdr_raw.planes["y"]),
+            np.asarray(u.sdr_raw.planes["u"]),
+            np.asarray(u.sdr_raw.planes["v"]),
+            u.gainmap_raw, u.metadata, "hdr_linear", 4.9)
+        assert np.array_equal(np.asarray(img.planes["rgba"]),
+                              np.asarray(ref))
+
+    def test_10bit_planar(self):
+        img = UltraHdr().add_raw(p010()).convert_to_raw(UltraHdrConfig(
+            output_pixel_format=PixelFormat.RGB_10BIT_PLANAR,
+            max_display_boost=4.9))
+        assert img.fmt == PixelFormat.RGB_10BIT_PLANAR
+        arr = np.asarray(img.planes["rgba"])
+        assert arr.shape == (3, 64, 96) and arr.max() <= 1023
+
+
+class TestHeifFlows:
+    """HEIC_R/AVIF_R converter flows (ultrahdr.cpp:1049-1287)."""
+
+    def setup_method(self):
+        from libultrahdr_dev_tpu.heifr import heif_available
+        if not heif_available():
+            pytest.skip("libheif not installed")
+
+    def test_flow_p010_to_avifr_and_back(self):
+        u = UltraHdr().add_raw(p010())
+        blob = u.convert(UltraHdrConfig(output_codec="avif_r",
+                                        transfer=ColorTransfer.HLG))
+        assert sniff_format(blob) == "avif"
+        u2 = UltraHdr().add_image(blob)
+        assert u2.gainmap_raw is not None and u2.metadata is not None
+        out = u2.convert(UltraHdrConfig(output_codec="jpeg_r"))
+        assert sniff_format(out) == "jpeg_r"
+
+    def test_flow_heicr_sample_to_jpegr(self):
+        import os
+        path = "/root/reference/tests/data/sample_heicr.heic"
+        if not os.path.exists(path):
+            pytest.skip("fixture unavailable")
+        u = UltraHdr().add_image(open(path, "rb").read())
+        blob = u.convert(UltraHdrConfig(output_codec="jpeg_r"))
+        assert sniff_format(blob) == "jpeg_r"
+        res = JpegR().get_info(blob)
+        assert (res.width, res.height) == (1280, 720)
+
+    def test_flow_p010_to_10bit_heic(self):
+        u = UltraHdr().add_raw(p010())
+        blob = u.convert(UltraHdrConfig(output_codec="heic",
+                                        transfer=ColorTransfer.HLG,
+                                        max_display_boost=4.9))
+        assert sniff_format(blob) == "heic"
+
+    def test_flow_avifr_with_effects(self):
+        u = UltraHdr().add_raw(p010())
+        blob = u.convert(UltraHdrConfig(
+            output_codec="avif_r", transfer=ColorTransfer.HLG,
+            effects=[editor.MirrorEffect("vertical")]))
+        assert sniff_format(blob) == "avif"
