@@ -62,6 +62,7 @@ class UhdrEncoder(_Sailed):
         self._exif: bytes | None = None
         self._gainmap_metadata: GainMapMetadata | None = None
         self._output: bytes | None = None
+        self._output_format = "jpg"
         return self
 
     # -- configuration ------------------------------------------------
@@ -90,9 +91,12 @@ class UhdrEncoder(_Sailed):
         return self
 
     def set_compressed_image(self, img: CompressedImage, intent: str):
-        """uhdr_enc_set_compressed_image (ultrahdr_api.h:245-263)."""
+        """uhdr_enc_set_compressed_image (ultrahdr_api.h:245-263).
+        Accepts HDR/SDR/BASE intents like the reference
+        (ultrahdr_api.cpp:485-500); a compressed-HDR intent is stored
+        but (as in the reference) no encode path consumes it yet."""
         self._check_not_sailed("set_compressed_image")
-        if intent not in (SDR_IMG, BASE_IMG):
+        if intent not in (HDR_IMG, SDR_IMG, BASE_IMG):
             raise err("UHDR_CODEC_INVALID_PARAM",
                       f"invalid intent {intent} for compressed image")
         if not img.data:
@@ -118,6 +122,18 @@ class UhdrEncoder(_Sailed):
             raise err("UHDR_CODEC_INVALID_PARAM",
                       f"quality {quality} outside [0, 100]")
         self._quality[intent] = quality
+        return self
+
+    def set_output_format(self, media_type: str):
+        """uhdr_enc_set_output_format (ultrahdr_api.h:296,
+        ultrahdr_api.cpp:636-663): only "jpg" is a valid output
+        compression format."""
+        if media_type != "jpg":
+            raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
+                      f"invalid output format {media_type}, "
+                      "expects {jpg}")
+        self._check_not_sailed("set_output_format")
+        self._output_format = media_type
         return self
 
     def set_exif_data(self, exif: bytes):

@@ -47,6 +47,10 @@ def uhdr_enc_set_compressed_image(enc, img, intent):
     return _trap(lambda: enc.set_compressed_image(img, intent))
 
 
+def uhdr_enc_set_output_format(enc, media_type):
+    return _trap(lambda: enc.set_output_format(media_type))
+
+
 def uhdr_enc_set_gainmap_image(enc, img, metadata):
     return _trap(lambda: enc.set_gainmap_image(img, metadata))
 

@@ -77,8 +77,13 @@ def parse_metadata_cfg(path: str) -> GainMapMetadata:
 
 
 def main(argv=None):
+    # add_help disabled so -h can mean image height like the
+    # reference app (examples/ultrahdr_app.cpp:1060-1122); use --help.
     ap = argparse.ArgumentParser(
-        prog="uhdr", description="TPU-native Ultra HDR codec")
+        prog="uhdr", description="TPU-native Ultra HDR codec",
+        add_help=False)
+    ap.add_argument("--help", action="help",
+                    help="show this help message and exit")
     ap.add_argument("-m", type=int, default=0, dest="mode",
                     help="0: encode, 1: decode")
     ap.add_argument("-p", dest="p010_file")
@@ -87,7 +92,8 @@ def main(argv=None):
     ap.add_argument("-g", dest="gainmap_jpeg_file")
     ap.add_argument("-f", dest="metadata_cfg")
     ap.add_argument("-w", type=int, dest="width", default=0)
-    ap.add_argument("-H", "--height", type=int, dest="height", default=0)
+    ap.add_argument("-h", "-H", "--height", type=int, dest="height",
+                    default=0)
     ap.add_argument("-C", type=int, dest="hdr_gamut", default=0)
     ap.add_argument("-c", type=int, dest="sdr_gamut", default=0)
     ap.add_argument("-t", type=int, dest="hdr_tf", default=1)
@@ -114,7 +120,7 @@ def encode_mode(args) -> int:
 
     if args.p010_file:
         if not args.width or not args.height:
-            raise SystemExit("encode with -p requires -w and --height")
+            raise SystemExit("encode with -p requires -w and -h")
         enc.set_raw_image(load_p010(args.p010_file, args.width,
                                     args.height, hdr_gamut, hdr_tf),
                           HDR_IMG)

@@ -10,8 +10,9 @@ sequential Huffman bit stage runs in native C++ on the host
 Encoder emits baseline JFIF: YCbCr 4:2:0 with 2x2/1x1/1x1 sampling or
 single-component grayscale — the same shapes the reference produces
 (jpegencoderhelper.cpp:120-136). Decoder handles baseline sequential
-JPEGs with a single interleaved scan (or single-component scans),
-restart intervals included; progressive JPEG is rejected cleanly.
+JPEGs (single- or multi-scan) and progressive SOF2, restart intervals
+included, with the Huffman stage in native C++ or the pure-Python
+fallback (huffman.py).
 """
 
 from __future__ import annotations
@@ -367,6 +368,35 @@ class DecodedCoefs:
     xmp: bytes | None = None
 
 
+
+def _parse_dht(payload: bytes, dc_tables: dict, ac_tables: dict):
+    """Parse one DHT payload with full validation — the native table
+    builder trusts bits[]/vals[] shapes, so corrupt definitions
+    (sum(bits) > 256, truncated vals, non-canonical code counts) must
+    be rejected here, not segfault there."""
+    pos = 0
+    while pos < len(payload):
+        tc, th = payload[pos] >> 4, payload[pos] & 15
+        pos += 1
+        if tc > 1 or th > 3 or pos + 16 > len(payload):
+            raise err("UHDR_CODEC_ERROR", "bad DHT header")
+        bits = list(payload[pos:pos + 16])
+        pos += 16
+        nvals = sum(bits)
+        if nvals > 256 or pos + nvals > len(payload):
+            raise err("UHDR_CODEC_ERROR", "bad DHT code counts")
+        code = 0
+        for length in range(1, 17):
+            code += bits[length - 1]
+            if code > (1 << length):
+                raise err("UHDR_CODEC_ERROR",
+                          "non-canonical DHT code counts")
+            code <<= 1
+        vals = list(payload[pos:pos + nvals])
+        pos += nvals
+        (dc_tables if tc == 0 else ac_tables)[th] = (bits, vals)
+
+
 def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
     """Host stage of decode: marker parse + native Huffman decode +
     MCU de-interleave. No device work — callers fuse dequant/IDCT with
@@ -401,17 +431,7 @@ def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
                 nat[tables.ZIGZAG] = zz
                 qtables[tq] = nat.reshape(8, 8)
         elif seg.marker == 0xC4:  # DHT
-            p = seg.payload
-            pos = 0
-            while pos < len(p):
-                tc, th = p[pos] >> 4, p[pos] & 15
-                pos += 1
-                bits = list(p[pos:pos + 16])
-                pos += 16
-                nvals = sum(bits)
-                vals = list(p[pos:pos + nvals])
-                pos += nvals
-                (dc_tables if tc == 0 else ac_tables)[th] = (bits, vals)
+            _parse_dht(seg.payload, dc_tables, ac_tables)
         elif seg.marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ish)
             p = seg.payload
             if len(p) < 6 or len(p) < 6 + p[5] * 3:
@@ -605,16 +625,7 @@ def _decode_multiscan(data: bytes, result: DecodedCoefs,
         payload = data[pos + 4: pos + 2 + seg_len]
         pos += 2 + seg_len
         if marker == 0xC4:  # DHT
-            p2 = 0
-            while p2 < len(payload):
-                tc, th = payload[p2] >> 4, payload[p2] & 15
-                p2 += 1
-                bits = list(payload[p2:p2 + 16])
-                p2 += 16
-                nvals = sum(bits)
-                vals = list(payload[p2:p2 + nvals])
-                p2 += nvals
-                (dc_tables if tc == 0 else ac_tables)[th] = (bits, vals)
+            _parse_dht(payload, dc_tables, ac_tables)
         elif marker == 0xDB:  # DQT may be (re)defined between scans
             p2 = 0
             while p2 < len(payload):
@@ -632,16 +643,33 @@ def _decode_multiscan(data: bytes, result: DecodedCoefs,
         elif marker == 0xDD:
             restart = int.from_bytes(payload[:2], "big")
         elif marker == 0xDA:  # SOS
+            if len(payload) < 1:
+                raise err("UHDR_CODEC_ERROR", "truncated SOS")
             ns = payload[0]
+            # Bound-check everything the scan decoders trust: corrupt
+            # spectral params (se > 63) would otherwise drive
+            # out-of-bounds coefficient writes in the native decoder.
+            if not 1 <= ns <= 4 or len(payload) < 4 + ns * 2:
+                raise err("UHDR_CODEC_ERROR", f"bad SOS ns={ns}")
             scan = []
             for i in range(ns):
                 cid, sel = payload[1 + i * 2], payload[2 + i * 2]
-                ci = next(i2 for i2, c in enumerate(comps)
-                          if c.cid == cid)
-                scan.append((ci, sel >> 4, sel & 15))
+                matches = [i2 for i2, c in enumerate(comps)
+                           if c.cid == cid]
+                if not matches:
+                    raise err("UHDR_CODEC_ERROR",
+                              f"SOS references unknown component {cid}")
+                if (sel >> 4) > 3 or (sel & 15) > 3:
+                    raise err("UHDR_CODEC_ERROR",
+                              f"bad table selector {sel:#x}")
+                scan.append((matches[0], sel >> 4, sel & 15))
             ss, se = payload[1 + ns * 2], payload[2 + ns * 2]
             a = payload[3 + ns * 2]
             ah, al = a >> 4, a & 15
+            if not (ss <= se <= 63 and ah <= 13 and al <= 13):
+                raise err("UHDR_CODEC_ERROR",
+                          f"bad spectral selection {ss}..{se} "
+                          f"ah={ah} al={al}")
             e0 = pos
             e1 = _entropy_end(data, e0)
             pos = e1

@@ -128,6 +128,73 @@ class RawImage:
             raise err("UHDR_CODEC_INVALID_PARAM",
                       f"odd image dimensions {self.width}x{self.height}")
 
+    # Per-format plane geometry: name -> (height_divisor, width_divisor)
+    # in SAMPLES (P010 "uv" rows interleave Cb/Cr so width == w).
+    _PLANE_GEOM = {
+        "p010": {"y": (1, 1), "uv": (2, 1)},
+        "yuv420": {"y": (1, 1), "u": (2, 2), "v": (2, 2)},
+        "yuv400": {"y": (1, 1)},
+        "rgba8888": {"rgba": (1, 1)},
+        "rgbaf16": {"rgba": (1, 1)},
+        "rgba1010102": {"rgba": (1, 1)},
+    }
+
+    @classmethod
+    def from_buffers(cls, fmt: "PixelFormat", width: int, height: int,
+                     planes: dict, strides: dict | None = None,
+                     gamut: "ColorGamut" = None,
+                     transfer: "ColorTransfer" = None) -> "RawImage":
+        """Build a RawImage from possibly row-padded buffers, matching
+        uhdr_raw_image_t's per-plane stride semantics
+        (ultrahdr_api.h:131-150; stride plumbing jpegr.cpp:300-361).
+
+        Each plane may be a flat or 2-D array whose rows span
+        `strides[name]` samples (>= the plane's natural width); the
+        stored planes are dense views of the top-left region. Strided
+        numpy views are accepted directly when `strides` is omitted.
+        """
+        import numpy as np
+
+        geom = cls._PLANE_GEOM.get(fmt.value)
+        if geom is None:
+            raise err("UHDR_CODEC_INVALID_PARAM",
+                      f"from_buffers unsupported for {fmt}")
+        norm = {}
+        for name, (hd, wd) in geom.items():
+            if name not in planes:
+                raise err("UHDR_CODEC_INVALID_PARAM",
+                          f"missing plane {name}")
+            arr = np.asarray(planes[name])
+            ph, pw = height // hd, width // wd
+            stride = (strides or {}).get(name)
+            if stride is not None:
+                if stride < pw:
+                    raise err("UHDR_CODEC_INVALID_PARAM",
+                              f"stride {stride} < width {pw} "
+                              f"for plane {name}")
+                arr = arr.reshape(-1)
+                if arr.size < (ph - 1) * stride + pw:
+                    raise err("UHDR_CODEC_INVALID_PARAM",
+                              f"plane {name} buffer too small")
+                arr = np.lib.stride_tricks.as_strided(
+                    arr, (ph, pw),
+                    (stride * arr.itemsize, arr.itemsize))
+            else:
+                if arr.ndim != 2 or arr.shape[0] < ph \
+                        or arr.shape[1] < pw:
+                    raise err("UHDR_CODEC_INVALID_PARAM",
+                              f"plane {name} shape {arr.shape} "
+                              f"smaller than {(ph, pw)}")
+                arr = arr[:ph, :pw]
+            norm[name] = arr
+        kw = {}
+        if gamut is not None:
+            kw["gamut"] = gamut
+        if transfer is not None:
+            kw["transfer"] = transfer
+        return cls(fmt=fmt, width=width, height=height, planes=norm,
+                   **kw)
+
 
 @dataclass
 class CompressedImage:

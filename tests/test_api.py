@@ -226,3 +226,91 @@ class TestCli:
         assert rc == 0
         data = np.fromfile(dec_out, np.uint16).reshape(64, 96, 4)
         assert np.all(data[..., 3].view(np.float16) == 1.0)
+
+
+def test_enc_set_output_format():
+    from libultrahdr_dev_tpu.api import UhdrEncoder
+    from libultrahdr_dev_tpu.types import UhdrError
+
+    enc = UhdrEncoder()
+    enc.set_output_format("jpg")
+    with pytest.raises(UhdrError):
+        enc.set_output_format("heif")
+
+
+def test_enc_compressed_hdr_intent_accepted():
+    from libultrahdr_dev_tpu.api import HDR_IMG, UhdrEncoder
+    from libultrahdr_dev_tpu.types import CompressedImage, UhdrError
+
+    enc = UhdrEncoder()
+    enc.set_compressed_image(CompressedImage(data=b"\xff\xd8junk"),
+                             HDR_IMG)
+    with pytest.raises(UhdrError):
+        enc.set_compressed_image(CompressedImage(data=b"x"), "bogus")
+
+
+def test_cli_dash_h_is_height(tmp_path):
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    p010_path = tmp_path / "in.p010"
+    h, w = 32, 48
+    rng = np.random.default_rng(0)
+    y = (rng.integers(64, 940, (h, w)).astype(np.uint16) << 6)
+    uv = np.full((h // 2, w), 512 << 6, np.uint16)
+    p010_path.write_bytes(y.tobytes() + uv.tobytes())
+    out = tmp_path / "out.jpegr"
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "libultrahdr_dev_tpu.cli", "-m", "0",
+         "-p", str(p010_path), "-w", str(w), "-h", str(h), "-C", "2",
+         "-t", "1", "-z", str(out)],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.read_bytes()[:2] == b"\xff\xd8"
+
+
+def test_raw_image_from_strided_buffers():
+    """uhdr_raw_image_t stride semantics (ultrahdr_api.h:131-150):
+    camera buffers with padded rows ingest without caller-side copies
+    and encode identically to dense ones."""
+    import numpy as np
+
+    from libultrahdr_dev_tpu.jpegr import JpegR
+    from libultrahdr_dev_tpu.types import (ColorGamut, ColorTransfer,
+                                           PixelFormat, RawImage,
+                                           UhdrError)
+
+    h, w, stride = 32, 48, 64
+    rng = np.random.default_rng(7)
+    ybuf = np.zeros((h, stride), np.uint16)
+    ybuf[:, :w] = rng.integers(64, 940, (h, w)).astype(np.uint16) << 6
+    uvbuf = np.zeros((h // 2, stride), np.uint16)
+    uvbuf[:, :w] = 512 << 6
+
+    strided = RawImage.from_buffers(
+        PixelFormat.P010, w, h,
+        {"y": ybuf, "uv": uvbuf},
+        strides={"y": stride, "uv": stride},
+        gamut=ColorGamut.BT2100)
+    dense = RawImage(fmt=PixelFormat.P010, width=w, height=h,
+                     gamut=ColorGamut.BT2100,
+                     planes={"y": np.ascontiguousarray(ybuf[:, :w]),
+                             "uv": np.ascontiguousarray(uvbuf[:, :w])})
+    jr = JpegR()
+    a = jr.encode_api0(strided, ColorTransfer.HLG, quality=95)
+    b = jr.encode_api0(dense, ColorTransfer.HLG, quality=95)
+    assert a == b
+
+    # 2-D padded views without explicit strides also normalize.
+    v = RawImage.from_buffers(PixelFormat.P010, w, h,
+                              {"y": ybuf, "uv": uvbuf},
+                              gamut=ColorGamut.BT2100)
+    assert v.planes["y"].shape == (h, w)
+
+    with pytest.raises(UhdrError):
+        RawImage.from_buffers(PixelFormat.P010, w, h,
+                              {"y": ybuf[:, :w - 8], "uv": uvbuf},
+                              strides={"y": 16, "uv": stride})

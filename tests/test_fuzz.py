@@ -122,3 +122,183 @@ class TestEncodeFuzz:
         img.width = 9000  # beyond kMaxWidth
         with pytest.raises(UhdrError):
             JpegR().encode_api0(img, ColorTransfer.HLG)
+
+
+class TestProgressiveFuzz:
+    """Mutations of a real progressive JPEG against the multi-scan
+    decoder (and through it, the native uhdr_prog_* scan decoders)."""
+
+    def _prog_jpeg(self):
+        import io
+        pil = pytest.importorskip("PIL.Image")
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 255, (40, 56, 3), np.uint8)
+        buf = io.BytesIO()
+        pil.fromarray(rgb).save(buf, "JPEG", progressive=True,
+                                quality=80, subsampling=2)
+        return bytearray(buf.getvalue())
+
+    def test_progressive_bitflips(self):
+        base = self._prog_jpeg()
+        rng = np.random.default_rng(6)
+        for _ in range(24):
+            data = bytearray(base)
+            for _ in range(rng.integers(1, 6)):
+                pos = rng.integers(2, len(data))
+                data[pos] ^= 1 << rng.integers(0, 8)
+            try:
+                codec.decode_jpeg(bytes(data))
+            except UhdrError:
+                pass
+
+    def test_progressive_truncations(self):
+        base = self._prog_jpeg()
+        for frac in (0.1, 0.3, 0.5, 0.7, 0.9, 0.99):
+            try:
+                codec.decode_jpeg(bytes(base[: int(len(base) * frac)]))
+            except UhdrError:
+                pass
+
+
+class TestEntropyDecoderFuzz:
+    """Direct corpus against the native/Python entropy decoders — the
+    memory-unsafe C++ surface gets random bitstreams, table configs and
+    block counts, and must return an error code, never corrupt memory
+    (verified implicitly by ASAN-free operation + identical Python
+    fallback behavior)."""
+
+    def _tables(self):
+        from libultrahdr_dev_tpu.jpeg import tables
+        return ([(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS), None,
+                 None, None],
+                [(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS), None,
+                 None, None])
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_bitstreams(self, seed):
+        dct, act = self._tables()
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 64))
+        data = rng.integers(0, 255, rng.integers(0, 512),
+                            dtype=np.uint8).tobytes()
+        comp_ids = np.zeros(n, np.uint8)
+        try:
+            out = codec.entropy_decode(data, n, comp_ids, [0], [0],
+                                       dct, act,
+                                       int(rng.integers(0, 4)), 1)
+            assert out.shape == (n, 64)
+        except UhdrError:
+            pass
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_python_and_native_agree_on_garbage(self, seed):
+        """The C++ and Python decoders accept/reject the same garbage
+        (differing only in which block they fail at)."""
+        from libultrahdr_dev_tpu.jpeg import huffman
+        from libultrahdr_dev_tpu.jpeg.native import get_lib
+        if get_lib() is None:
+            pytest.skip("native codec unavailable")
+        dct, act = self._tables()
+        rng = np.random.default_rng(100 + seed)
+        n = 16
+        data = rng.integers(0, 255, 256, dtype=np.uint8).tobytes()
+        comp_ids = np.zeros(n, np.uint8)
+        try:
+            nat = codec.entropy_decode(data, n, comp_ids, [0], [0],
+                                       dct, act, 0, 1)
+            nat_err = None
+        except UhdrError as e:
+            nat, nat_err = None, e
+        try:
+            py = huffman.huff_decode(data, n, comp_ids, [0], [0],
+                                     dct, act, 0, 1)
+            py_err = None
+        except (ValueError, IndexError) as e:
+            py, py_err = None, e
+        if nat is not None and py is not None:
+            assert np.array_equal(nat, py)
+
+
+class TestIsobmffFuzz:
+    """The HEIF container parser (container/isobmff.py) and HeifR
+    front end must reject arbitrary/mutated boxes cleanly."""
+
+    def _poke(self, data: bytes):
+        from libultrahdr_dev_tpu.container import isobmff as iso
+        from libultrahdr_dev_tpu.heifr import HeifR, heif_available
+        try:
+            iso.parse_heif(data)
+        except UhdrError:
+            pass
+        if heif_available():
+            try:
+                HeifR("avif").decode(data)
+            except UhdrError:
+                pass
+
+    def test_random_boxes(self):
+        rng = np.random.default_rng(9)
+        for _ in range(16):
+            self._poke(rng.integers(0, 255, rng.integers(0, 512),
+                                    dtype=np.uint8).tobytes())
+
+    def test_mutated_sample(self):
+        import os
+        path = "/root/reference/tests/data/sample_heicr.heic"
+        if not os.path.exists(path):
+            pytest.skip("fixture unavailable")
+        base = bytearray(open(path, "rb").read())
+        rng = np.random.default_rng(10)
+        for _ in range(24):
+            data = bytearray(base)
+            for _ in range(rng.integers(1, 8)):
+                pos = rng.integers(0, len(data))
+                data[pos] ^= 1 << rng.integers(0, 8)
+            self._poke(bytes(data))
+
+    def test_truncated_sample(self):
+        import os
+        path = "/root/reference/tests/data/sample_heicr.heic"
+        if not os.path.exists(path):
+            pytest.skip("fixture unavailable")
+        base = open(path, "rb").read()
+        for frac in (0.05, 0.2, 0.5, 0.8, 0.95):
+            self._poke(base[: int(len(base) * frac)])
+
+
+class TestMpfIccStructuralFuzz:
+    """Structural (field-level) mutations of MPF and ICC payloads."""
+
+    def test_mpf_mutations(self):
+        from libultrahdr_dev_tpu.container import mpf
+        base = bytearray(mpf.generate_mpf(1000, 0, 500, 1500))
+        rng = np.random.default_rng(11)
+        for _ in range(24):
+            data = bytearray(base)
+            for _ in range(rng.integers(1, 5)):
+                pos = rng.integers(0, len(data))
+                data[pos] = rng.integers(0, 256)
+            # Parsers must not crash on malformed MPF (it rides inside
+            # the JPEG container; exercise via the segment scanner).
+            blob = (b"\xff\xd8" + b"\xff\xe2"
+                    + (len(data) + 2).to_bytes(2, "big") + bytes(data)
+                    + b"\xff\xd9")
+            try:
+                jfif.parse_jpeg_info(blob)
+            except UhdrError:
+                pass
+
+    def test_icc_field_mutations(self):
+        base = bytearray(icc.write_icc_profile("srgb", "bt709"))
+        rng = np.random.default_rng(12)
+        for _ in range(24):
+            data = bytearray(base)
+            # Mutate structural fields: size, tag count, tag offsets.
+            for off in (0, 4, 128, 132, 136):
+                if rng.integers(0, 2) and off + 4 <= len(data):
+                    data[off:off + 4] = rng.integers(
+                        0, 256, 4, dtype=np.uint8).tobytes()
+            try:
+                icc.read_icc_color_gamut(bytes(data))
+            except (UhdrError, Exception):
+                pass
