@@ -34,9 +34,11 @@ coefficient array, reshaped to per-component block grids by static
 transposes — ready to fuse with dequant/IDCT and the gain-map apply in
 a single jit.
 
-Only streams whose Huffman tables are the Annex-K defaults (everything
-this framework encodes) take this path; callers must verify via
-`can_device_decode` and fall back to the host decoder otherwise.
+Any baseline JPEG with restart intervals takes this path — the select
+chains are built from the file's own DHT definitions (kernel compiles
+cache per table set; everything this framework encodes shares the
+Annex-K set). Foreign files without restart markers fall back to the
+host decoder.
 """
 
 from __future__ import annotations
@@ -79,6 +81,47 @@ _DC_L = _chain_consts(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS)
 _AC_L = _chain_consts(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS)
 _DC_C = _chain_consts(tables.DC_CHROMA_BITS, tables.DC_CHROMA_VALS)
 _AC_C = _chain_consts(tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS)
+_ANNEX_K_CHAINS = (_DC_L, _AC_L, _DC_C, _AC_C)
+
+
+def serialize_tables(dc_l, ac_l, dc_c=None, ac_c=None) -> bytes:
+    """Hashable kernel-cache key for a set of (bits, vals) specs."""
+    out = bytearray()
+    for t in (dc_l, ac_l, dc_c or dc_l, ac_c or ac_l):
+        out += bytes(t[0]) + bytes([len(t[1])]) + bytes(t[1])
+    return bytes(out)
+
+
+def chains_from_key(tkey: bytes):
+    """Inverse of serialize_tables -> 4 chain-constant tuples."""
+    out = []
+    pos = 0
+    for _ in range(4):
+        bits = list(tkey[pos:pos + 16])
+        pos += 16
+        n = tkey[pos]
+        pos += 1
+        vals = list(tkey[pos:pos + n])
+        pos += n
+        out.append(_chain_consts(bits, vals))
+    return tuple(out)
+
+
+def _pad_chain_pair(a, b):
+    """Equalize two chains' lengths with unreachable sentinel entries
+    (boundary > any 16-bit peek) so the fused luma/chroma select chain
+    can zip them."""
+    la, lb = len(a[0]), len(b[0])
+    n = max(la, lb)
+
+    def pad(c, ln):
+        if ln == n:
+            return c
+        bnd = np.concatenate([c[0], np.full(n - ln, 0x1FFFF, np.uint32)])
+        pck = np.concatenate([c[1], np.zeros(n - ln, np.uint32)])
+        return bnd, pck
+
+    return pad(a, la), pad(b, lb)
 
 
 def _eval_chain(peek16, consts):
@@ -93,11 +136,12 @@ def _eval_chain(peek16, consts):
 
 
 def _eval_chain_pair(peek16, luma_consts, chroma_consts, is_luma):
-    """Two same-length tables (luma/chroma) fused into one chain with
-    per-entry constant selects."""
+    """Two tables (luma/chroma) fused into one chain with per-entry
+    constant selects; unequal lengths are sentinel-padded."""
+    luma_consts, chroma_consts = _pad_chain_pair(luma_consts,
+                                                 chroma_consts)
     bl, pl = luma_consts
     bc, pc = chroma_consts
-    assert len(bl) == len(bc)
     out = jnp.where(is_luma, np.uint32(pl[0]), np.uint32(pc[0]))
     for i in range(1, len(bl)):
         b = jnp.where(is_luma, np.uint32(bl[i]), np.uint32(bc[i]))
@@ -238,14 +282,18 @@ def _signed_extend(extra, nbits):
                      jnp.where(e < half, e - full, e), 0)
 
 
-def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool):
+def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
+                      chains=None):
     """Traceable device decode of restart-interval chunks.
 
     chunks_u8: (NC, L) u8 destuffed interval bytes (zero-padded).
+    chains: (dc_luma, ac_luma, dc_chroma, ac_chroma) chain constants
+    (defaults to the Annex-K tables).
     Returns (NC * r_mcus * bpm, 64) i16 MCU-ordered zigzag blocks
     (bpm = 6 for 4:2:0, 1 for grayscale); trailing pad blocks (beyond
     n_mcus) are zero.
     """
+    dc_l, ac_l, dc_c, ac_c = chains or _ANNEX_K_CHAINS
     nc, L = chunks_u8.shape
     bpm = 1 if gray else 6
     cb = bpm * r_mcus
@@ -273,11 +321,11 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool):
         is_luma = True if gray else slot < 4
         is_dc = k == 0
         if gray:
-            dc_pk = _eval_chain(peek, _DC_L)
-            ac_pk = _eval_chain(peek, _AC_L)
+            dc_pk = _eval_chain(peek, dc_l)
+            ac_pk = _eval_chain(peek, ac_l)
         else:
-            dc_pk = _eval_chain_pair(peek, _DC_L, _DC_C, is_luma)
-            ac_pk = _eval_chain_pair(peek, _AC_L, _AC_C, is_luma)
+            dc_pk = _eval_chain_pair(peek, dc_l, dc_c, is_luma)
+            ac_pk = _eval_chain_pair(peek, ac_l, ac_c, is_luma)
         pk = jnp.where(is_dc, dc_pk, ac_pk)
         sym = (pk >> 5).astype(jnp.int32)
         clen = (pk & 31).astype(jnp.int32)
@@ -364,7 +412,8 @@ class DeviceStream:
     """Host-parsed description of a device-decodable baseline JPEG."""
 
     __slots__ = ("width", "height", "gray", "restart_interval", "chunks",
-                 "qtables", "icc", "exif", "xmp", "mcus_x", "mcus_y")
+                 "qtables", "icc", "exif", "xmp", "mcus_x", "mcus_y",
+                 "tables_key")
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -384,7 +433,9 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
     except Exception:
         return None
     qtables = {}
+    htables = {}
     comps = []
+    scan_sel = {}
     w = h = 0
     restart = 0
     icc = exif = xmp_b = None
@@ -416,10 +467,28 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
                       p[8 + i * 3]) for i in range(p[5])]
         elif seg.marker == 0xC2:
             progressive = True
+        elif seg.marker == 0xC4:
+            p = seg.payload
+            pos = 0
+            while pos + 17 <= len(p):
+                tc, th = p[pos] >> 4, p[pos] & 15
+                pos += 1
+                bits = list(p[pos:pos + 16])
+                pos += 16
+                nvals = sum(bits)
+                if nvals > 256 or pos + nvals > len(p):
+                    return None
+                htables[(tc, th)] = (bits, list(p[pos:pos + nvals]))
+                pos += nvals
         elif seg.marker == 0xDD:
             restart = int.from_bytes(seg.payload[:2], "big")
         elif seg.marker == 0xDA:
             nscans += 1
+            p = seg.payload
+            if len(p) >= 1 + p[0] * 2:
+                for i in range(p[0]):
+                    scan_sel[p[1 + i * 2]] = (p[2 + i * 2] >> 4,
+                                              p[2 + i * 2] & 15)
         elif seg.marker == 0xE1:
             if seg.payload.startswith(jfif.EXIF_SIG) and exif is None:
                 exif = seg.payload
@@ -442,10 +511,30 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
         mcus_x, mcus_y = -(-w // 16), -(-h // 16)
     else:
         return None
-    if not can_device_decode(segments, comps, restart):
+    if restart <= 0:
         return None
     if any(c[3] not in qtables for c in comps):
         return None
+    # Per-component Huffman selectors -> a table key the kernel cache
+    # compiles against (Annex-K for our own streams; anything valid for
+    # foreign restart-marker files). U and V must share tables (true of
+    # essentially every encoder; fall back otherwise).
+    try:
+        sel = [scan_sel[c[0]] for c in comps]
+    except KeyError:
+        return None
+    if gray:
+        specs = (htables.get((0, sel[0][0])), htables.get((1, sel[0][1])),
+                 None, None)
+    else:
+        if sel[1] != sel[2]:
+            return None
+        specs = (htables.get((0, sel[0][0])), htables.get((1, sel[0][1])),
+                 htables.get((0, sel[1][0])), htables.get((1, sel[1][1])))
+    if specs[0] is None or specs[1] is None or (
+            not gray and (specs[2] is None or specs[3] is None)):
+        return None
+    tkey = serialize_tables(*specs)
 
     eoi = data.find(b"\xff\xd9", sos_end)
     entropy = data[sos_end:eoi if eoi >= 0 else len(data)]
@@ -458,21 +547,23 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
     return DeviceStream(
         width=w, height=h, gray=gray, restart_interval=restart,
         chunks=chunks, qtables=[qtables[c[3]] for c in comps],
-        icc=icc, exif=exif, xmp=xmp_b, mcus_x=mcus_x, mcus_y=mcus_y)
+        icc=icc, exif=exif, xmp=xmp_b, mcus_x=mcus_x, mcus_y=mcus_y,
+        tables_key=tkey)
 
 
 @lru_cache(maxsize=None)
 def _decode_to_planes_kernel(nc: int, L: int, r: int, n_mcus: int,
                              mcus_x: int, mcus_y: int, gray: bool,
-                             qkey: bytes):
+                             qkey: bytes, tkey: bytes | None = None):
     """Jitted chunks -> pixel planes (entropy decode + dequant/IDCT)."""
     from .dct import dequant_idct
 
     qts = np.frombuffer(qkey, np.int32).reshape(-1, 8, 8)
+    chains = chains_from_key(tkey) if tkey else None
 
     @jax.jit
     def kernel(chunks):
-        blocks = decode_rst_chunks(chunks, r, n_mcus, gray)
+        blocks = decode_rst_chunks(chunks, r, n_mcus, gray, chains)
         if gray:
             return (dequant_idct(blocks[: n_mcus], qts[0], mcus_y * 8,
                                  mcus_x * 8),)
@@ -495,5 +586,6 @@ def decode_jpeg_device(data: bytes):
     qkey = np.stack(ds.qtables).astype(np.int32).tobytes()
     kernel = _decode_to_planes_kernel(
         ds.chunks.shape[0], ds.chunks.shape[1], ds.restart_interval,
-        ds.mcus_x * ds.mcus_y, ds.mcus_x, ds.mcus_y, ds.gray, qkey)
+        ds.mcus_x * ds.mcus_y, ds.mcus_x, ds.mcus_y, ds.gray, qkey,
+        ds.tables_key)
     return ds, kernel(jnp.asarray(ds.chunks))

@@ -130,6 +130,17 @@ struct BitReader {
 
   // Refill up to >= 25 bits if possible.
   inline void refill() {
+    // Fast path: pull 4 bytes at once when none is 0xFF (the common
+    // case; stuffed/marker bytes take the byte loop below).
+    while (nbits <= 32 && pos + 4 <= len) {
+      uint32_t w;
+      __builtin_memcpy(&w, data + pos, 4);
+      uint32_t x = ~w;  // a 0xFF byte becomes 0x00
+      if ((((x - 0x01010101u) & ~x) & 0x80808080u) != 0) break;
+      acc = (acc << 32) | __builtin_bswap32(w);
+      nbits += 32;
+      pos += 4;
+    }
     while (nbits <= 56 && pos < len) {
       uint8_t b = data[pos];
       if (b == 0xFF) {

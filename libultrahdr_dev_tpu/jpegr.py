@@ -102,7 +102,9 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
                              r_base: int, r_gm: int, w: int, h: int,
                              bmx: int, bmy: int, gmx: int, gmy: int,
                              gw: int, gh: int, scale: int,
-                             use_luts: bool, qkey: bytes):
+                             use_luts: bool, qkey: bytes,
+                             base_tkey: bytes = b"",
+                             gm_tkey: bytes = b""):
     """Fully-on-device decode: parallel RST entropy decode of the base
     (and gain map) bitstreams + dequant/IDCT + gain-map apply (or SDR
     conversion), one jit, one ~1.5 MB u8 upload. See
@@ -111,16 +113,21 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
     from .jpeg.device_decode import (decode_rst_chunks,
                                      deinterleave_yuv420_device)
 
+    from .jpeg.device_decode import chains_from_key
+
     qts = np.frombuffer(qkey, np.int32).reshape(-1, 8, 8)
     ql, qc, qg = qts[0], qts[1], qts[2]
     nb = int(np.prod(base_shape))
     n_mcus = bmx * bmy
     g_mcus = gmx * gmy
+    base_chains = chains_from_key(base_tkey) if base_tkey else None
+    gm_chains = chains_from_key(gm_tkey) if gm_tkey else None
 
     @jax.jit
     def kernel(combined_u8, scalars):
         bch = combined_u8[:nb].reshape(base_shape)
-        blocks = decode_rst_chunks(bch, r_base, n_mcus, gray=False)
+        blocks = decode_rst_chunks(bch, r_base, n_mcus, gray=False,
+                                   chains=base_chains)
         yz, uz, vz = deinterleave_yuv420_device(blocks, bmx, bmy)
         y8 = dequant_idct(yz, ql, bmy * 16, bmx * 16)[:h, :w]
         u8 = dequant_idct(uz, qc, bmy * 8, bmx * 8)[:(h + 1) // 2,
@@ -130,7 +137,8 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
         if output_format == "sdr":
             return gm.yuv420_to_rgba8888(y8, u8, v8)
         gch = combined_u8[nb:].reshape(gm_shape)
-        gblocks = decode_rst_chunks(gch, r_gm, g_mcus, gray=True)
+        gblocks = decode_rst_chunks(gch, r_gm, g_mcus, gray=True,
+                                    chains=gm_chains)
         gmap = dequant_idct(gblocks[:g_mcus], qg, gmy * 8,
                             gmx * 8)[:gh, :gw]
         apply_k = gm._apply_kernel(output_format, scale, use_luts)
@@ -401,7 +409,7 @@ class JpegR:
                 "sdr", ds.chunks.shape, dsg.chunks.shape,
                 ds.restart_interval, dsg.restart_interval, w, h,
                 ds.mcus_x, ds.mcus_y, dsg.mcus_x, dsg.mcus_y, gw, gh, 1,
-                bool(use_luts), qkey)
+                bool(use_luts), qkey, ds.tables_key, dsg.tables_key)
             rgba = kernel(combined, np.zeros(4, np.float32))
             result.image = RawImage(
                 fmt=PixelFormat.RGBA8888, width=w, height=h,
@@ -422,7 +430,7 @@ class JpegR:
             output_format.value, ds.chunks.shape, dsg.chunks.shape,
             ds.restart_interval, dsg.restart_interval, w, h,
             ds.mcus_x, ds.mcus_y, dsg.mcus_x, dsg.mcus_y, gw, gh, scale,
-            bool(use_luts), qkey)
+            bool(use_luts), qkey, ds.tables_key, dsg.tables_key)
         scalars = np.asarray(
             [math.log2(metadata.min_content_boost),
              math.log2(metadata.max_content_boost),

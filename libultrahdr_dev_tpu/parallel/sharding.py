@@ -502,7 +502,8 @@ def _batched_decode_device(blobs, output_format: str,
         output_format, (ds0.chunks.shape[0], Lb),
         (dsg0.chunks.shape[0], Lg), ds0.restart_interval,
         dsg0.restart_interval, w, h, ds0.mcus_x, ds0.mcus_y,
-        dsg0.mcus_x, dsg0.mcus_y, gw, gh, w // gw, bool(use_luts), qkey)
+        dsg0.mcus_x, dsg0.mcus_y, gw, gh, w // gw, bool(use_luts), qkey,
+        ds0.tables_key, dsg0.tables_key)
 
     display_boost = min(max_display_boost, metadata.max_content_boost)
     boost_factor = (display_boost / metadata.max_content_boost

@@ -107,3 +107,24 @@ def test_truncated_stream_terminates():
         kernel_in = dd.decode_jpeg_device(cut + b"\xff\xd9")
         # Any result (including garbage planes) is fine; must return.
         assert kernel_in is None or len(kernel_in) == 2
+
+
+def test_foreign_optimized_tables_device_path():
+    """Foreign JPEGs with restart markers and custom (optimized)
+    Huffman tables decode on device bit-exactly — the select chains are
+    built from the file's own DHT definitions."""
+    import io
+    pil = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 255, (48, 64, 3), np.uint8)
+    buf = io.BytesIO()
+    pil.fromarray(rgb).save(buf, "JPEG", quality=90, subsampling=2,
+                            optimize=True, restart_marker_blocks=4)
+    data = buf.getvalue()
+    ds = dd.parse_device_stream(data)
+    assert ds is not None
+    _, planes = dd.decode_jpeg_device(data)
+    ref = codec.decode_jpeg(data)
+    for p, rp in zip(planes, ref.planes):
+        a = np.asarray(p)[: rp.shape[0], : rp.shape[1]]
+        assert np.array_equal(a, rp)
