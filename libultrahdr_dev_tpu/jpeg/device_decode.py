@@ -305,18 +305,15 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
     out_cols = jnp.arange(cb * 64, dtype=jnp.int32)[None, :]
 
     # Emission upper bound: every coefficient + per-block DC/EOB/ZRL
-    # overhead, bounded by the bit budget (each unit costs >= 2 bits).
-    step_cap = max_bits // 2 + 2
+    # overhead, bounded by the bit budget (each unit costs >= 2 bits,
+    # two units decode per loop step).
+    step_cap = max_bits // 4 + 2
 
-    def cond(state):
-        return jnp.any(~state[4])
-
-    def body(state):
-        bit, blk, k, dcp, done, out, nstep = state
-        w = _select_read(W, bit >> 2)
-        win = w << (bit & 3).astype(jnp.uint32)
+    def decode_unit(win, bit, blk, k, dcp, done):
+        """Decode ONE codeword+extra from the (left-aligned, >=27
+        valid bits) window; returns the advanced lane state plus the
+        emission for the dense out-buffer write."""
         peek = win >> 16
-
         slot = blk % 6
         is_luma = True if gray else slot < 4
         is_dc = k == 0
@@ -363,9 +360,9 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
         k_n = jnp.where(is_dc, 1,
                         jnp.where(is_eob | (kk >= 63), 0,
                                   jnp.where(is_zrl, k + 16, kk + 1)))
-        bit_n = bit + clen + nextra
+        ulen = clen + nextra
 
-        bit = jnp.where(done, bit, bit_n)
+        bit = jnp.where(done, bit, bit + ulen)
         blk = jnp.where(done, blk, blk_n)
         k = jnp.where(done, k, k_n)
         if gray:
@@ -376,10 +373,39 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
             for c in range(3):
                 dcp = dcp.at[:, c].set(
                     jnp.where(upd & (comp == c), new_dc, dcp[:, c]))
-        out = jnp.where((out_cols == dest[:, None]) & emit[:, None],
-                        eval_.astype(jnp.int16)[:, None], out)
-        done = done | (blk >= target) | (bit > max_bits) \
-            | (nstep >= step_cap)
+        done = done | (blk >= target) | (bit > max_bits)
+        return (bit, blk, k, dcp, done, ulen,
+                dest, eval_.astype(jnp.int16), emit)
+
+    def cond(state):
+        return jnp.any(~state[4])
+
+    def body(state):
+        bit, blk, k, dcp, done, out, nstep = state
+        # Two indexed reads give a 57+ bit double window: unit 1 always
+        # fits in w0's 29 bits, unit 2 in what w0+w1 expose after it.
+        nib = bit >> 2
+        r = (bit & 3).astype(jnp.uint32)
+        w0 = _select_read(W, nib)
+        w1 = _select_read(W, nib + 7)  # bits starting 28 past w0's
+
+        win0 = w0 << r
+        (bit, blk, k, dcp, done, len1,
+         dest1, val1, emit1) = decode_unit(win0, bit, blk, k, dcp, done)
+
+        t = r.astype(jnp.int32) + len1  # second unit's offset, <= 30
+        tu = t.astype(jnp.uint32)
+        win1 = jnp.where(t <= 28,
+                         (w0 << tu) | (w1 >> ((28 - tu) & 31)),
+                         w1 << (tu - 28))
+        (bit, blk, k, dcp, done, _,
+         dest2, val2, emit2) = decode_unit(win1, bit, blk, k, dcp, done)
+
+        m1 = (out_cols == dest1[:, None]) & emit1[:, None]
+        m2 = (out_cols == dest2[:, None]) & emit2[:, None]
+        out = jnp.where(m2, val2[:, None],
+                        jnp.where(m1, val1[:, None], out))
+        done = done | (nstep >= step_cap)
         return bit, blk, k, dcp, done, out, nstep + 1
 
     state = (jnp.zeros(nc, jnp.int32), jnp.zeros(nc, jnp.int32),
