@@ -104,24 +104,104 @@ def main():
         sync(out)
         dec_dev = min(dec_dev, (time.perf_counter() - t0) * 1000 / FRAMES)
 
-    # Device-compute-only times (inputs resident, outputs unsynced save
-    # a single element): isolates TPU work from the relay.
-    from libultrahdr_dev_tpu.jpeg.device_entropy import DEFAULT_CHUNK_CAP
+    # Device-compute-only times: N frames chained inside ONE dispatch
+    # (fori_loop, inputs perturbed per iteration to defeat CSE) so the
+    # relay's ~30 ms per-dispatch/sync overhead amortizes away. These
+    # are the framework's own numbers, independent of link weather.
+    import math
 
-    kernel, _ = sharding._batched_encode_to_streams_rst(
-        mesh, "bt2100", "hlg", 95, H, W, DEFAULT_CHUNK_CAP)
-    packed = (*sharding.pack_p010_host(ys), *sharding.pack_p010_host(uvs))
-    dp = [jax.device_put(p) for p in packed]
+    import jax.numpy as jnp
+
+    from libultrahdr_dev_tpu.container import mux, xmp as xmp_mod
+    from libultrahdr_dev_tpu.jpeg import device_decode as dd
+    from libultrahdr_dev_tpu.jpeg import device_entropy as de
+    from libultrahdr_dev_tpu.jpeg.dct import dequant_idct
+    from libultrahdr_dev_tpu.jpeg.device_entropy import DEFAULT_CHUNK_CAP
+    from libultrahdr_dev_tpu.ops import gainmap as gm
+
+    NLOOP = 8
+    mcus_x, mcus_y = W // 16, H // 16
+    yh, yl = sharding.pack_p010_host(ys[0])
+    uh, ul = sharding.pack_p010_host(uvs[0])
+    dp = [jax.device_put(p) for p in (yh, yl, uh, ul)]
     sync(dp)
-    kout = kernel(*dp)
-    sync(kout)
+
+    @jax.jit
+    def enc_many(yh, yl, uh, ul):
+        def body(i, acc):
+            yy = sharding._unpack_p010_device(yh + i.astype(jnp.uint8),
+                                              yl)
+            uu = sharding._unpack_p010_device(uh, ul)
+            yz, uz, vz, gz = sharding._encode_one_image_coefs(
+                yy, uu, "bt2100", "hlg", 95)
+            inter = de.interleave_blocks_device(yz, uz, vz, mcus_x,
+                                                mcus_y)
+            sw, _, total, _ = de.encode_yuv420_rst_stream(
+                inter, sharding.RST_INTERVAL, DEFAULT_CHUNK_CAP)
+            gsw, _, gt, _ = de.encode_gray_rst_stream(
+                gz, sharding.RST_INTERVAL, DEFAULT_CHUNK_CAP)
+            # Consume the sorted streams so XLA can't dead-code-
+            # eliminate the compaction sort.
+            return (acc + total + gt + sw[0].astype(jnp.int32)
+                    + gsw[0].astype(jnp.int32))
+        return jax.lax.fori_loop(0, NLOOP, body, jnp.int32(0))
+
+    out = enc_many(*dp)
+    sync(out)
     enc_kernel = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        kout = kernel(*dp)
-        sync(kout)
+        out = enc_many(*dp)
+        sync(out)
         enc_kernel = min(enc_kernel,
-                         (time.perf_counter() - t0) * 1000 / FRAMES)
+                         (time.perf_counter() - t0) * 1000 / NLOOP)
+
+    primary, gmapb = mux.extract_primary_and_gainmap(blobs[0])
+    ds = dd.parse_device_stream(primary)
+    dsg = dd.parse_device_stream(gmapb)
+    md = xmp_mod.get_metadata_from_xmp(dsg.xmp)
+    bch = jax.device_put(ds.chunks)
+    gch = jax.device_put(dsg.chunks)
+    sync((bch, gch))
+    qb, qc_, qg = ds.qtables[0], ds.qtables[1], dsg.qtables[0]
+    apply_k = gm._apply_kernel("hdr_hlg", 4, False)
+    sc = (math.log2(md.min_content_boost),
+          math.log2(md.max_content_boost), 1.0, md.max_content_boost)
+
+    @jax.jit
+    def dec_many(bch, gch):
+        def body(i, acc):
+            b = jnp.roll(bch, i, axis=0)
+            g = jnp.roll(gch, i, axis=0)
+            blocks = dd.decode_rst_chunks(b, ds.restart_interval,
+                                          mcus_x * mcus_y, False)
+            yz, uz, vz = dd.deinterleave_yuv420_device(blocks, mcus_x,
+                                                       mcus_y)
+            y8 = dequant_idct(yz, qb, mcus_y * 16, mcus_x * 16)[:H, :W]
+            u8 = dequant_idct(uz, qc_, mcus_y * 8,
+                              mcus_x * 8)[:H // 2, :W // 2]
+            v8 = dequant_idct(vz, qc_, mcus_y * 8,
+                              mcus_x * 8)[:H // 2, :W // 2]
+            gb = dd.decode_rst_chunks(g, dsg.restart_interval,
+                                      dsg.mcus_x * dsg.mcus_y, True)
+            gp = dequant_idct(gb[: dsg.mcus_x * dsg.mcus_y], qg,
+                              dsg.mcus_y * 8,
+                              dsg.mcus_x * 8)[: dsg.height, : dsg.width]
+            hdr = apply_k(y8, u8, v8, gp, jnp.float32(sc[0]),
+                          jnp.float32(sc[1]), jnp.float32(sc[2]),
+                          jnp.float32(sc[3]))
+            return acc + hdr[0, 0].astype(jnp.uint32)
+        return jax.lax.fori_loop(0, NLOOP, body, jnp.uint32(0))
+
+    out = dec_many(bch, gch)
+    sync(out)
+    dec_kernel = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = dec_many(bch, gch)
+        sync(out)
+        dec_kernel = min(dec_kernel,
+                         (time.perf_counter() - t0) * 1000 / NLOOP)
 
     # Context: measured link bandwidth (both directions fluctuate).
     probe = np.zeros(8 << 20, np.uint8)
@@ -143,6 +223,9 @@ def main():
             "decode_ms_per_frame": round(dec, 2),
             "decode_to_device_ms_per_frame": round(dec_dev, 2),
             "encode_device_compute_ms_per_frame": round(enc_kernel, 2),
+            "decode_device_compute_ms_per_frame": round(dec_kernel, 2),
+            "device_compute_vs_baseline": round(
+                BASELINE_4K_MS / (enc_kernel + dec_kernel), 2),
             "frames": FRAMES,
             "device": str(dev),
             "jpegr_bytes": len(blobs[0]),
@@ -150,9 +233,10 @@ def main():
             "d2h_MBps": round(d2h_mbps, 1),
             "note": "headline is link-bound on this harness: 23.5MB "
                     "packed P010 upload per encode + 50MB pixel "
-                    "readback per decode over a 13-45MB/s relay; "
-                    "device compute is ~125ms encode / ~45ms decode "
-                    "per 4K frame (entropy coding on device both ways)",
+                    "readback per decode over a 7-45MB/s relay whose "
+                    "throughput is weather; the *_device_compute_* "
+                    "fields are dispatch-amortized TPU times (entropy "
+                    "coding on device in both directions)",
         },
     }
     assert pixels.shape == (FRAMES, H, W)

@@ -10,12 +10,14 @@ Public surface:
   - api.UhdrEncoder / api.UhdrDecoder / api.is_uhdr_image — stable API
     mirroring ultrahdr_api.h
   - jpegr.JpegR — direct codec entry points (encode API-0..4/x, decode)
+  - heifr.HeifR — gain-map HEIC/AVIF (own tmap container + libheif)
   - ultrahdr.UltraHdr — converter session (add_image/convert + effects)
   - ops.editor — crop/mirror/rotate/resize effects
   - parallel — batched multi-device sharding helpers
 """
 
 from .api import UhdrDecoder, UhdrEncoder, is_uhdr_image  # noqa: F401
+from .heifr import HeifR  # noqa: F401
 from .jpegr import JpegR  # noqa: F401
 from .types import (ColorGamut, ColorTransfer, CompressedImage,  # noqa: F401
                     GainMapMetadata, OutputFormat, PixelFormat, RawImage,

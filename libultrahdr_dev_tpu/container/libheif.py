@@ -118,6 +118,13 @@ def _load():
         lib.heif_image_set_nclx_color_profile.restype = E
         lib.heif_image_set_nclx_color_profile.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.heif_image_get_bits_per_pixel_range.restype = ctypes.c_int
+        lib.heif_image_get_bits_per_pixel_range.argtypes = [
+            ctypes.c_void_p, ctypes.c_int]
+        lib.heif_image_handle_get_luma_bits_per_pixel.restype = \
+            ctypes.c_int
+        lib.heif_image_handle_get_luma_bits_per_pixel.argtypes = [
+            ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -142,7 +149,15 @@ def _require():
 
 def decode_primary(data: bytes, monochrome: bool):
     """Decode the primary image of a (minimal) HEIF to numpy planes:
-    gray -> (y,), color -> (y, cb, cr) at 4:2:0."""
+    gray -> (y,), color -> (y, cb, cr) at 4:2:0; 8-bit."""
+    planes, _ = decode_primary_depth(data, monochrome)
+    return planes
+
+
+def decode_primary_depth(data: bytes, monochrome: bool):
+    """Like decode_primary but returns (planes, bit_depth); plane
+    dtype is u8 for 8-bit content, u16 (values in [0, 2^depth)) for
+    deeper content (10-bit HEIC/AVIF primaries)."""
     lib = _require()
     ctx = lib.heif_context_alloc()
     try:
@@ -167,6 +182,10 @@ def decode_primary(data: bytes, monochrome: bool):
                                           None)
             _check(e, "decode")
             try:
+                depth = lib.heif_image_get_bits_per_pixel_range(
+                    img, CHANNEL_Y)
+                wide = depth > 8
+
                 def plane(channel, ph, pw):
                     stride = ctypes.c_int()
                     ptr = lib.heif_image_get_plane_readonly(
@@ -174,17 +193,24 @@ def decode_primary(data: bytes, monochrome: bool):
                     if not ptr:
                         raise err("UHDR_CODEC_ERROR",
                                   f"missing plane {channel}")
+                    if wide:
+                        p16 = ctypes.cast(
+                            ptr, ctypes.POINTER(ctypes.c_uint16))
+                        buf = np.ctypeslib.as_array(
+                            p16, (ph, stride.value // 2))
+                        return np.array(buf[:, :pw], np.uint16,
+                                        copy=True)
                     buf = np.ctypeslib.as_array(ptr,
                                                 (ph, stride.value))
                     return np.array(buf[:, :pw], np.uint8, copy=True)
 
                 y = plane(CHANNEL_Y, h, w)
                 if monochrome:
-                    return (y,)
+                    return (y,), depth
                 cw, chh = (w + 1) // 2, (h + 1) // 2
                 cb = plane(CHANNEL_CB, chh, cw)
                 cr = plane(CHANNEL_CR, chh, cw)
-                return (y, cb, cr)
+                return (y, cb, cr), depth
             finally:
                 lib.heif_image_release(img)
         finally:

@@ -132,16 +132,30 @@ class UltraHdr:
             self.gainmap_raw = np.asarray(res.gainmap)
             self.metadata = res.metadata
             return self
-        # Plain HEIF: primary image is the SDR rendition.
+        # Plain HEIF: 8-bit primary is the SDR rendition, a 10-bit one
+        # populates the raw HDR slot as P010 (ultrahdr.cpp:661-692:
+        # luma_bits_per_pixel 10 -> hdr_raw, 8 -> sdr_raw).
         if not lh.available():
             raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
                       "heif input requires the libheif shared library")
-        y8, u8, v8 = lh.decode_primary(data, monochrome=False)
+        planes, depth = lh.decode_primary_depth(data, monochrome=False)
+        y, u, v = planes
+        h, w = y.shape
+        if depth > 8:
+            shift = 16 - depth  # P010: 10-bit MSB-aligned u16
+            uv = np.empty((u.shape[0], u.shape[1] * 2), np.uint16)
+            uv[:, 0::2] = u.astype(np.uint16) << shift
+            uv[:, 1::2] = v.astype(np.uint16) << shift
+            self.hdr_raw = RawImage(
+                fmt=PixelFormat.P010, width=w, height=h,
+                gamut=ColorGamut.BT2100,
+                transfer=ColorTransfer.UNSPECIFIED,
+                planes={"y": y.astype(np.uint16) << shift, "uv": uv})
+            return self
         self.sdr_raw = RawImage(
-            fmt=PixelFormat.YUV420, width=y8.shape[1],
-            height=y8.shape[0], gamut=ColorGamut.UNSPECIFIED,
-            transfer=ColorTransfer.SRGB,
-            planes={"y": y8, "u": u8, "v": v8})
+            fmt=PixelFormat.YUV420, width=w, height=h,
+            gamut=ColorGamut.UNSPECIFIED, transfer=ColorTransfer.SRGB,
+            planes={"y": y, "u": u, "v": v})
         return self
 
     def add_raw(self, img: RawImage):

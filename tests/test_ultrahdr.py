@@ -205,3 +205,33 @@ class TestHeifFlows:
             output_codec="avif_r", transfer=ColorTransfer.HLG,
             effects=[editor.MirrorEffect("vertical")]))
         assert sniff_format(blob) == "avif"
+
+    def test_flow_10bit_avif_to_jpegr(self):
+        """10-bit HEIF primary -> hdr_raw P010 -> JPEG/R (testFlow
+        analog over avif_yuv_420_10bit.avif)."""
+        import os
+        path = "/root/reference/tests/data/avif_yuv_420_10bit.avif"
+        if not os.path.exists(path):
+            pytest.skip("fixture unavailable")
+        u = UltraHdr().add_image(open(path, "rb").read())
+        assert u.hdr_raw is not None
+        assert u.hdr_raw.fmt == PixelFormat.P010
+        assert u.hdr_raw.width == 120 and u.hdr_raw.height == 160
+        blob = u.convert(UltraHdrConfig(output_codec="jpeg_r",
+                                        transfer=ColorTransfer.HLG))
+        assert sniff_format(blob) == "jpeg_r"
+
+    def test_flow_heicr_to_avifr(self):
+        """testFlow4 analog: HEIC_R/AVIF_R gain-map container in ->
+        re-encoded gain-map container out."""
+        import os
+        path = "/root/reference/tests/data/sample_heicr.heic"
+        if not os.path.exists(path):
+            pytest.skip("fixture unavailable")
+        u = UltraHdr().add_image(open(path, "rb").read())
+        blob = u.convert(UltraHdrConfig(output_codec="avif_r"))
+        assert sniff_format(blob) == "avif"
+        u2 = UltraHdr().add_image(blob)
+        assert u2.gainmap_raw is not None
+        assert u2.metadata.max_content_boost == pytest.approx(
+            u.metadata.max_content_boost, rel=1e-4)
