@@ -341,21 +341,16 @@ def _block_word_buffers(vals, lens):
     hi = jnp.where(live, hi, 0)
     lo = jnp.where(live, lo, 0)
 
+    # Masked integer sum over the unit axis. Exact because co-located
+    # bits are disjoint (sum == OR, no carries). This is pure VPU work:
+    # the earlier one-hot byte-matmul formulation padded 65x20 per-block
+    # matmuls to MXU tiles and burned ~40 ms/4K-frame on padding FLOPs.
     cols = np.arange(_BLOCK_WORDS, dtype=np.int32)
-    oh_hi = (w[..., None] == cols).astype(jnp.float32)
-    oh_lo = ((w + 1)[..., None] == cols).astype(jnp.float32)
-
-    def bytes_of(x):
-        return jnp.stack([((x >> (8 * k)) & 0xFF).astype(jnp.float32)
-                          for k in range(4)], axis=-1)
-
-    acc = (jnp.einsum("nub,nuw->nwb", bytes_of(hi), oh_hi,
-                      precision=jax.lax.Precision.HIGHEST)
-           + jnp.einsum("nub,nuw->nwb", bytes_of(lo), oh_lo,
-                        precision=jax.lax.Precision.HIGHEST))
-    acc = acc.astype(jnp.uint32)
-    words = (acc[..., 0] | (acc[..., 1] << 8) | (acc[..., 2] << 16)
-             | (acc[..., 3] << 24))
+    contrib = (jnp.where(w[..., None] == cols, hi[..., None],
+                         jnp.uint32(0))
+               | jnp.where((w + 1)[..., None] == cols, lo[..., None],
+                           jnp.uint32(0)))
+    words = jnp.sum(contrib, axis=1, dtype=jnp.uint32)
     return words, blen.astype(jnp.int32), overflow
 
 
