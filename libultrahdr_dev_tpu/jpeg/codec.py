@@ -33,11 +33,13 @@ MAX_DIM = 8192  # jpegdecoderhelper.h:42-43
 # Shared helpers.
 # ---------------------------------------------------------------------------
 
-def _pad_plane(plane: np.ndarray, mult: int) -> np.ndarray:
-    """Edge-replicate pad a plane so both dims are multiples of mult."""
+def _pad_plane(plane: np.ndarray, mult) -> np.ndarray:
+    """Edge-replicate pad a plane so dims are multiples of mult
+    (an int, or an (hmult, wmult) pair)."""
+    hm, wm = (mult, mult) if isinstance(mult, int) else mult
     h, w = plane.shape
-    ph = (mult - h % mult) % mult
-    pw = (mult - w % mult) % mult
+    ph = (hm - h % hm) % hm
+    pw = (wm - w % wm) % wm
     if ph == 0 and pw == 0:
         return plane
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
@@ -173,20 +175,22 @@ def _jfif_app0() -> bytes:
     return _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
 
 
-def _interleave_yuv420(yb, ub, vb, mcus_x: int, mcus_y: int):
-    """Build MCU-interleaved block array for 2x2/1x1/1x1 sampling.
+def _interleave_ycbcr(yb, ub, vb, mcus_x: int, mcus_y: int,
+                      hs: int, vs: int):
+    """Build the MCU-interleaved block array for hsxvs/1x1/1x1 sampling
+    (4:2:0, 4:2:2 or 4:4:4).
 
-    yb: (mcus_y*2, mcus_x*2, 64) block grid; ub/vb: (mcus_y, mcus_x, 64).
-    Returns (blocks, comp_ids) with 6 blocks per MCU.
+    yb: (mcus_y*vs, mcus_x*hs, 64) block grid; ub/vb: (mcus_y, mcus_x,
+    64). Returns (blocks, comp_ids) with hs*vs+2 blocks per MCU.
     """
     n = mcus_x * mcus_y
-    y4 = (yb.reshape(mcus_y, 2, mcus_x * 2, 64)[:, :, :, :]
-          .reshape(mcus_y, 2, mcus_x, 2, 64)
+    yl = (yb.reshape(mcus_y, vs, mcus_x, hs, 64)
           .transpose(0, 2, 1, 3, 4)          # (my, mx, vy, vx, 64)
-          .reshape(n, 4, 64))
+          .reshape(n, hs * vs, 64))
     blocks = np.concatenate(
-        [y4, ub.reshape(n, 1, 64), vb.reshape(n, 1, 64)], axis=1)
-    comp_ids = np.tile(np.array([0, 0, 0, 0, 1, 2], np.uint8), n)
+        [yl, ub.reshape(n, 1, 64), vb.reshape(n, 1, 64)], axis=1)
+    comp_ids = np.tile(
+        np.array([0] * (hs * vs) + [1, 2], np.uint8), n)
     return blocks.reshape(-1, 64), comp_ids
 
 
@@ -216,6 +220,18 @@ def yuv420_jpeg_headers(w: int, h: int, quality: int,
                         icc: bytes | None = None,
                         restart_interval: int = 0) -> bytes:
     """All markers up to (and including) SOS for 4:2:0 YCbCr."""
+    return ycbcr_jpeg_headers(w, h, quality, (2, 2), icc,
+                              restart_interval)
+
+
+def ycbcr_jpeg_headers(w: int, h: int, quality: int,
+                       sampling: tuple[int, int],
+                       icc: bytes | None = None,
+                       restart_interval: int = 0) -> bytes:
+    """All markers up to (and including) SOS for YCbCr with luma
+    sampling factors `sampling` = (h, v) in {(2,2), (2,1), (1,1)}
+    (4:2:0 / 4:2:2 / 4:4:4); chroma is always 1x1."""
+    hs, vs = sampling
     ql = tables.scale_quant_table(tables.STD_LUMINANCE_QUANT, quality)
     qc = tables.scale_quant_table(tables.STD_CHROMINANCE_QUANT, quality)
     out = bytearray()
@@ -225,7 +241,7 @@ def yuv420_jpeg_headers(w: int, h: int, quality: int,
         out += _marker(0xE2, icc)
     out += _marker(0xDB, _dqt(0, ql))
     out += _marker(0xDB, _dqt(1, qc))
-    out += _marker(0xC0, _sof0(w, h, [(1, 2, 2, 0), (2, 1, 1, 1),
+    out += _marker(0xC0, _sof0(w, h, [(1, hs, vs, 0), (2, 1, 1, 1),
                                       (3, 1, 1, 1)]))
     out += _marker(0xC4, _dht(0, 0, tables.DC_LUMA_BITS, tables.DC_LUMA_VALS))
     out += _marker(0xC4, _dht(1, 0, tables.AC_LUMA_BITS, tables.AC_LUMA_VALS))
@@ -261,27 +277,39 @@ def assemble_yuv420_jpeg(yz: np.ndarray, uz: np.ndarray, vz: np.ndarray,
                          w: int, h: int, quality: int,
                          icc: bytes | None = None,
                          restart_interval: int = 0) -> bytes:
-    """Host stage for 4:2:0 YCbCr: MCU interleave + markers + entropy.
-    yz covers the 16-aligned luma plane; uz/vz the 8-aligned chroma."""
-    yp_h, yp_w = _align(h, 16), _align(w, 16)
-    cp_h, cp_w = _align(-(-h // 2), 8), _align(-(-w // 2), 8)
-    mcus_x, mcus_y = yp_w // 16, yp_h // 16
+    return assemble_ycbcr_jpeg(yz, uz, vz, w, h, quality, (2, 2), icc,
+                               restart_interval)
+
+
+def assemble_ycbcr_jpeg(yz: np.ndarray, uz: np.ndarray, vz: np.ndarray,
+                        w: int, h: int, quality: int,
+                        sampling: tuple[int, int] = (2, 2),
+                        icc: bytes | None = None,
+                        restart_interval: int = 0) -> bytes:
+    """Host stage for YCbCr: MCU interleave + markers + entropy.
+    sampling = luma (h, v) factors; yz covers the MCU-aligned luma
+    plane, uz/vz the 8-aligned chroma planes at their natural size."""
+    hs, vs = sampling
+    yp_h, yp_w = _align(h, 8 * vs), _align(w, 8 * hs)
+    cp_h = _align(-(-h // vs), 8)
+    cp_w = _align(-(-w // hs), 8)
+    mcus_x, mcus_y = yp_w // (8 * hs), yp_h // (8 * vs)
     yb = yz.reshape(yp_h // 8, yp_w // 8, 64)
     ub = uz.reshape(cp_h // 8, cp_w // 8, 64)
     vb = vz.reshape(cp_h // 8, cp_w // 8, 64)
-    blocks, comp_ids = _interleave_yuv420(
-        yb.reshape(mcus_y * 2, mcus_x * 2, 64),
-        ub[:mcus_y, :mcus_x], vb[:mcus_y, :mcus_x], mcus_x, mcus_y)
+    blocks, comp_ids = _interleave_ycbcr(
+        yb, ub[:mcus_y, :mcus_x], vb[:mcus_y, :mcus_x], mcus_x, mcus_y,
+        hs, vs)
 
-    out = bytearray(yuv420_jpeg_headers(w, h, quality, icc,
-                                        restart_interval))
+    out = bytearray(ycbcr_jpeg_headers(w, h, quality, sampling, icc,
+                                       restart_interval))
     out += entropy_encode(
         blocks, comp_ids, [0, 1, 1], [0, 1, 1],
         [(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS),
          (tables.DC_CHROMA_BITS, tables.DC_CHROMA_VALS)],
         [(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS),
          (tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS)],
-        restart_interval, 6)
+        restart_interval, hs * vs + 2)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -290,9 +318,31 @@ def _align(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _infer_sampling(y_shape, u_shape) -> tuple[int, int]:
+    """Luma sampling factors from the chroma plane's size relative to
+    luma: (2,2)=4:2:0, (2,1)=4:2:2, (1,1)=4:4:4."""
+    h, w = y_shape
+    ch, cw = u_shape
+    hs = 2 if cw == (w + 1) // 2 else 1 if cw == w else 0
+    vs = 2 if ch == (h + 1) // 2 else 1 if ch == h else 0
+    if not hs or not vs or (hs, vs) == (1, 2):
+        raise err("UHDR_CODEC_INVALID_PARAM",
+                  f"unsupported chroma geometry {cw}x{ch} for luma "
+                  f"{w}x{h} (expected 4:2:0, 4:2:2 or 4:4:4)")
+    return hs, vs
+
+
 def encode_jpeg(planes: dict, quality: int, icc: bytes | None = None,
-                restart_interval: int = 0) -> bytes:
-    """Encode YUV420 planes {y,u,v} or grayscale {y} to baseline JFIF.
+                restart_interval: int = 0,
+                sampling: tuple[int, int] | None = None) -> bytes:
+    """Encode YCbCr planes {y,u,v} or grayscale {y} to baseline JFIF.
+
+    Chroma subsampling is inferred from the chroma planes' shape
+    (half/half = 4:2:0, half-width = 4:2:2, full = 4:4:4) unless
+    `sampling` pins the luma factors explicitly. The reference encodes
+    4:2:0 and grayscale only (jpegencoderhelper.cpp:120-136); 4:2:2 and
+    4:4:4 are this framework's extension (its decoder — like the
+    reference's libjpeg — accepts all three).
 
     Emits the same structure the reference's encoder produces: optional
     ICC as a single APP2 right after APP0 (jpegencoderhelper.cpp:98-100).
@@ -311,19 +361,22 @@ def encode_jpeg(planes: dict, quality: int, icc: bytes | None = None,
     qc = tables.scale_quant_table(tables.STD_CHROMINANCE_QUANT, quality)
     u = _np(planes["u"])
     v = _np(planes["v"])
-    yp = _pad_plane(y, 16)
-    # Chroma planes must cover yp/2 at 8-block alignment.
-    up = _pad_plane(np.pad(u, ((0, yp.shape[0] // 2 - u.shape[0]),
-                               (0, yp.shape[1] // 2 - u.shape[1])),
-                           mode="edge"), 8)
-    vp = _pad_plane(np.pad(v, ((0, yp.shape[0] // 2 - v.shape[0]),
-                               (0, yp.shape[1] // 2 - v.shape[1])),
-                           mode="edge"), 8)
+    hs, vs = sampling if sampling is not None else _infer_sampling(
+        y.shape, u.shape)
+    if u.shape != v.shape:
+        raise err("UHDR_CODEC_INVALID_PARAM", "u/v shape mismatch")
+    yp = _pad_plane(y, (8 * vs, 8 * hs))
+    # Chroma planes must cover yp at their sampling, 8-block aligned.
+    ch, cw = yp.shape[0] // vs, yp.shape[1] // hs
+    up = _pad_plane(np.pad(u, ((0, ch - u.shape[0]),
+                               (0, cw - u.shape[1])), mode="edge"), 8)
+    vp = _pad_plane(np.pad(v, ((0, ch - v.shape[0]),
+                               (0, cw - v.shape[1])), mode="edge"), 8)
     yz = _np(fdct_quant(yp, ql))
     uz = _np(fdct_quant(up, qc))
     vz = _np(fdct_quant(vp, qc))
-    return assemble_yuv420_jpeg(yz, uz, vz, w, h, quality, icc,
-                                restart_interval)
+    return assemble_ycbcr_jpeg(yz, uz, vz, w, h, quality, (hs, vs),
+                               icc, restart_interval)
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,7 @@ bitstream, bit-exactness with libjpeg's DCT is not required.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,49 @@ _D = _dct_matrix()
 _ZIG = np.asarray(ZIGZAG)
 
 
+def _kron_fdct_bf16_split():
+    """The 2-D 8x8 DCT as ONE (64, 64) matrix (kron(D, D)) acting on
+    flattened blocks, with the constant matrix split into three bf16
+    terms M = M0 + M1 + M2 (each the bf16 rounding of the residual).
+
+    Why: a K=8 einsum maps onto 8x8 slices of the 128x128 MXU (~0.4%
+    utilization) and f32 HIGHEST costs 6 emulation passes on top. The
+    kron form contracts K=64, and because level-shifted JPEG samples
+    are integers in [-128, 127] — exactly representable in bf16 — the
+    split gives 3 native bf16 MXU passes whose only error is the
+    ~2^-25-relative residual of the constant matrix (orders of
+    magnitude below the 0.5 quantization-rounding threshold).
+    Measured 4.26 -> 2.98 ms per 4K luma plane on v5e.
+
+    Columns are pre-permuted into zigzag order so the matmul output
+    feeds the entropy coder directly.
+    """
+    m = np.kron(_D, _D).astype(np.float32).T  # (xy, uv)
+    m = m[:, _ZIG]
+    m0 = m.astype(jnp.bfloat16)
+    r1 = m - np.asarray(m0, np.float32)
+    m1 = r1.astype(jnp.bfloat16)
+    m2 = (r1 - np.asarray(m1, np.float32)).astype(jnp.bfloat16)
+    return np.asarray(m0), np.asarray(m1), np.asarray(m2)
+
+
+_KRON_ZIG_SPLIT = _kron_fdct_bf16_split()
+
+
+def fdct_zigzag(plane_u8, q_zig):
+    """Traceable fDCT + quantization: u8 plane (dims multiple of 8) ->
+    int16 (nblocks, 64) quantized coefficients in zigzag order.
+    q_zig: (64,) f32 quant table already in zigzag order."""
+    h, w = plane_u8.shape
+    x = (plane_u8.astype(jnp.int16) - 128).astype(jnp.bfloat16)
+    xb = x.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    xb = xb.reshape(-1, 64)
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+    m0, m1, m2 = _KRON_ZIG_SPLIT
+    c = dot(xb, m0) + dot(xb, m1) + dot(xb, m2)
+    return jnp.round(c / q_zig.reshape(1, 64)).astype(jnp.int16)
+
+
 def plane_to_blocks(plane):
     """(H, W) -> (H//8 * W//8, 8, 8) row-major block order."""
     h, w = plane.shape
@@ -48,26 +91,12 @@ def blocks_to_plane(blocks, h: int, w: int):
 
 @lru_cache(maxsize=None)
 def _fdct_kernel(h: int, w: int):
-    # numpy constants: building jnp arrays here would capture tracers
-    # when the kernel is first constructed inside an outer trace.
-    d = np.asarray(_D, np.float32)
     zig = _ZIG
 
     @jax.jit
     def kernel(plane_u8, qtable):
-        # Level shift to [-128, 127] as T.81 prescribes.
-        x = plane_u8.astype(jnp.float32) - 128.0
-        blocks = plane_to_blocks(x)
-        # Two batched 8x8 matmuls -> MXU. HIGHEST precision keeps the
-        # f32 mantissa on TPU (default would downcast inputs to bf16,
-        # visibly corrupting quantized coefficients).
-        coefs = jnp.einsum("ux,nxy,vy->nuv", d, blocks, d,
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
-        q = qtable.astype(jnp.float32).reshape(1, 8, 8)
-        quant = jnp.round(coefs / q).astype(jnp.int16)
-        # Emit in zigzag order for the entropy coder.
-        return quant.reshape(-1, 64)[:, zig]
+        q_zig = qtable.astype(jnp.float32).reshape(64)[zig]
+        return fdct_zigzag(plane_u8, q_zig)
 
     return kernel
 

@@ -73,13 +73,51 @@ _AC_CHROMA = _build_code_table(tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS)
 
 def _bitlen(v):
     """Number of bits of |v| (JPEG 'size' category), integer-exact via
-    a 15-compare select chain (a float log2 could be 1 ulp low at exact
-    powers of two depending on backend/XLA version)."""
+    the f32 exponent field: int->f32 conversion is exact for
+    |v| < 2^24 (every reachable JPEG magnitude), and the biased
+    exponent of an exactly-converted integer is floor(log2)+127 by
+    IEEE-754 construction — no rounding enters anywhere, unlike a
+    float log2. One convert + shift instead of a 15-compare chain
+    (~4x fewer VPU passes over the (N, 63) coefficient array)."""
     av = jnp.abs(v)
-    out = jnp.zeros(jnp.shape(v), jnp.int32)
-    for k in range(1, 16):
-        out = jnp.where(av >= (1 << (k - 1)), k, out)
-    return out
+    e = (jax.lax.bitcast_convert_type(av.astype(jnp.float32),
+                                      jnp.int32) >> 23) - 126
+    return jnp.where(av > 0, e, 0)
+
+
+def _cummax_incl_lanes(x):
+    """Inclusive running max along axis=1 via log-doubling shifted
+    maxima (6 passes for 63 lanes). jax.lax.cummax lowers to an
+    O(n^2)-work reduce_window on TPU — ~7 ms per 4K frame vs ~1 ms
+    for this form."""
+    n = x.shape[1]
+    d = 1
+    while d < n:
+        x = jnp.maximum(x, jnp.pad(x, ((0, 0), (d, 0)))[:, :n])
+        d <<= 1
+    return x
+
+
+def _suffix_any_excl_lanes(nz):
+    """has_later[k] = any(nz[j] for j > k), log-doubling suffix OR."""
+    n = nz.shape[1]
+    x = jnp.pad(nz, ((0, 0), (0, 1)))[:, 1:]  # exclusive shift
+    d = 1
+    while d < n:
+        x = x | jnp.pad(x, ((0, 0), (0, d)))[:, d:]
+        d <<= 1
+    return x
+
+
+def _cumsum_incl_lanes(x):
+    """Inclusive running sum along axis=1 (log-doubling shifted adds,
+    same rationale as _cummax_incl_lanes)."""
+    n = x.shape[1]
+    d = 1
+    while d < n:
+        x = x + jnp.pad(x, ((0, 0), (d, 0)))[:, :n]
+        d <<= 1
+    return x
 
 
 def _pack_table(code_size) -> np.ndarray:
@@ -160,15 +198,15 @@ def _units_for_blocks(blocks, dc_prev, is_luma):
     # --- AC positions 1..63 ---
     k = jnp.arange(1, 64, dtype=jnp.int32)[None, :]
     nz = ac != 0
-    # previous nonzero position (or 0): cummax of position*mask.
-    posmask = jnp.where(nz, k, 0)
-    prev_incl = jax.lax.cummax(posmask, axis=1)
-    prevnz = jnp.concatenate(
-        [jnp.zeros((n, 1), jnp.int32), prev_incl[:, :-1]], axis=1)
+    # previous nonzero position (or 0): positions fit int8, so the
+    # running max runs at 4x lane density.
+    k8 = jnp.arange(1, 64, dtype=jnp.int8)[None, :]
+    posmask8 = jnp.where(nz, k8, jnp.int8(0))
+    prev_incl8 = _cummax_incl_lanes(posmask8)
+    prevnz = jnp.pad(prev_incl8, ((0, 0), (1, 0)))[:, :-1].astype(
+        jnp.int32)
     rel = k - prevnz
-    # later nonzero exists (strictly after k): reversed suffix cummax.
-    later = jax.lax.cummax(posmask[:, ::-1], axis=1)[:, ::-1]
-    has_later = later > k
+    has_later = _suffix_any_excl_lanes(nz)
 
     run = rel - 1
     sa = _bitlen(ac)
@@ -187,7 +225,7 @@ def _units_for_blocks(blocks, dc_prev, is_luma):
     lens_ac = jnp.where(nz | is_zrl, a_sizes + sa_u, 0)
 
     # --- EOB (slot 64) ---
-    last_nz = prev_incl[:, -1]  # 0 when no nonzero AC
+    last_nz = jnp.max(posmask8, axis=1).astype(jnp.int32)  # 0 if all-zero AC
     need_eob = last_nz < 63
     eob_code, eob_len = lookup_ac(jnp.zeros_like(dc))
     eob_val = jnp.where(need_eob, eob_code, 0)
@@ -324,9 +362,9 @@ _BLOCK_BIT_CAP = (_BLOCK_WORDS - 1) * 32
 
 def _block_word_buffers(vals, lens):
     """(N, 65) units -> per-block (N, _BLOCK_WORDS) u32 word buffers +
-    (N,) bit lengths + overflow flag, via one-hot byte matmuls."""
+    (N,) bit lengths + overflow flag, via masked integer sums."""
     n = vals.shape[0]
-    ends = jnp.cumsum(lens, axis=1)
+    ends = _cumsum_incl_lanes(lens)
     blen = ends[:, -1]
     starts = ends - lens
     overflow = jnp.any(blen > _BLOCK_BIT_CAP)

@@ -63,12 +63,19 @@ def yuv420_to_float(y_u8, u_u8, v_u8):
 
 
 def _box_mean(x, factor):
-    """Mean over non-overlapping factor x factor blocks (crops remainder)."""
+    """Mean over non-overlapping factor x factor blocks (crops remainder).
+
+    lax.reduce_window (a pooling primitive the TPU backend lowers to
+    fused strided reductions) instead of reshape+mean: the reshape
+    splits the lane dimension (W -> W/f, f), forcing a relayout that
+    costs ~10 ms per 4K plane set; the pooled form is ~free."""
     h, w = x.shape[-2], x.shape[-1]
     hh, ww = (h // factor) * factor, (w // factor) * factor
     x = x[..., :hh, :ww]
-    x = x.reshape(*x.shape[:-2], hh // factor, factor, ww // factor, factor)
-    return jnp.mean(x, axis=(-3, -1))
+    win = (1,) * (x.ndim - 2) + (factor, factor)
+    s = jax.lax.reduce_window(x, np.float32(0), jax.lax.add, win, win,
+                              "VALID")
+    return s * (1.0 / (factor * factor))
 
 
 def _upsample2(x):
@@ -199,30 +206,32 @@ def _idw_upsample(gmap01, scale: int, out_h: int, out_w: int):
     sampleMap(..., ShepardsIDW&) (gainmapmath.cpp:686-720) including
     its NR/NB/C edge tables.
 
-    TPU design: the 4 corner maps come from jnp.repeat of clamp-shifted
-    copies; the weights are recomputed per output pixel from
+    TPU design: ONE jnp.repeat upsample (repeats split the lane dim —
+    a relayout worth avoiding 4x over), then the other three corner
+    maps are clamp-shifts of it at FULL resolution (cheap strided
+    copies; bit-identical to upsampling the shifted map since cells
+    are scale-aligned). Weights are recomputed per output pixel from
     (x mod s, y mod s) and edge masks — pure elementwise VPU math that
     XLA fuses with the surrounding pixel pipeline.
     """
     mh, mw = gmap01.shape
+    e1 = jnp.repeat(jnp.repeat(gmap01, scale, axis=0)[:out_h], scale,
+                    axis=1)[:, :out_w]
 
     def shift(a, dy, dx):
         if dy:
-            a = jnp.concatenate([a[dy:], a[-1:].repeat(dy, axis=0)], axis=0)
+            a = jnp.concatenate(
+                [a[dy:], jnp.broadcast_to(a[-1:], (dy,) + a.shape[1:])],
+                axis=0)
         if dx:
-            a = jnp.concatenate([a[:, dx:], a[:, -1:].repeat(dx, axis=1)],
-                                axis=1)
+            a = jnp.concatenate(
+                [a[:, dx:], jnp.broadcast_to(a[:, -1:],
+                                             (a.shape[0], dx))], axis=1)
         return a
 
-    def up(a):
-        a = jnp.repeat(a, scale, axis=0)[:out_h]
-        a = jnp.repeat(a, scale, axis=1)[:, :out_w]
-        return a
-
-    e1 = up(gmap01)
-    e2 = up(shift(gmap01, 1, 0))
-    e3 = up(shift(gmap01, 0, 1))
-    e4 = up(shift(gmap01, 1, 1))
+    e2 = shift(e1, scale, 0)
+    e3 = shift(e1, 0, scale)
+    e4 = shift(e1, scale, scale)
 
     xs = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1)
     ys = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 0)

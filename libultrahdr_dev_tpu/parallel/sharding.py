@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import color, gainmap as gm
 from ..jpeg import tables
-from ..jpeg.dct import _D
+from ..jpeg import dct as dct_mod
 from ..types import GainMapMetadata
 
 
@@ -173,21 +173,14 @@ def _batched_encode_to_streams_rst(mesh: Mesh, gamut: str, hdr_tf: str,
 
 
 def _fdct_zigzag(plane_u8, q):
-    """Traceable fDCT/quant of a u8 plane (pads to 8-multiples)."""
-    d = np.asarray(_D, np.float32)
+    """Traceable fDCT/quant of a u8 plane (pads to 8-multiples); the
+    kron(D,D) bf16x3 MXU formulation (jpeg/dct.py fdct_zigzag)."""
     hh, ww = plane_u8.shape
     ph, pw = (-hh) % 8, (-ww) % 8
     if ph or pw:
         plane_u8 = jnp.pad(plane_u8, ((0, ph), (0, pw)), mode="edge")
-    hh, ww = hh + ph, ww + pw
-    x = plane_u8.astype(jnp.float32) - 128.0
-    blocks = x.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
-    blocks = blocks.reshape(-1, 8, 8)
-    coefs = jnp.einsum("ux,nxy,vy->nuv", d, blocks, d,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
-    return jnp.round(coefs / q.reshape(1, 8, 8)).astype(
-        jnp.int16).reshape(-1, 64)[:, tables.ZIGZAG]
+    q_zig = q.reshape(64)[tables.ZIGZAG]
+    return dct_mod.fdct_zigzag(plane_u8, q_zig)
 
 
 def _gainmap_and_coefs(y8, u8, v8, p010_y, p010_uv, sdr_gamut, hdr_gamut,

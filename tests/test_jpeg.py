@@ -320,3 +320,61 @@ class TestMultiScanBaseline:
         assert got.width == ref.width and got.height == ref.height
         for a, b in zip(got.planes, ref.planes):
             assert np.array_equal(a, b)
+
+
+class TestSubsampling:
+    """4:2:2 / 4:4:4 encode (framework extension; the reference
+    encodes 4:2:0 only — jpegencoderhelper.cpp:120-136). Sampling is
+    inferred from the chroma plane geometry."""
+
+    def _planes(self, h, w, hs, vs, seed=21):
+        y = smooth_plane(h, w, seed=seed)
+        ch, cw = -(-h // vs), -(-w // hs)
+        u = smooth_plane(ch, cw, seed=seed + 1, lo=96, hi=160)
+        v = smooth_plane(ch, cw, seed=seed + 2, lo=96, hi=160)
+        return y, u, v
+
+    @pytest.mark.parametrize("hs,vs", [(2, 1), (1, 1)])
+    def test_roundtrip(self, hs, vs):
+        h, w = 40, 56
+        y, u, v = self._planes(h, w, hs, vs)
+        blob = codec.encode_jpeg({"y": y, "u": u, "v": v}, quality=95)
+        dec = codec.decode_jpeg(blob)
+        assert (dec.width, dec.height) == (w, h)
+        assert dec.sampling[0] == (hs, vs)
+        assert dec.sampling[1] == (1, 1) and dec.sampling[2] == (1, 1)
+        assert psnr(dec.planes[0], y) > 38
+        assert psnr(dec.planes[1], u) > 38
+        assert psnr(dec.planes[2], v) > 38
+
+    @pytest.mark.parametrize("hs,vs", [(2, 1), (1, 1)])
+    def test_odd_dims(self, hs, vs):
+        h, w = 33, 47
+        y, u, v = self._planes(h, w, hs, vs, seed=31)
+        blob = codec.encode_jpeg({"y": y, "u": u, "v": v}, quality=95)
+        dec = codec.decode_jpeg(blob)
+        assert (dec.width, dec.height) == (w, h)
+        assert psnr(dec.planes[0], y) > 38
+
+    @pytest.mark.parametrize("hs,vs", [(2, 2), (2, 1), (1, 1)])
+    def test_pil_cross_decode(self, hs, vs):
+        Image = pytest.importorskip("PIL.Image")
+        h, w = 48, 64
+        y, u, v = self._planes(h, w, hs, vs, seed=41)
+        blob = codec.encode_jpeg({"y": y, "u": u, "v": v}, quality=95)
+        img = Image.open(io.BytesIO(blob))
+        got = np.asarray(img.convert("YCbCr"))
+        assert got.shape == (h, w, 3)
+        assert psnr(got[:, :, 0], y) > 38
+
+    def test_bad_chroma_geometry_rejected(self):
+        from libultrahdr_dev_tpu.types import UhdrError
+        y = smooth_plane(32, 32)
+        u = smooth_plane(32, 16)  # 4:2:2 u ...
+        v = smooth_plane(16, 16)  # ... mismatched with 4:2:0 v
+        with pytest.raises(UhdrError):
+            codec.encode_jpeg({"y": y, "u": u, "v": v}, quality=90)
+        # vertical-only subsampling (1,2) is not a JPEG-legal layout here
+        u2 = smooth_plane(16, 32)
+        with pytest.raises(UhdrError):
+            codec.encode_jpeg({"y": y, "u": u2, "v": u2}, quality=90)
