@@ -87,31 +87,20 @@ def scan_segments(data: bytes, start: int = 0):
 
 
 def find_eoi(data: bytes, sos_end: int) -> int:
-    """Scan entropy-coded data from after SOS for the EOI marker; returns
-    offset just past EOI. Vectorized: candidate 0xFF positions come from
-    numpy, so multi-MB streams don't walk byte-by-byte in Python."""
-    import numpy as np
+    """Scan entropy-coded data from after SOS for the EOI marker;
+    returns offset just past EOI.
 
-    n = len(data)
-    arr = np.frombuffer(data, np.uint8, count=n)
-    cand = np.flatnonzero(arr[sos_end:n - 1] == 0xFF) + sos_end
-    # An 0xFF directly after another 0xFF can be a fill byte; the scan
-    # below resolves overlaps left to right (~1/256 of bytes are
-    # candidates, so the Python loop is short).
-    skip_until = sos_end
-    for p in cand:
-        if p < skip_until:
-            continue
-        m = arr[p + 1]
-        if m == EOI:
-            return int(p) + 2
-        if m == 0x00 or 0xD0 <= m <= 0xD7:
-            skip_until = p + 2
-        elif m == 0xFF:
-            skip_until = p + 1
-        else:
-            skip_until = p + 2
-    return n  # no EOI found: image runs to the end of the buffer
+    A single bytes.find is exact here: within entropy-coded data every
+    0xFF is either a data escape (always followed by a stuffed 0x00),
+    a fill byte (followed by 0xFF or a marker), or a marker prefix —
+    the second byte of any such pair is never 0xFF, so the first
+    literal FF D9 in the stream is, by the JPEG grammar, a real EOI
+    (possibly with fill FFs before it, which resolve to the same
+    offset). C-speed memmem vs a Python loop over candidates: our own
+    restart-interval streams carry ~20k RST markers + word-alignment
+    fill per 4K frame, which made the loop ~35 ms/image."""
+    p = data.find(b"\xff\xd9", sos_end)
+    return len(data) if p < 0 else p + 2
 
 
 def find_image_ranges(data: bytes, limit: int = 2):

@@ -203,11 +203,16 @@ def split_rst_stream(entropy: bytes, n_chunks: int):
         raise ValueError("marker structure corrupt")
     L = _bucket_len(int(lens.max()))
     starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
-    idx = (starts[:, None] + np.arange(L, dtype=np.int64)[None, :])
-    valid = np.arange(L)[None, :] < lens[:, None]
-    out = np.where(valid, data[np.minimum(idx, data.size - 1)],
-                   np.uint8(0))
-    return np.ascontiguousarray(out, np.uint8)
+    # Gather each chunk's L-byte window from the padded destuffed data
+    # (int32 indices + a zero-padded tail keep this a single cheap
+    # np.take; rows read past their own chunk into the zero pad or the
+    # next chunk, then the mask zeroes those tail bytes).
+    padded = np.concatenate([data, np.zeros(L, np.uint8)])
+    idx = (starts.astype(np.int32)[:, None]
+           + np.arange(L, dtype=np.int32)[None, :])
+    out = np.take(padded, idx)
+    out[np.arange(L, dtype=np.int32)[None, :] >= lens[:, None]] = 0
+    return out
 
 
 def can_device_decode(segments, comps, restart_interval: int) -> bool:

@@ -124,6 +124,29 @@ class TestEncodeFuzz:
             JpegR().encode_api0(img, ColorTransfer.HLG)
 
 
+class TestSubsamplingEncodeFuzz:
+    """Random dims/content through the 4:2:2 and 4:4:4 encode paths
+    must produce JPEGs our decoder (and thus libjpeg) accepts."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_subsampled_roundtrip(self, seed):
+        from libultrahdr_dev_tpu.jpeg import codec
+
+        rng = np.random.default_rng(300 + seed)
+        hs, vs = [(2, 1), (1, 1)][seed % 2]
+        w = int(rng.integers(9, 140))
+        h = int(rng.integers(9, 140))
+        y = rng.integers(0, 256, (h, w), np.uint8)
+        ch, cw = -(-h // vs), -(-w // hs)
+        u = rng.integers(0, 256, (ch, cw), np.uint8)
+        v = rng.integers(0, 256, (ch, cw), np.uint8)
+        q = int(rng.integers(30, 101))
+        blob = codec.encode_jpeg({"y": y, "u": u, "v": v}, quality=q)
+        dec = codec.decode_jpeg(blob)
+        assert (dec.width, dec.height) == (w, h)
+        assert dec.sampling[0] == (hs, vs)
+
+
 class TestProgressiveFuzz:
     """Mutations of a real progressive JPEG against the multi-scan
     decoder (and through it, the native uhdr_prog_* scan decoders)."""
