@@ -11,10 +11,16 @@ Usage: python benchmarks/microbench.py [--quick]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# Runnable as a plain script from anywhere: the package lives one
+# directory up from this file.
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def timeit(fn, iters=10, warmup=1):
