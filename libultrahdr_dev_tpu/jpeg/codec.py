@@ -320,11 +320,16 @@ def _align(x: int, m: int) -> int:
 
 def _infer_sampling(y_shape, u_shape) -> tuple[int, int]:
     """Luma sampling factors from the chroma plane's size relative to
-    luma: (2,2)=4:2:0, (2,1)=4:2:2, (1,1)=4:4:4."""
+    luma: (2,2)=4:2:0, (2,1)=4:2:2, (1,1)=4:4:4. For odd luma dims
+    both ceil-half and floor-half chroma planes count as subsampled
+    (RawImage carries floor-half planes; assembly edge-pads the
+    missing row/column)."""
     h, w = y_shape
     ch, cw = u_shape
-    hs = 2 if cw == (w + 1) // 2 else 1 if cw == w else 0
-    vs = 2 if ch == (h + 1) // 2 else 1 if ch == h else 0
+    hs = (2 if w > 1 and cw in ((w + 1) // 2, w // 2)
+          else 1 if cw == w else 0)
+    vs = (2 if h > 1 and ch in ((h + 1) // 2, h // 2)
+          else 1 if ch == h else 0)
     if not hs or not vs or (hs, vs) == (1, 2):
         raise err("UHDR_CODEC_INVALID_PARAM",
                   f"unsupported chroma geometry {cw}x{ch} for luma "
@@ -361,10 +366,13 @@ def encode_jpeg(planes: dict, quality: int, icc: bytes | None = None,
     qc = tables.scale_quant_table(tables.STD_CHROMINANCE_QUANT, quality)
     u = _np(planes["u"])
     v = _np(planes["v"])
-    hs, vs = sampling if sampling is not None else _infer_sampling(
-        y.shape, u.shape)
     if u.shape != v.shape:
         raise err("UHDR_CODEC_INVALID_PARAM", "u/v shape mismatch")
+    hs, vs = _infer_sampling(y.shape, u.shape)
+    if sampling is not None and tuple(sampling) != (hs, vs):
+        raise err("UHDR_CODEC_INVALID_PARAM",
+                  f"requested sampling {tuple(sampling)} inconsistent "
+                  f"with plane geometry (implies {(hs, vs)})")
     yp = _pad_plane(y, (8 * vs, 8 * hs))
     # Chroma planes must cover yp at their sampling, 8-block aligned.
     ch, cw = yp.shape[0] // vs, yp.shape[1] // hs

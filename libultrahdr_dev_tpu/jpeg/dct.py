@@ -2,9 +2,12 @@
 
 Replaces libjpeg's jdct (JDCT_ISLOW) used by the reference's
 encoder/decoder wrappers (/root/reference/lib/src/jpegencoderhelper.cpp,
-jpegdecoderhelper.cpp): a plane is reshaped into its 8x8 blocks and the
-2-D DCT becomes two batched 8x8 matmuls (D @ X @ D^T), which XLA maps
-onto the MXU; quantization fuses as elementwise VPU ops. Float DCT
+jpegdecoderhelper.cpp). A plane is reshaped into its 8x8 blocks; the
+forward 2-D DCT is ONE (64, 64) kron(D, D) matmul over flattened
+blocks with a 3-term bf16 split of the constant matrix (3 native MXU
+passes — see _kron_fdct_bf16_split and docs/kernels.md); the inverse
+stays a K=8 einsum at HIGHEST precision (its inputs are not
+bf16-exact). Quantization fuses as elementwise VPU ops. Float DCT
 (not the integer ISLOW approximation) — output feeds a standard JPEG
 bitstream, bit-exactness with libjpeg's DCT is not required.
 """
@@ -34,6 +37,18 @@ _D = _dct_matrix()
 _ZIG = np.asarray(ZIGZAG)
 
 
+def _split_bf16(m: np.ndarray, terms: int):
+    """Split an f32 matrix into `terms` bf16 matrices summing to ~m
+    (each term is the bf16 rounding of the remaining residual)."""
+    out = []
+    rem = m.astype(np.float32)
+    for _ in range(terms):
+        t = rem.astype(jnp.bfloat16)
+        out.append(np.asarray(t))
+        rem = rem - np.asarray(t, np.float32)
+    return out
+
+
 def _kron_fdct_bf16_split():
     """The 2-D 8x8 DCT as ONE (64, 64) matrix (kron(D, D)) acting on
     flattened blocks, with the constant matrix split into three bf16
@@ -52,12 +67,7 @@ def _kron_fdct_bf16_split():
     feeds the entropy coder directly.
     """
     m = np.kron(_D, _D).astype(np.float32).T  # (xy, uv)
-    m = m[:, _ZIG]
-    m0 = m.astype(jnp.bfloat16)
-    r1 = m - np.asarray(m0, np.float32)
-    m1 = r1.astype(jnp.bfloat16)
-    m2 = (r1 - np.asarray(m1, np.float32)).astype(jnp.bfloat16)
-    return np.asarray(m0), np.asarray(m1), np.asarray(m2)
+    return tuple(_split_bf16(m[:, _ZIG], 3))
 
 
 _KRON_ZIG_SPLIT = _kron_fdct_bf16_split()
@@ -67,10 +77,8 @@ def fdct_zigzag(plane_u8, q_zig):
     """Traceable fDCT + quantization: u8 plane (dims multiple of 8) ->
     int16 (nblocks, 64) quantized coefficients in zigzag order.
     q_zig: (64,) f32 quant table already in zigzag order."""
-    h, w = plane_u8.shape
     x = (plane_u8.astype(jnp.int16) - 128).astype(jnp.bfloat16)
-    xb = x.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
-    xb = xb.reshape(-1, 64)
+    xb = plane_to_blocks(x).reshape(-1, 64)
     dot = partial(jnp.dot, preferred_element_type=jnp.float32)
     m0, m1, m2 = _KRON_ZIG_SPLIT
     c = dot(xb, m0) + dot(xb, m1) + dot(xb, m2)

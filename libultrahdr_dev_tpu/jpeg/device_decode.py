@@ -203,6 +203,10 @@ def split_rst_stream(entropy: bytes, n_chunks: int):
         raise ValueError("marker structure corrupt")
     L = _bucket_len(int(lens.max()))
     starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    if data.size + L >= 2**31:
+        # int32 gather indices below would wrap; no legal 8192^2 image
+        # needs a 2 GiB entropy segment (only crafted fill-padding).
+        raise ValueError("entropy segment too large")
     # Gather each chunk's L-byte window from the padded destuffed data
     # (int32 indices + a zero-padded tail keep this a single cheap
     # np.take; rows read past their own chunk into the zero pad or the

@@ -367,6 +367,34 @@ class TestSubsampling:
         assert got.shape == (h, w, 3)
         assert psnr(got[:, :, 0], y) > 38
 
+    def test_floor_half_chroma_accepted(self):
+        """RawImage-style odd-dim planes carry floor-half chroma
+        (types.py _PLANE_GEOM); the encoder must treat them as 4:2:0
+        and edge-pad the missing row/column, not reject them."""
+        h, w = 45, 31
+        y = smooth_plane(h, w, seed=51)
+        u = smooth_plane(h // 2, w // 2, seed=52, lo=96, hi=160)
+        v = smooth_plane(h // 2, w // 2, seed=53, lo=96, hi=160)
+        blob = codec.encode_jpeg({"y": y, "u": u, "v": v}, quality=92)
+        dec = codec.decode_jpeg(blob)
+        assert (dec.width, dec.height) == (w, h)
+        assert dec.sampling[0] == (2, 2)
+        assert psnr(dec.planes[0], y) > 38
+
+    def test_explicit_sampling_validated(self):
+        from libultrahdr_dev_tpu.types import UhdrError
+        y = smooth_plane(32, 32)
+        u_full = smooth_plane(32, 32, seed=1)
+        # full-size chroma + a request for 4:2:0 must raise UhdrError,
+        # not leak a numpy error from negative padding
+        with pytest.raises(UhdrError):
+            codec.encode_jpeg({"y": y, "u": u_full, "v": u_full},
+                              quality=90, sampling=(2, 2))
+        # JPEG-illegal factor combos are rejected
+        with pytest.raises(UhdrError):
+            codec.encode_jpeg({"y": y, "u": u_full, "v": u_full},
+                              quality=90, sampling=(4, 1))
+
     def test_bad_chroma_geometry_rejected(self):
         from libultrahdr_dev_tpu.types import UhdrError
         y = smooth_plane(32, 32)
