@@ -314,3 +314,31 @@ def test_raw_image_from_strided_buffers():
         RawImage.from_buffers(PixelFormat.P010, w, h,
                               {"y": ybuf[:, :w - 8], "uv": uvbuf},
                               strides={"y": 16, "uv": stride})
+
+
+class TestStableVsClassParity:
+    """The stable API and the JpegR class must produce byte-identical
+    streams and decodes for every gamut x transfer combination —
+    mirroring jpegr_test.cpp's parameterized fixture (1434-1482),
+    which asserts the legacy C++ API and the stable C API agree."""
+
+    @pytest.mark.parametrize("gamut", [ColorGamut.BT709, ColorGamut.P3,
+                                       ColorGamut.BT2100])
+    @pytest.mark.parametrize("tf", [ColorTransfer.HLG, ColorTransfer.PQ])
+    def test_encode_decode_byte_identity(self, gamut, tf):
+        from libultrahdr_dev_tpu.jpegr import JpegR
+        from libultrahdr_dev_tpu.types import OutputFormat
+
+        img = p010(h=48, w=64, gamut=gamut, tf=tf)
+        blob_stable = (UhdrEncoder().set_raw_image(img, HDR_IMG)
+                       .set_quality(95).encode().data)
+        blob_class = JpegR().encode_api0(img, tf, quality=95)
+        assert blob_stable == blob_class
+
+        dec = UhdrDecoder()
+        dec.set_image(blob_stable)
+        via_api = np.asarray(dec.decode().planes["rgba"])
+        via_class = np.asarray(
+            JpegR().decode(blob_stable, OutputFormat.HDR_LINEAR)
+            .image.planes["rgba"])
+        assert np.array_equal(via_api, via_class)
