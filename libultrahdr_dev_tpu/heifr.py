@@ -40,12 +40,16 @@ def heif_available() -> bool:
 
 
 class HeifRDecodeResult:
-    def __init__(self, width, height, image, metadata, gainmap):
+    def __init__(self, width, height, image, metadata, gainmap,
+                 base_yuv=None):
         self.width = width
         self.height = height
         self.image = image
         self.metadata = metadata
         self.gainmap = gainmap
+        # (y8, u8, v8) planes of the decoded base image — kept so
+        # ingest paths don't pay a second HEVC/AV1 decode.
+        self.base_yuv = base_yuv
 
 
 class HeifR:
@@ -167,7 +171,8 @@ class HeifR:
             image = RawImage(fmt=PixelFormat.RGBA8888, width=w, height=h,
                              gamut=ColorGamut.UNSPECIFIED,
                              planes={"rgba": rgba})
-            return HeifRDecodeResult(w, h, image, metadata, gmap)
+            return HeifRDecodeResult(w, h, image, metadata, gmap,
+                                     (y8, u8, v8))
 
         out = gm.apply_gainmap(y8, u8, v8, gmap, metadata,
                                output_format.value, max_display_boost)
@@ -177,4 +182,5 @@ class HeifR:
                          height=h, gamut=ColorGamut.UNSPECIFIED,
                          transfer=_OUT_TRANSFER[output_format],
                          planes={"rgba": out})
-        return HeifRDecodeResult(w, h, image, metadata, gmap)
+        return HeifRDecodeResult(w, h, image, metadata, gmap,
+                                 (y8, u8, v8))

@@ -760,6 +760,16 @@ def _decode_multiscan(data: bytes, result: DecodedCoefs,
 _STANDALONE_PROG = set(range(0xD0, 0xD8)) | {0x01}
 
 
+def _wrap_prog(fn, *args):
+    """Run a pure-Python progressive-scan decoder, mapping its internal
+    errors (bad Huffman code / truncated stream) to the library's
+    error contract like entropy_decode does for the baseline path."""
+    try:
+        return fn(*args)
+    except (ValueError, IndexError) as e:
+        raise err("UHDR_CODEC_ERROR", f"progressive scan failed: {e}")
+
+
 def _scan_order_indices(scan, comps, grid_dims, mcus_x, mcus_y):
     """Flat grid indices (per comp) of blocks in interleaved MCU scan
     order; returns list of (comp_idx, flat_index_array)."""
@@ -838,9 +848,9 @@ def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
                 dct = [None] * 4
                 for _, dsel, _ in scan:
                     dct[dsel] = dc_tables[dsel]
-                rc = huffman.prog_dc_first(
-                    entropy.tobytes(), buf, comp_ids, dc_sel, dct, al,
-                    restart, mcu_blocks)
+                rc = _wrap_prog(huffman.prog_dc_first,
+                                entropy.tobytes(), buf, comp_ids,
+                                dc_sel, dct, al, restart, mcu_blocks)
             else:
                 rc = lib.uhdr_prog_dc_first(
                     u8p(entropy), len(entropy), nblocks, u8p(comp_ids),
@@ -850,8 +860,9 @@ def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
         else:
             if lib is None:
                 from . import huffman
-                rc = huffman.prog_dc_refine(entropy.tobytes(), buf, al,
-                                            restart, mcu_blocks)
+                rc = _wrap_prog(huffman.prog_dc_refine,
+                                entropy.tobytes(), buf, al, restart,
+                                mcu_blocks)
             else:
                 rc = lib.uhdr_prog_dc_refine(
                     u8p(entropy), len(entropy), nblocks, al, restart,
@@ -881,8 +892,8 @@ def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
         from . import huffman
         fn = (huffman.prog_ac_first if ah == 0
               else huffman.prog_ac_refine)
-        rc = fn(entropy.tobytes(), sub.reshape(-1, 64),
-                ac_tables[asel], ss, se, al, restart)
+        rc = _wrap_prog(fn, entropy.tobytes(), sub.reshape(-1, 64),
+                        ac_tables[asel], ss, se, al, restart)
     else:
         b, v = tables.pack_huff_table(*ac_tables[asel])
         fn = (lib.uhdr_prog_ac_first if ah == 0

@@ -85,10 +85,12 @@ _ANNEX_K_CHAINS = (_DC_L, _AC_L, _DC_C, _AC_C)
 
 
 def serialize_tables(dc_l, ac_l, dc_c=None, ac_c=None) -> bytes:
-    """Hashable kernel-cache key for a set of (bits, vals) specs."""
+    """Hashable kernel-cache key for a set of (bits, vals) specs.
+    Value counts are 2 bytes: a legal DHT may carry exactly 256 values
+    (sum(bits) == 256), which a single length byte cannot hold."""
     out = bytearray()
     for t in (dc_l, ac_l, dc_c or dc_l, ac_c or ac_l):
-        out += bytes(t[0]) + bytes([len(t[1])]) + bytes(t[1])
+        out += bytes(t[0]) + len(t[1]).to_bytes(2, "big") + bytes(t[1])
     return bytes(out)
 
 
@@ -99,12 +101,31 @@ def chains_from_key(tkey: bytes):
     for _ in range(4):
         bits = list(tkey[pos:pos + 16])
         pos += 16
-        n = tkey[pos]
-        pos += 1
+        n = int.from_bytes(tkey[pos:pos + 2], "big")
+        pos += 2
         vals = list(tkey[pos:pos + n])
         pos += n
         out.append(_chain_consts(bits, vals))
     return tuple(out)
+
+
+def min_code_len_from_key(tkey: bytes | None) -> int:
+    """Shortest codeword length across the key's four tables (2 for
+    the Annex-K default tables). Bounds the per-unit bit cost for the
+    decode loop's step cap."""
+    if not tkey:
+        return 2
+    m = 16
+    pos = 0
+    for _ in range(4):
+        bits = tkey[pos:pos + 16]
+        n = int.from_bytes(tkey[pos + 16:pos + 18], "big")
+        pos += 18 + n
+        for length, count in enumerate(bits, 1):
+            if count:
+                m = min(m, length)
+                break
+    return max(m, 1)
 
 
 def _pad_chain_pair(a, b):
@@ -219,40 +240,6 @@ def split_rst_stream(entropy: bytes, n_chunks: int):
     return out
 
 
-def can_device_decode(segments, comps, restart_interval: int) -> bool:
-    """True when a parsed baseline JPEG uses the exact Annex-K Huffman
-    tables and a restart interval — the streams this framework's
-    encoder emits (device_entropy.py)."""
-    if restart_interval <= 0:
-        return False
-    want = {}
-    if len(comps) == 1:
-        want[(0, 0)] = (list(tables.DC_LUMA_BITS), list(tables.DC_LUMA_VALS))
-        want[(1, 0)] = (list(tables.AC_LUMA_BITS), list(tables.AC_LUMA_VALS))
-    else:
-        want[(0, 0)] = (list(tables.DC_LUMA_BITS), list(tables.DC_LUMA_VALS))
-        want[(1, 0)] = (list(tables.AC_LUMA_BITS), list(tables.AC_LUMA_VALS))
-        want[(0, 1)] = (list(tables.DC_CHROMA_BITS),
-                        list(tables.DC_CHROMA_VALS))
-        want[(1, 1)] = (list(tables.AC_CHROMA_BITS),
-                        list(tables.AC_CHROMA_VALS))
-    seen = {}
-    for seg in segments:
-        if seg.marker != 0xC4:
-            continue
-        p = seg.payload
-        pos = 0
-        while pos < len(p):
-            tc, th = p[pos] >> 4, p[pos] & 15
-            pos += 1
-            bits = list(p[pos:pos + 16])
-            pos += 16
-            nvals = sum(bits)
-            seen[(tc, th)] = (bits, list(p[pos:pos + nvals]))
-            pos += nvals
-    return all(seen.get(k) == v for k, v in want.items())
-
-
 # ---------------------------------------------------------------------------
 # Device kernel.
 # ---------------------------------------------------------------------------
@@ -292,12 +279,17 @@ def _signed_extend(extra, nbits):
 
 
 def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
-                      chains=None):
+                      chains=None, min_code_bits: int = 2):
     """Traceable device decode of restart-interval chunks.
 
     chunks_u8: (NC, L) u8 destuffed interval bytes (zero-padded).
     chains: (dc_luma, ac_luma, dc_chroma, ac_chroma) chain constants
     (defaults to the Annex-K tables).
+    min_code_bits: shortest codeword across the tables in `chains`
+    (min_code_len_from_key); bounds the decode-loop trip count. The
+    Annex-K default tables bottom out at 2 bits, but foreign optimized
+    tables may carry 1-bit codes — underestimating this truncates
+    valid streams mid-decode.
     Returns (NC * r_mcus * bpm, 64) i16 MCU-ordered zigzag blocks
     (bpm = 6 for 4:2:0, 1 for grayscale); trailing pad blocks (beyond
     n_mcus) are zero.
@@ -314,9 +306,9 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
     out_cols = jnp.arange(cb * 64, dtype=jnp.int32)[None, :]
 
     # Emission upper bound: every coefficient + per-block DC/EOB/ZRL
-    # overhead, bounded by the bit budget (each unit costs >= 2 bits,
-    # two units decode per loop step).
-    step_cap = max_bits // 4 + 2
+    # overhead, bounded by the bit budget (each unit costs at least
+    # one codeword of min_code_bits; two units decode per loop step).
+    step_cap = max_bits // (2 * min_code_bits) + 2
 
     def decode_unit(win, bit, blk, k, dcp, done):
         """Decode ONE codeword+extra from the (left-aligned, >=27
@@ -569,6 +561,11 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
     if specs[0] is None or specs[1] is None or (
             not gray and (specs[2] is None or specs[3] is None)):
         return None
+    # Degenerate (zero-codeword) tables would build empty select
+    # chains and crash at kernel construction; let the host decoder
+    # produce its proper error instead.
+    if any(s is not None and sum(s[0]) == 0 for s in specs):
+        return None
     tkey = serialize_tables(*specs)
 
     eoi = data.find(b"\xff\xd9", sos_end)
@@ -595,10 +592,11 @@ def _decode_to_planes_kernel(nc: int, L: int, r: int, n_mcus: int,
 
     qts = np.frombuffer(qkey, np.int32).reshape(-1, 8, 8)
     chains = chains_from_key(tkey) if tkey else None
+    mcb = min_code_len_from_key(tkey)
 
     @jax.jit
     def kernel(chunks):
-        blocks = decode_rst_chunks(chunks, r, n_mcus, gray, chains)
+        blocks = decode_rst_chunks(chunks, r, n_mcus, gray, chains, mcb)
         if gray:
             return (dequant_idct(blocks[: n_mcus], qts[0], mcus_y * 8,
                                  mcus_x * 8),)

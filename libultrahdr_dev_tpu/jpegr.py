@@ -122,12 +122,16 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
     g_mcus = gmx * gmy
     base_chains = chains_from_key(base_tkey) if base_tkey else None
     gm_chains = chains_from_key(gm_tkey) if gm_tkey else None
+    from .jpeg.device_decode import min_code_len_from_key
+    base_mcb = min_code_len_from_key(base_tkey or None)
+    gm_mcb = min_code_len_from_key(gm_tkey or None)
 
     @jax.jit
     def kernel(combined_u8, scalars):
         bch = combined_u8[:nb].reshape(base_shape)
         blocks = decode_rst_chunks(bch, r_base, n_mcus, gray=False,
-                                   chains=base_chains)
+                                   chains=base_chains,
+                                   min_code_bits=base_mcb)
         yz, uz, vz = deinterleave_yuv420_device(blocks, bmx, bmy)
         y8 = dequant_idct(yz, ql, bmy * 16, bmx * 16)[:h, :w]
         u8 = dequant_idct(uz, qc, bmy * 8, bmx * 8)[:(h + 1) // 2,
@@ -138,7 +142,8 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
             return gm.yuv420_to_rgba8888(y8, u8, v8)
         gch = combined_u8[nb:].reshape(gm_shape)
         gblocks = decode_rst_chunks(gch, r_gm, g_mcus, gray=True,
-                                    chains=gm_chains)
+                                    chains=gm_chains,
+                                    min_code_bits=gm_mcb)
         gmap = dequant_idct(gblocks[:g_mcus], qg, gmy * 8,
                             gmx * 8)[:gh, :gw]
         apply_k = gm._apply_kernel(output_format, scale, use_luts)
@@ -385,9 +390,6 @@ class JpegR:
         dsg = dd.parse_device_stream(gainmap_bytes)
         if dsg is None or not dsg.gray:
             return None
-        if dsg.xmp is None:
-            raise err("UHDR_CODEC_ERROR", "gain map carries no XMP")
-        metadata = xmp.get_metadata_from_xmp(dsg.xmp)
 
         w, h = ds.width, ds.height
         gw, gh = dsg.width, dsg.height
@@ -416,6 +418,12 @@ class JpegR:
                 gamut=result.gamut, planes={"rgba": rgba})
             return result
 
+        # Gain-map metadata is only required for HDR reconstruction;
+        # the SDR branch above must succeed without it (the host path
+        # never touches the gain map for SDR output either).
+        if dsg.xmp is None:
+            raise err("UHDR_CODEC_ERROR", "gain map carries no XMP")
+        metadata = xmp.get_metadata_from_xmp(dsg.xmp)
         result.metadata = metadata
         if w % gw or h % gh or (w * gh != h * gw):
             raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
@@ -589,7 +597,8 @@ class JpegRDecodeResult:
                 kernel = dd._decode_to_planes_kernel(
                     dsg.chunks.shape[0], dsg.chunks.shape[1],
                     dsg.restart_interval, dsg.mcus_x * dsg.mcus_y,
-                    dsg.mcus_x, dsg.mcus_y, True, qkey)
+                    dsg.mcus_x, dsg.mcus_y, True, qkey,
+                    dsg.tables_key)
                 plane = kernel(np.asarray(dsg.chunks))[0]
                 self._gainmap_cache = np.asarray(
                     plane)[:dsg.height, :dsg.width]

@@ -454,15 +454,23 @@ def _batched_decode_device(blobs, output_format: str,
     from ..jpeg import device_decode as dd
     from ..jpegr import _fused_decode_kernel_dev
 
-    parsed = []
-    for blob in blobs:
+    def prep(blob):
         primary, gmap = mux.extract_primary_and_gainmap(blob)
-        ds = dd.parse_device_stream(primary)
-        dsg = dd.parse_device_stream(gmap)
+        return (dd.parse_device_stream(primary),
+                dd.parse_device_stream(gmap))
+
+    # Host prep is ~25 ms/4K frame of numpy work that releases the
+    # GIL; overlap it across the batch.
+    if len(blobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(len(blobs), 8)) as pool:
+            parsed = list(pool.map(prep, blobs))
+    else:
+        parsed = [prep(blobs[0])]
+    for ds, dsg in parsed:
         if ds is None or ds.gray or dsg is None or not dsg.gray \
                 or dsg.xmp is None:
             return None
-        parsed.append((ds, dsg))
 
     ds0, dsg0 = parsed[0]
     geom = (ds0.width, ds0.height, ds0.chunks.shape[0],

@@ -111,7 +111,9 @@ class UltraHdr:
         tmaps = [i for i, it in hp.items.items()
                  if it.item_type == "tmap"]
         if tmaps:
-            refs = hp.refs[("dimg", tmaps[0])]
+            refs = hp.refs.get(("dimg", tmaps[0]))
+            if not refs or len(refs) < 2:
+                raise err("UHDR_CODEC_ERROR", "tmap item lacks dimg refs")
             root_type = hp.items[refs[0]].item_type
             if root_type == "grid":
                 kids = hp.refs.get(("dimg", refs[0]), [])
@@ -119,11 +121,9 @@ class UltraHdr:
                              else "hvc1")
             codec = "avif" if root_type == "av01" else "heic"
             res = HeifR(codec).decode(data, OutputFormat.SDR)
-            # Re-derive planes rather than RGBA: keep the YUV420 SDR.
-            y8, u8, v8 = lh.decode_primary(
-                iso.build_image_subtree(
-                    codec, iso.extract_image_items(data, hp, refs[0])),
-                monochrome=False)
+            # The decode result carries the base YUV planes — no
+            # second HEVC/AV1 decode of the primary.
+            y8, u8, v8 = res.base_yuv
             self.sdr_raw = RawImage(
                 fmt=PixelFormat.YUV420, width=y8.shape[1],
                 height=y8.shape[0], gamut=ColorGamut.UNSPECIFIED,
@@ -285,6 +285,12 @@ class UltraHdr:
             output_format=(OutputFormat.HDR_HLG
                            if config.transfer == ColorTransfer.HLG
                            else OutputFormat.HDR_PQ),
+            # carry the caller's color config: _ensure_gainmap reads
+            # hdr_tf off the config it is given, and the inner
+            # config's default (HLG) would silently mis-linearize PQ
+            # input when the gain map has not been generated yet
+            transfer=config.transfer,
+            gamut=config.gamut,
             effects=config.effects,
             max_display_boost=config.max_display_boost))
         packed = np.asarray(raw.planes["rgba"])  # RGBA1010102 u32

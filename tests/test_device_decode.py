@@ -128,3 +128,50 @@ def test_foreign_optimized_tables_device_path():
     for p, rp in zip(planes, ref.planes):
         a = np.asarray(p)[: rp.shape[0], : rp.shape[1]]
         assert np.array_equal(a, rp)
+
+
+class TestTableKeyEdgeCases:
+    def test_serialize_256_value_dht_roundtrip(self):
+        """A legal DHT may carry exactly 256 values (sum(bits)==256);
+        the table key must survive it (2-byte counts)."""
+        from libultrahdr_dev_tpu.jpeg.device_decode import (
+            chains_from_key, serialize_tables)
+
+        bits = [0] * 14 + [1, 255]
+        vals = list(range(256))
+        key = serialize_tables((bits, vals), (bits, vals))
+        chains = chains_from_key(key)
+        assert len(chains) == 4
+        assert len(chains[0][0]) == 256
+
+    def test_min_code_len_from_key(self):
+        from libultrahdr_dev_tpu.jpeg.device_decode import (
+            min_code_len_from_key, serialize_tables)
+
+        assert min_code_len_from_key(None) == 2
+        one_bit = ([1] + [0] * 15, [0])
+        three_bit = ([0, 0, 2] + [0] * 13, [1, 2])
+        key = serialize_tables(one_bit, three_bit)
+        assert min_code_len_from_key(key) == 1
+        key2 = serialize_tables(three_bit, three_bit)
+        assert min_code_len_from_key(key2) == 3
+
+    def test_degenerate_dht_rejected(self):
+        """A scan referencing an all-zero DHT must fall back (return
+        None), not crash at kernel construction."""
+        import numpy as np
+        from libultrahdr_dev_tpu.jpeg import codec, tables
+        from libultrahdr_dev_tpu.jpeg.device_decode import (
+            parse_device_stream)
+
+        y = np.full((16, 16), 128, np.uint8)
+        blob = codec.encode_jpeg({"y": y}, quality=90,
+                                 restart_interval=1)
+        # overwrite the DC DHT segment with an all-zero bits table
+        i = blob.find(b"\xff\xc4")
+        assert i > 0
+        seg_len = int.from_bytes(blob[i + 2:i + 4], "big")
+        zero_dht = (b"\xff\xc4" + (17 + 2).to_bytes(2, "big")
+                    + b"\x00" + b"\x00" * 16)
+        mutated = blob[:i] + zero_dht + blob[i + 2 + seg_len:]
+        assert parse_device_stream(mutated) is None

@@ -235,3 +235,47 @@ class TestHeifFlows:
         assert u2.gainmap_raw is not None
         assert u2.metadata.max_content_boost == pytest.approx(
             u.metadata.max_content_boost, rel=1e-4)
+
+
+class TestReviewRegressions:
+    def test_heif10_pq_transfer_reaches_gainmap(self):
+        """_convert_to_heif10 must carry the caller's transfer into
+        gain-map generation: PQ input implies a 10000/203 max boost in
+        the session metadata, not HLG's 1000/203."""
+        from libultrahdr_dev_tpu.heifr import heif_available
+        if not heif_available():
+            pytest.skip("libheif not installed")
+        img = p010()
+        img.transfer = ColorTransfer.PQ
+        u = UltraHdr().add_raw(img)
+        blob = u.convert(UltraHdrConfig(output_codec="heic",
+                                        transfer=ColorTransfer.PQ,
+                                        max_display_boost=49.3))
+        assert sniff_format(blob) == "heic"
+        assert u.metadata.max_content_boost == pytest.approx(
+            10000 / 203, rel=1e-6)
+
+    def test_sdr_decode_without_gainmap_xmp(self):
+        """SDR output must not require gain-map metadata (the gain map
+        is never applied); HDR output must still demand it."""
+        from libultrahdr_dev_tpu.types import OutputFormat, UhdrError
+        from libultrahdr_dev_tpu.container import jfif, mux
+
+        blob = JpegR().encode_api0(p010(), ColorTransfer.HLG)
+        primary, gmap = mux.extract_primary_and_gainmap(blob)
+        # strip the gain-map image's XMP APP1
+        segs, _ = jfif.scan_segments(gmap, 0)
+        for seg in segs:
+            if seg.marker == 0xE1 and seg.payload.startswith(
+                    jfif.XMP_SIG):
+                ln = 4 + len(seg.payload)
+                gmap = gmap[:seg.offset] + gmap[seg.offset + ln:]
+                break
+        else:
+            pytest.fail("no XMP segment found in gain map image")
+        # re-mux without regenerating XMP: primary [SOI..EOI] + gmap
+        stripped = primary + gmap
+        res = JpegR().decode(stripped, OutputFormat.SDR)
+        assert res.image is not None
+        with pytest.raises(UhdrError):
+            JpegR().decode(stripped, OutputFormat.HDR_LINEAR)
