@@ -633,21 +633,20 @@ def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
 # ---------------------------------------------------------------------------
 
 def _entropy_end(data: bytes, start: int) -> int:
-    """Offset of the first real marker after entropy data at start."""
+    """Offset of the first real marker after entropy data at start.
+
+    Fully vectorized: inside entropy data the second byte of any
+    FF-pair is never 0xFF (stuffing pairs are FF 00, restarts FF Dn,
+    fill runs chain FF FF.. until the marker byte), so the first 0xFF
+    whose successor is not {00, D0-D7, FF} IS the next real marker —
+    no left-to-right overlap resolution needed (same argument as
+    jfif.find_eoi)."""
     arr = np.frombuffer(data, np.uint8)
     cand = np.flatnonzero(arr[start:len(data) - 1] == 0xFF) + start
-    skip_until = start
-    for p in cand:
-        if p < skip_until:
-            continue
-        m = arr[p + 1]
-        if m == 0x00 or 0xD0 <= m <= 0xD7:
-            skip_until = p + 2
-        elif m == 0xFF:
-            skip_until = p + 1
-        else:
-            return int(p)
-    return len(data)
+    nxt = arr[cand + 1]
+    real = cand[(nxt != 0x00) & (nxt != 0xFF)
+                & ~((nxt >= 0xD0) & (nxt <= 0xD7))]
+    return int(real[0]) if real.size else len(data)
 
 
 def _decode_multiscan(data: bytes, result: DecodedCoefs,
@@ -677,6 +676,9 @@ def _decode_multiscan(data: bytes, result: DecodedCoefs,
         if data[pos] != 0xFF:
             raise err("UHDR_CODEC_ERROR", "marker sync lost")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:
             break
         if marker in _STANDALONE_PROG:

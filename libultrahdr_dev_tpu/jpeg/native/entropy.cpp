@@ -63,10 +63,6 @@ struct BitWriter {
     }
   }
 
-  inline void flush() {
-    if (nbits > 0) put(0x7F, 7 - ((nbits + 7) % 8) + 7);  // pad with 1s
-    // Simpler: pad remaining bits with ones to byte boundary.
-  }
 };
 
 inline int bit_length(int v) {

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import color, gainmap as gm
 from ..jpeg import tables
 from ..jpeg import dct as dct_mod
-from ..types import GainMapMetadata
+from ..types import GainMapMetadata, MAP_COMPRESS_QUALITY
 
 
 def default_mesh(devices=None) -> Mesh:
@@ -199,7 +199,8 @@ def _gainmap_and_coefs(y8, u8, v8, p010_y, p010_uv, sdr_gamut, hdr_gamut,
     qc = tables.scale_quant_table(
         tables.STD_CHROMINANCE_QUANT, base_quality).astype(np.float32)
     qg = tables.scale_quant_table(
-        tables.STD_LUMINANCE_QUANT, 85).astype(np.float32)
+        tables.STD_LUMINANCE_QUANT,
+        MAP_COMPRESS_QUALITY).astype(np.float32)
 
     sy, su, sv = gm.yuv420_to_float(y8, u8, v8)
     sy = gm._box_mean(sy, gm.SCALE)
@@ -331,7 +332,8 @@ def _assemble_rst_outputs(combined, meta, n, h, w, quality, gamut,
     icc = icc_mod.write_icc_profile("srgb", gamut)
     base_hdr = codec.yuv420_jpeg_headers(
         w, h, quality, icc=icc, restart_interval=RST_INTERVAL)
-    gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4, 85,
+    gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4,
+                                     MAP_COMPRESS_QUALITY,
                                      restart_interval=RST_INTERVAL)
     gran = 64 * 1024
     k = -(-int(max(gm_region + totals)) // gran) * gran
@@ -428,7 +430,8 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
     gm_bits = np.asarray(gm_bits)
     icc = icc_mod.write_icc_profile("srgb", gamut)
     base_hdr = codec.yuv420_jpeg_headers(w, h, quality, icc=icc)
-    gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4, 85)
+    gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4,
+                                     MAP_COMPRESS_QUALITY)
     base_prefixes = read_prefixes(
         base_words, [(int(b) + 31) // 32 for b in base_bits])
     gm_prefixes = read_prefixes(
@@ -473,13 +476,21 @@ def _batched_decode_device(blobs, output_format: str,
             return None
 
     ds0, dsg0 = parsed[0]
-    geom = (ds0.width, ds0.height, ds0.chunks.shape[0],
-            dsg0.chunks.shape[0], ds0.restart_interval,
-            dsg0.restart_interval)
-    for ds, dsg in parsed[1:]:
-        if (ds.width, ds.height, ds.chunks.shape[0],
+
+    def sig(ds, dsg):
+        # One compiled kernel serves the batch, so everything baked
+        # into it (geometry AND quant/Huffman tables) must match; a
+        # mixed-quality batch falls back rather than silently
+        # dequantizing frames 1..N-1 with frame 0's tables.
+        return (ds.width, ds.height, ds.chunks.shape[0],
                 dsg.chunks.shape[0], ds.restart_interval,
-                dsg.restart_interval) != geom:
+                dsg.restart_interval, ds.tables_key, dsg.tables_key,
+                tuple(np.asarray(q).tobytes() for q in ds.qtables),
+                np.asarray(dsg.qtables[0]).tobytes())
+
+    geom = sig(ds0, dsg0)
+    for ds, dsg in parsed[1:]:
+        if sig(ds, dsg) != geom:
             return None
 
     # Unify the (bucketed) chunk byte widths across the batch.
@@ -494,7 +505,6 @@ def _batched_decode_device(blobs, output_format: str,
                         padw(dsg.chunks, Lg).ravel()])
         for ds, dsg in parsed])
 
-    metadata = xmp.get_metadata_from_xmp(dsg0.xmp)
     w, h = ds0.width, ds0.height
     gw, gh = dsg0.width, dsg0.height
     qkey = np.stack([ds0.qtables[0], ds0.qtables[1],
@@ -506,21 +516,32 @@ def _batched_decode_device(blobs, output_format: str,
         dsg0.mcus_x, dsg0.mcus_y, gw, gh, w // gw, bool(use_luts), qkey,
         ds0.tables_key, dsg0.tables_key)
 
-    display_boost = min(max_display_boost, metadata.max_content_boost)
-    boost_factor = (display_boost / metadata.max_content_boost
-                    if display_boost > 0 else 1.0)
-    scalars = np.asarray(
-        [math.log2(metadata.min_content_boost),
-         math.log2(metadata.max_content_boost),
-         boost_factor, display_boost], np.float32)
+    # Gain-map metadata is per-frame (frames may differ in content
+    # boost even at identical geometry/tables).
+    scalars = np.stack([
+        _decode_scalars(xmp.get_metadata_from_xmp(dsg.xmp),
+                        max_display_boost)
+        for _, dsg in parsed])
 
     spec = _batch_sharding(mesh)
 
-    @partial(jax.jit, in_shardings=(spec, None), out_shardings=spec)
+    @partial(jax.jit, in_shardings=(spec, spec), out_shardings=spec)
     def batch_kernel(combined_batch, sc):
-        return jax.vmap(lambda c: kernel(c, sc))(combined_batch)
+        return jax.vmap(kernel)(combined_batch, sc)
 
     return batch_kernel(combined, scalars)
+
+
+def _decode_scalars(metadata, max_display_boost: float) -> np.ndarray:
+    import math
+
+    display_boost = min(max_display_boost, metadata.max_content_boost)
+    boost_factor = (display_boost / metadata.max_content_boost
+                    if display_boost > 0 else 1.0)
+    return np.asarray(
+        [math.log2(metadata.min_content_boost),
+         math.log2(metadata.max_content_boost),
+         boost_factor, display_boost], np.float32)
 
 
 def batched_decode(blobs, output_format: str, max_display_boost: float,
@@ -543,13 +564,10 @@ def batched_decode(blobs, output_format: str, max_display_boost: float,
         return fast
 
     coefs = []
-    metadata = None
     for blob in blobs:
         primary, gmap = mux.extract_primary_and_gainmap(blob)
         base = codec.decode_jpeg_coefs(primary)
         gdec = codec.decode_jpeg_coefs(gmap)
-        if metadata is None:
-            metadata = xmp.get_metadata_from_xmp(gdec.xmp)
         coefs.append((base, gdec))
 
     base0, g0 = coefs[0]
@@ -560,17 +578,27 @@ def batched_decode(blobs, output_format: str, max_display_boost: float,
         g0.comps[0][3]
     scale = w // gw
     qkey = np.stack([ql, qc, qg]).astype(np.int32).tobytes()
+    # One compiled kernel -> quant tables must match across the batch;
+    # a mixed-quality batch decodes per frame instead (still one
+    # device array out).
+    for b, g in coefs[1:]:
+        other = np.stack([b.comps[0][1], b.comps[1][1],
+                          g.comps[0][1]]).astype(np.int32).tobytes()
+        if other != qkey:
+            from ..jpegr import JpegR
+            from ..types import OutputFormat
+            outs = [JpegR().decode(blob, OutputFormat(output_format),
+                                   max_display_boost, use_luts)
+                    .image.planes["rgba"] for blob in blobs]
+            return jnp.stack([jnp.asarray(o) for o in outs])
     kernel = _fused_decode_kernel(
         output_format, yg.shape, ug.shape, gg.shape, w, h, scale,
         bool(use_luts), qkey)
 
-    display_boost = min(max_display_boost, metadata.max_content_boost)
-    boost_factor = (display_boost / metadata.max_content_boost
-                    if display_boost > 0 else 1.0)
-    scalars = np.asarray(
-        [math.log2(metadata.min_content_boost),
-         math.log2(metadata.max_content_boost),
-         boost_factor, display_boost], np.float32)
+    scalars_b = np.stack([
+        _decode_scalars(xmp.get_metadata_from_xmp(g.xmp),
+                        max_display_boost)
+        for _, g in coefs])
 
     flats = np.stack([
         np.concatenate([b.comps[0][0].ravel(), b.comps[1][0].ravel(),
@@ -579,11 +607,11 @@ def batched_decode(blobs, output_format: str, max_display_boost: float,
 
     spec = _batch_sharding(mesh)
 
-    @partial(jax.jit, in_shardings=(spec, None), out_shardings=spec)
+    @partial(jax.jit, in_shardings=(spec, spec), out_shardings=spec)
     def batch_kernel(flat_batch, sc):
-        return jax.vmap(lambda f: kernel(f, sc))(flat_batch)
+        return jax.vmap(kernel)(flat_batch, sc)
 
-    return batch_kernel(flats, scalars)
+    return batch_kernel(flats, scalars_b)
 
 
 def batched_apply_gainmap(y8_batch, u8_batch, v8_batch, gmap_batch,

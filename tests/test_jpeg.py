@@ -406,3 +406,21 @@ class TestSubsampling:
         u2 = smooth_plane(16, 32)
         with pytest.raises(UhdrError):
             codec.encode_jpeg({"y": y, "u": u2, "v": u2}, quality=90)
+
+
+def test_progressive_fill_bytes_between_segments():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker; the
+    progressive scan walk must skip them like the baseline scanner."""
+    Image = pytest.importorskip("PIL.Image")
+    y = smooth_plane(48, 64, seed=77)
+    buf = io.BytesIO()
+    Image.fromarray(y).save(buf, "JPEG", progressive=True, quality=90)
+    blob = buf.getvalue()
+    ref = codec.decode_jpeg(blob)
+    # insert a fill byte before the first DHT that follows the first SOS
+    sos = blob.find(b"\xff\xda")
+    dht = blob.find(b"\xff\xc4", sos)
+    assert dht > 0
+    padded = blob[:dht] + b"\xff" + blob[dht:]
+    got = codec.decode_jpeg(padded)
+    assert np.array_equal(got.planes[0], ref.planes[0])

@@ -146,3 +146,30 @@ class TestBatchedDecode:
         single = np.asarray(JpegR().decode(
             blobs[0], OutputFormat.HDR_HLG, 4.9).image.planes["rgba"])
         np.testing.assert_array_equal(out[0], single)
+
+    def test_mixed_quality_batch_decodes_per_frame(self):
+        """A batch whose frames were encoded at different qualities
+        must NOT be dequantized with frame 0's tables: every frame's
+        output must match its own serial decode."""
+        from libultrahdr_dev_tpu.jpegr import JpegR
+        from libultrahdr_dev_tpu.types import (ColorGamut, ColorTransfer,
+                                               PixelFormat, RawImage)
+
+        mesh = sharding.default_mesh()
+        y, uv = p010_batch(n=2)
+        img0 = RawImage(fmt=PixelFormat.P010, width=96, height=64,
+                        gamut=ColorGamut.BT2100,
+                        planes={"y": y[0], "uv": uv[0]})
+        img1 = RawImage(fmt=PixelFormat.P010, width=96, height=64,
+                        gamut=ColorGamut.BT2100,
+                        planes={"y": y[1], "uv": uv[1]})
+        jr = JpegR()
+        blobs = [jr.encode_api0(img0, ColorTransfer.HLG, quality=95),
+                 jr.encode_api0(img1, ColorTransfer.HLG, quality=60)]
+        out = np.asarray(sharding.batched_decode(blobs, "hdr_hlg", 4.9,
+                                                 mesh))
+        from libultrahdr_dev_tpu.types import OutputFormat
+        for i, blob in enumerate(blobs):
+            single = np.asarray(jr.decode(
+                blob, OutputFormat.HDR_HLG, 4.9).image.planes["rgba"])
+            np.testing.assert_array_equal(out[i], single)
