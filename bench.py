@@ -96,12 +96,18 @@ def main():
     total = enc + dec
 
     # Decode-to-device (TPU-serving path: consumers read the decoded
-    # planes on device, no host materialization).
+    # planes on device, no host materialization). Sync via a jitted
+    # scalar reduction: fetching even one ELEMENT of the result makes
+    # this relay materialize the whole 200 MB buffer host-side, which
+    # would mis-measure the serving path as link-bound.
+    import jax.numpy as _jnp
+
+    scalar_probe = jax.jit(lambda x: x.ravel()[0].astype(_jnp.float32))
     dec_dev = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         out = sharding.batched_decode(blobs, "hdr_hlg", boost, mesh)
-        sync(out)
+        float(scalar_probe(out))
         dec_dev = min(dec_dev, (time.perf_counter() - t0) * 1000 / FRAMES)
 
     # Device-compute-only times: N frames chained inside ONE dispatch

@@ -509,8 +509,8 @@ def _batched_decode_device(blobs, output_format: str,
     gw, gh = dsg0.width, dsg0.height
     qkey = np.stack([ds0.qtables[0], ds0.qtables[1],
                      dsg0.qtables[0]]).astype(np.int32).tobytes()
-    kernel = _fused_decode_kernel_dev(
-        output_format, (ds0.chunks.shape[0], Lb),
+    batch_kernel = _batched_decode_kernel_dev(
+        mesh, output_format, (ds0.chunks.shape[0], Lb),
         (dsg0.chunks.shape[0], Lg), ds0.restart_interval,
         dsg0.restart_interval, w, h, ds0.mcus_x, ds0.mcus_y,
         dsg0.mcus_x, dsg0.mcus_y, gw, gh, w // gw, bool(use_luts), qkey,
@@ -523,13 +523,34 @@ def _batched_decode_device(blobs, output_format: str,
                         max_display_boost)
         for _, dsg in parsed])
 
+    return batch_kernel(combined, scalars)
+
+
+@lru_cache(maxsize=None)
+def _batched_decode_kernel_dev(mesh: Mesh, output_format: str,
+                               base_shape, gm_shape, r_base: int,
+                               r_gm: int, w: int, h: int, bmx: int,
+                               bmy: int, gmx: int, gmy: int, gw: int,
+                               gh: int, scale: int, use_luts: bool,
+                               qkey: bytes, base_tkey: bytes,
+                               gm_tkey: bytes):
+    """Cached vmapped+sharded wrapper of the fused device decode
+    kernel. MUST be cached: a fresh jax.jit object per batched_decode
+    call would re-trace and re-compile the whole batch graph on every
+    invocation (~30 s over the chip relay)."""
+    from ..jpegr import _fused_decode_kernel_dev
+
+    kernel = _fused_decode_kernel_dev(
+        output_format, base_shape, gm_shape, r_base, r_gm, w, h, bmx,
+        bmy, gmx, gmy, gw, gh, scale, use_luts, qkey, base_tkey,
+        gm_tkey)
     spec = _batch_sharding(mesh)
 
     @partial(jax.jit, in_shardings=(spec, spec), out_shardings=spec)
     def batch_kernel(combined_batch, sc):
         return jax.vmap(kernel)(combined_batch, sc)
 
-    return batch_kernel(combined, scalars)
+    return batch_kernel
 
 
 def _decode_scalars(metadata, max_display_boost: float) -> np.ndarray:
@@ -591,8 +612,8 @@ def batched_decode(blobs, output_format: str, max_display_boost: float,
                                    max_display_boost, use_luts)
                     .image.planes["rgba"] for blob in blobs]
             return jnp.stack([jnp.asarray(o) for o in outs])
-    kernel = _fused_decode_kernel(
-        output_format, yg.shape, ug.shape, gg.shape, w, h, scale,
+    batch_kernel = _batched_decode_kernel_host(
+        mesh, output_format, yg.shape, ug.shape, gg.shape, w, h, scale,
         bool(use_luts), qkey)
 
     scalars_b = np.stack([
@@ -605,39 +626,54 @@ def batched_decode(blobs, output_format: str, max_display_boost: float,
                         b.comps[2][0].ravel(), g.comps[0][0].ravel()])
         for b, g in coefs])
 
+    return batch_kernel(flats, scalars_b)
+
+
+@lru_cache(maxsize=None)
+def _batched_decode_kernel_host(mesh: Mesh, output_format: str, y_shape,
+                                c_shape, g_shape, w: int, h: int,
+                                scale: int, use_luts: bool,
+                                qkey: bytes):
+    """Cached vmapped+sharded wrapper of the host-entropy fused decode
+    kernel (same re-compile-per-call hazard as
+    _batched_decode_kernel_dev)."""
+    from ..jpegr import _fused_decode_kernel
+
+    kernel = _fused_decode_kernel(output_format, y_shape, c_shape,
+                                  g_shape, w, h, scale, use_luts, qkey)
     spec = _batch_sharding(mesh)
 
     @partial(jax.jit, in_shardings=(spec, spec), out_shardings=spec)
     def batch_kernel(flat_batch, sc):
         return jax.vmap(kernel)(flat_batch, sc)
 
-    return batch_kernel(flats, scalars_b)
+    return batch_kernel
 
 
 def batched_apply_gainmap(y8_batch, u8_batch, v8_batch, gmap_batch,
                           metadata: GainMapMetadata, output_format: str,
                           max_display_boost: float, mesh: Mesh):
     """Batch variant of ops.gainmap.apply_gainmap, batch-sharded."""
-    import math
+    w = y8_batch.shape[-1]
+    mw = gmap_batch.shape[-1]
+    kernel = _batched_apply_kernel(mesh, output_format, w // mw)
+    sc = _decode_scalars(metadata, max_display_boost)
+    return kernel(jnp.asarray(y8_batch), jnp.asarray(u8_batch),
+                  jnp.asarray(v8_batch), jnp.asarray(gmap_batch),
+                  jnp.asarray(sc))
 
-    h, w = y8_batch.shape[-2:]
-    mh, mw = gmap_batch.shape[-2:]
-    scale = w // mw
-    display_boost = min(max_display_boost, metadata.max_content_boost)
-    boost_factor = (display_boost / metadata.max_content_boost
-                    if display_boost > 0 else 1.0)
 
+@lru_cache(maxsize=None)
+def _batched_apply_kernel(mesh: Mesh, output_format: str, scale: int):
+    """Cached sharded wrapper; metadata scalars are runtime args so one
+    compilation serves every boost configuration."""
     spec = _batch_sharding(mesh)
     base = gm._apply_kernel(output_format, scale, False)
 
-    @partial(jax.jit, in_shardings=(spec, spec, spec, spec),
+    @partial(jax.jit, in_shardings=(spec, spec, spec, spec, None),
              out_shardings=spec)
-    def kernel(yb, ub, vb, gb):
+    def kernel(yb, ub, vb, gb, sc):
         return jax.vmap(lambda a, b, c, g: base(
-            a, b, c, g, jnp.float32(math.log2(metadata.min_content_boost)),
-            jnp.float32(math.log2(metadata.max_content_boost)),
-            jnp.float32(boost_factor), jnp.float32(display_boost)))(
-                yb, ub, vb, gb)
+            a, b, c, g, sc[0], sc[1], sc[2], sc[3]))(yb, ub, vb, gb)
 
-    return kernel(jnp.asarray(y8_batch), jnp.asarray(u8_batch),
-                  jnp.asarray(v8_batch), jnp.asarray(gmap_batch))
+    return kernel
