@@ -21,8 +21,6 @@ UHDR_CODEC_UNSUPPORTED_FEATURE — never a silently gain-map-less file.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 from .container import isobmff as iso

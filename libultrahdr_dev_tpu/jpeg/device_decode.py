@@ -43,7 +43,7 @@ host decoder.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -453,7 +453,6 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
     4:2:0 2x2/1x1/1x1 with MCU-aligned dims, or grayscale with
     8-aligned dims); None otherwise."""
     from ..container import jfif
-    from ..types import err
 
     try:
         segments, sos_end = jfif.scan_segments(data, 0)
