@@ -769,7 +769,8 @@ def _wrap_prog(fn, *args):
     try:
         return fn(*args)
     except (ValueError, IndexError) as e:
-        raise err("UHDR_CODEC_ERROR", f"progressive scan failed: {e}")
+        raise err("UHDR_CODEC_ERROR",
+                  f"progressive scan failed: {e}") from e
 
 
 def _scan_order_indices(scan, comps, grid_dims, mcus_x, mcus_y):

@@ -82,7 +82,10 @@ def _bitlen(v):
     av = jnp.abs(v)
     e = (jax.lax.bitcast_convert_type(av.astype(jnp.float32),
                                       jnp.int32) >> 23) - 126
-    return jnp.where(av > 0, e, 0)
+    # Defensive saturation at 15 (the old compare chain's implicit
+    # bound): an out-of-range coefficient from corrupt upstream state
+    # must clamp rather than silently build an invalid bitstream.
+    return jnp.minimum(jnp.where(av > 0, e, 0), 15)
 
 
 def _scan_lanes(x, combine, reverse=False):

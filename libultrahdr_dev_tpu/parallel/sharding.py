@@ -599,6 +599,22 @@ def batched_decode(blobs, output_format: str, max_display_boost: float,
         g0.comps[0][3]
     scale = w // gw
     qkey = np.stack([ql, qc, qg]).astype(np.int32).tobytes()
+
+    def _geom(b, g):
+        return (b.width, b.height,
+                tuple(c[0].shape for c in b.comps),
+                tuple(c[0].shape for c in g.comps))
+
+    geom0 = _geom(base0, g0)
+    for b, g in coefs[1:]:
+        # Different dimensions can't share a stacked output array at
+        # all (even per-frame results wouldn't stack) — reject with a
+        # real error instead of a numpy broadcast crash downstream.
+        if _geom(b, g) != geom0:
+            from ..types import err
+            raise err("UHDR_CODEC_INVALID_PARAM",
+                      "batched_decode requires same-geometry frames; "
+                      f"got {geom0[:2]} and {_geom(b, g)[:2]}")
     # One compiled kernel -> quant tables must match across the batch;
     # a mixed-quality batch decodes per frame instead (still one
     # device array out).
