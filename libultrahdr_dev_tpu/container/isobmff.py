@@ -326,6 +326,7 @@ class OutItem:
     name: str = ""
     hidden: bool = False
     dimg: list = field(default_factory=list)    # referenced 1-based ids
+    cdsc: list = field(default_factory=list)    # described 1-based ids
 
 
 _ESSENTIAL_PROPS = (b"av1C", b"hvcC", b"av2C", b"vvcC")
@@ -355,6 +356,9 @@ def build_heif(codec: str, items: list, primary: int,
         if it.dimg:
             irefs += _box(b"dimg", _u16(idx + 1) + _u16(len(it.dimg))
                           + b"".join(_u16(t) for t in it.dimg))
+        if it.cdsc:
+            irefs += _box(b"cdsc", _u16(idx + 1) + _u16(len(it.cdsc))
+                          + b"".join(_u16(t) for t in it.cdsc))
 
     def meta(offsets) -> bytes:
         inner = (_HDLR
@@ -436,11 +440,63 @@ def build_image_subtree(codec: str, items: list) -> bytes:
     return build_heif(codec, items, 1)
 
 
+def grid_payload(rows: int, cols: int, w: int, h: int) -> bytes:
+    """ImageGrid derived-item payload (ISO 23008-12 §6.6.2.3.2):
+    version, flags (bit0 = 32-bit output fields), rows-1, cols-1,
+    output dimensions."""
+    if w <= 0xFFFF and h <= 0xFFFF:
+        return bytes([0, 0, rows - 1, cols - 1]) + _u16(w) + _u16(h)
+    return bytes([0, 1, rows - 1, cols - 1]) + _u32(w) + _u32(h)
+
+
+def ispe_prop(w: int, h: int) -> bytes:
+    return _fullbox(b"ispe", 0, 0, _u32(w) + _u32(h))
+
+
+def pixi_prop(channels: int, depth: int = 8) -> bytes:
+    return _fullbox(b"pixi", 0, 0,
+                    bytes([channels]) + bytes([depth]) * channels)
+
+
+def encode_exif_item_payload(exif: bytes) -> bytes:
+    """ExifDataBlock: u32 tiff-header offset + payload. The JPEG-side
+    blobs this framework carries start with the APP1 "Exif\\0\\0"
+    signature, putting the TIFF header at offset 6."""
+    offset = 6 if exif.startswith(b"Exif\x00\x00") else 0
+    return _u32(offset) + exif
+
+
+def decode_exif_item_payload(payload: bytes) -> bytes | None:
+    """Inverse of encode_exif_item_payload (and of libheif's
+    heif_context_add_exif_metadata): strip the u32 offset field."""
+    if len(payload) <= 4:
+        return None
+    return payload[4:]
+
+
+def find_exif(data: bytes, hp: HeifParse,
+              described_id: int | None = None) -> bytes | None:
+    """EXIF payload of the container's Exif item (optionally the one
+    cdsc-linked to `described_id`), or None."""
+    for iid, it in hp.items.items():
+        if it.item_type != "Exif":
+            continue
+        if described_id is not None:
+            tos = hp.refs.get(("cdsc", iid))
+            if tos and described_id not in tos:
+                continue
+        return decode_exif_item_payload(item_payload(data, hp, iid))
+    return None
+
+
 def build_tmap_container(codec: str, base_items: list, gm_items: list,
-                         tmap_metadata: bytes) -> bytes:
+                         tmap_metadata: bytes,
+                         exif: bytes | None = None) -> bytes:
     """Assemble the gain-map container in the reference fork's layout
     (see module docstring / sample_heicr.heic): base image (+children),
-    'tmap' metadata item, hidden gain-map image (+children)."""
+    'tmap' metadata item, hidden gain-map image (+children), plus an
+    optional Exif item cdsc-linked to the base image
+    (heifr.cpp:266-268 heif_context_add_exif_metadata)."""
     items = [
         OutItem(it.item_type, it.payload, it.props, it.name, it.hidden,
                 list(it.dimg))
@@ -456,6 +512,9 @@ def build_tmap_container(codec: str, base_items: list, gm_items: list,
             else it.name, True if j == 0 else it.hidden,
             [t + gm_base for t in it.dimg]))
     items[tmap_idx - 1].dimg = [1, gm_base + 1]
+    if exif is not None:
+        items.append(OutItem("Exif", encode_exif_item_payload(exif),
+                             cdsc=[1]))
     return build_heif(codec, items, primary=1, altr=[tmap_idx, 1])
 
 

@@ -125,6 +125,23 @@ def _load():
             ctypes.c_int
         lib.heif_image_handle_get_luma_bits_per_pixel.argtypes = [
             ctypes.c_void_p]
+        # EXIF metadata blocks (heifr.cpp:266-268 encode,
+        # heifr.cpp:324-331 decode).
+        lib.heif_context_add_exif_metadata.restype = E
+        lib.heif_context_add_exif_metadata.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
+        lib.heif_image_handle_get_list_of_metadata_block_IDs.restype = \
+            ctypes.c_int
+        lib.heif_image_handle_get_list_of_metadata_block_IDs.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, p(ctypes.c_uint32),
+            ctypes.c_int]
+        lib.heif_image_handle_get_metadata_size.restype = ctypes.c_size_t
+        lib.heif_image_handle_get_metadata_size.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32]
+        lib.heif_image_handle_get_metadata.restype = E
+        lib.heif_image_handle_get_metadata.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -219,8 +236,48 @@ def decode_primary_depth(data: bytes, monochrome: bool):
         lib.heif_context_free(ctx)
 
 
+def extract_exif(data: bytes) -> bytes | None:
+    """EXIF payload of the primary image's Exif metadata block, or
+    None (heifr.cpp:324-331, ultrahdr.cpp HEIF addImage). The stored
+    ExifDataBlock starts with a u32 tiff-header offset; the returned
+    bytes are the payload after that field — the same APP1-style blob
+    ("Exif\\0\\0" + TIFF) the JPEG paths carry."""
+    lib = _require()
+    ctx = lib.heif_context_alloc()
+    try:
+        _check(lib.heif_context_read_from_memory_without_copy(
+            ctx, data, len(data), None), "read")
+        handle = ctypes.c_void_p()
+        _check(lib.heif_context_get_primary_image_handle(
+            ctx, ctypes.byref(handle)), "primary handle")
+        try:
+            exif_id = ctypes.c_uint32()
+            n = lib.heif_image_handle_get_list_of_metadata_block_IDs(
+                handle, b"Exif", ctypes.byref(exif_id), 1)
+            if n != 1:
+                return None
+            size = lib.heif_image_handle_get_metadata_size(
+                handle, exif_id)
+            if size <= 4:
+                return None
+            buf = (ctypes.c_uint8 * size)()
+            _check(lib.heif_image_handle_get_metadata(
+                handle, exif_id, buf), "get metadata")
+            return bytes(buf)[4:]
+        finally:
+            lib.heif_image_handle_release(handle)
+    finally:
+        lib.heif_context_free(ctx)
+
+
+def _add_exif(lib, ctx, handle, exif: bytes):
+    _check(lib.heif_context_add_exif_metadata(
+        ctx, handle, exif, len(exif)), "add exif")
+
+
 def encode_rgb10(rgb_u16, codec: str, quality: int,
-                 transfer: str = "hlg") -> bytes:
+                 transfer: str = "hlg", exif: bytes | None = None,
+                 ) -> bytes:
     """Encode (3, H, W) u16 10-bit RGB planes as a 10-bit 4:4:4 HEIF
     with CICP/nclx signaling (BT.2020 primaries + HLG/PQ transfer) —
     the converter's 10-bit HEIC/AVIF output
@@ -271,6 +328,8 @@ def encode_rgb10(rgb_u16, codec: str, quality: int,
                 handle = ctypes.c_void_p()
                 _check(lib.heif_context_encode_image(
                     ctx, img, enc, None, ctypes.byref(handle)), "encode")
+                if exif is not None:
+                    _add_exif(lib, ctx, handle, exif)
                 lib.heif_image_handle_release(handle)
             finally:
                 lib.heif_image_release(img)
@@ -289,7 +348,8 @@ def encode_rgb10(rgb_u16, codec: str, quality: int,
         lib.heif_context_free(ctx)
 
 
-def encode_image(planes, codec: str, quality: int) -> bytes:
+def encode_image(planes, codec: str, quality: int,
+                 exif: bytes | None = None) -> bytes:
     """Encode YUV420 (y, cb, cr) or grayscale (y,) numpy planes into a
     standalone HEIF/AVIF file via the system encoder."""
     lib = _require()
@@ -331,6 +391,8 @@ def encode_image(planes, codec: str, quality: int) -> bytes:
                 _check(lib.heif_context_encode_image(
                     ctx, img, enc, None, ctypes.byref(handle)),
                     "encode")
+                if exif is not None:
+                    _add_exif(lib, ctx, handle, exif)
                 lib.heif_image_handle_release(handle)
             finally:
                 lib.heif_image_release(img)

@@ -32,6 +32,11 @@ from .types import (ColorGamut, ColorTransfer, GainMapMetadata,
 _CODED_TYPES = {"avif": "av01", "heic": "hvc1"}
 _GAINMAP_QUALITY = 85  # matches kMapCompressQualityDefault usage
 
+# Maximum coded-image dimension before the encoder splits into a HEIF
+# 'grid' of tiles (the reference's libheif does the same for HEVC
+# profile limits). Tests shrink this to exercise the tiling cheaply.
+GRID_TILE_LIMIT = 4096
+
 
 def heif_available() -> bool:
     return lh.available()
@@ -39,7 +44,7 @@ def heif_available() -> bool:
 
 class HeifRDecodeResult:
     def __init__(self, width, height, image, metadata, gainmap,
-                 base_yuv=None):
+                 base_yuv=None, exif=None):
         self.width = width
         self.height = height
         self.image = image
@@ -48,6 +53,8 @@ class HeifRDecodeResult:
         # (y8, u8, v8) planes of the decoded base image — kept so
         # ingest paths don't pay a second HEVC/AV1 decode.
         self.base_yuv = base_yuv
+        # EXIF blob from the container's Exif item (heifr.cpp:324-331).
+        self.exif = exif
 
 
 class HeifR:
@@ -72,7 +79,8 @@ class HeifR:
     # -- encode (heifr.cpp:141-299) ------------------------------------
 
     def encode_api0(self, p010: RawImage, hdr_tf: ColorTransfer,
-                    quality: int = 95) -> bytes:
+                    quality: int = 95,
+                    exif: bytes | None = None) -> bytes:
         """Tone map + gain map on device, then assemble base +
         gain-map HEIF with ISO 21496-1-style metadata."""
         self._require_codec()
@@ -83,10 +91,11 @@ class HeifR:
             hdr_tf=hdr_tf.value)
         return self._encode_gainmap_heif(
             np.asarray(y8), np.asarray(u8), np.asarray(v8),
-            np.asarray(gmap), metadata, quality)
+            np.asarray(gmap), metadata, quality, exif)
 
     def encode_api1(self, p010: RawImage, yuv420: RawImage,
-                    hdr_tf: ColorTransfer, quality: int = 95) -> bytes:
+                    hdr_tf: ColorTransfer, quality: int = 95,
+                    exif: bytes | None = None) -> bytes:
         self._require_codec()
         gmap, metadata = gm.generate_gainmap(
             np.asarray(yuv420.planes["y"]), np.asarray(yuv420.planes["u"]),
@@ -96,32 +105,100 @@ class HeifR:
         return self._encode_gainmap_heif(
             np.asarray(yuv420.planes["y"]), np.asarray(yuv420.planes["u"]),
             np.asarray(yuv420.planes["v"]), np.asarray(gmap), metadata,
-            quality)
+            quality, exif)
 
     def encode_apix(self, yuv420: RawImage, gainmap_u8: np.ndarray,
                     metadata: GainMapMetadata,
-                    quality: int = 95) -> bytes:
+                    quality: int = 95,
+                    exif: bytes | None = None) -> bytes:
         """Transcode variant: provided SDR + gain map + metadata
         (heifr.cpp API-x)."""
         self._require_codec()
         return self._encode_gainmap_heif(
             np.asarray(yuv420.planes["y"]), np.asarray(yuv420.planes["u"]),
             np.asarray(yuv420.planes["v"]), np.asarray(gainmap_u8),
-            metadata, quality)
+            metadata, quality, exif)
+
+    def encode_sdr(self, yuv420: RawImage, quality: int = 95,
+                   exif: bytes | None = None) -> bytes:
+        """Plain 8-bit SDR HEIC/AVIF — no gain map
+        (heifr.cpp:271-279 "only encode heif", reached from
+        ultrahdr.cpp:1181-1206 ULTRAHDR_CODEC_HEIC/AVIF)."""
+        self._require_codec()
+        planes = (np.asarray(yuv420.planes["y"], np.uint8),
+                  np.asarray(yuv420.planes["u"], np.uint8),
+                  np.asarray(yuv420.planes["v"], np.uint8))
+        return lh.encode_image(planes, self.codec, quality, exif=exif)
+
+    def _encode_image_items(self, planes, quality: int) -> list:
+        """Encode planes into OutItems: a single coded item when the
+        image fits HEVC/AV1 profile limits, else a 'grid' of coded
+        tiles (grid root at index 0, tiles hidden) so >4K dimensions
+        encode — the reference gets this transparently from libheif."""
+        h, w = planes[0].shape
+        limit = GRID_TILE_LIMIT
+        if w <= limit and h <= limit:
+            f = lh.encode_image(planes, self.codec, quality)
+            p = iso.parse_heif(f)
+            return iso.extract_image_items(f, p, p.primary or 1)
+        import math
+
+        cols = math.ceil(w / limit)
+        rows = math.ceil(h / limit)
+        tile_w = math.ceil(w / cols)
+        tile_h = math.ceil(h / rows)
+        tile_w += tile_w % 2  # 4:2:0 chroma needs even tile dims
+        tile_h += tile_h % 2
+        mono = len(planes) == 1
+        # Edge-replicate to the full tile lattice; the grid's ispe
+        # crops back to (w, h) at decode.
+        full_w, full_h = cols * tile_w, rows * tile_h
+
+        def padded(p, sub):
+            ph, pw = (h + sub - 1) // sub, (w + sub - 1) // sub
+            fh, fw = full_h // sub, full_w // sub
+            return np.pad(np.asarray(p, np.uint8)[:ph, :pw],
+                          ((0, fh - ph), (0, fw - pw)), mode="edge")
+
+        yp = padded(planes[0], 1)
+        if not mono:
+            up, vp = padded(planes[1], 2), padded(planes[2], 2)
+        items = [iso.OutItem("grid",
+                             iso.grid_payload(rows, cols, w, h),
+                             [iso.ispe_prop(w, h),
+                              iso.pixi_prop(1 if mono else 3)])]
+        tile_roots = []
+        for r in range(rows):
+            for c in range(cols):
+                ys, xs = r * tile_h, c * tile_w
+                tp = [yp[ys:ys + tile_h, xs:xs + tile_w]]
+                if not mono:
+                    tp += [up[ys // 2:(ys + tile_h) // 2,
+                              xs // 2:(xs + tile_w) // 2],
+                           vp[ys // 2:(ys + tile_h) // 2,
+                              xs // 2:(xs + tile_w) // 2]]
+                f = lh.encode_image(tuple(tp), self.codec, quality)
+                hp = iso.parse_heif(f)
+                titems = iso.extract_image_items(f, hp, hp.primary or 1)
+                off = len(items)
+                tile_roots.append(off + 1)
+                for j, it in enumerate(titems):
+                    items.append(iso.OutItem(
+                        it.item_type, it.payload, it.props, it.name,
+                        True if j == 0 else it.hidden,
+                        [t + off for t in it.dimg]))
+        items[0].dimg = tile_roots
+        return items
 
     def _encode_gainmap_heif(self, y8, u8, v8, gmap,
                              metadata: GainMapMetadata,
-                             quality: int) -> bytes:
-        base_file = lh.encode_image((y8, u8, v8), self.codec, quality)
-        gm_file = lh.encode_image((gmap,), self.codec, _GAINMAP_QUALITY)
-        bp = iso.parse_heif(base_file)
-        gp = iso.parse_heif(gm_file)
-        base_items = iso.extract_image_items(base_file, bp,
-                                             bp.primary or 1)
-        gm_items = iso.extract_image_items(gm_file, gp, gp.primary or 1)
+                             quality: int,
+                             exif: bytes | None = None) -> bytes:
+        base_items = self._encode_image_items((y8, u8, v8), quality)
+        gm_items = self._encode_image_items((gmap,), _GAINMAP_QUALITY)
         return iso.build_tmap_container(
             self.codec, base_items, gm_items,
-            iso.encode_tmap_metadata(metadata))
+            iso.encode_tmap_metadata(metadata), exif=exif)
 
     # -- decode (heifr.cpp:302-410) ------------------------------------
 
@@ -148,6 +225,7 @@ class HeifR:
         base_id, gm_id = refs[0], refs[1]
         metadata = iso.decode_tmap_metadata(
             iso.item_payload(data, hp, tmap))
+        exif = iso.find_exif(data, hp, base_id)
 
         root_type = hp.items[base_id].item_type
         if root_type == "grid":
@@ -170,7 +248,7 @@ class HeifR:
                              gamut=ColorGamut.UNSPECIFIED,
                              planes={"rgba": rgba})
             return HeifRDecodeResult(w, h, image, metadata, gmap,
-                                     (y8, u8, v8))
+                                     (y8, u8, v8), exif)
 
         out = gm.apply_gainmap(y8, u8, v8, gmap, metadata,
                                output_format.value, max_display_boost)
@@ -181,4 +259,4 @@ class HeifR:
                          transfer=_OUT_TRANSFER[output_format],
                          planes={"rgba": out})
         return HeifRDecodeResult(w, h, image, metadata, gmap,
-                                 (y8, u8, v8))
+                                 (y8, u8, v8), exif)

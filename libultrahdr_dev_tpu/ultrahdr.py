@@ -46,7 +46,12 @@ def sniff_format(data: bytes) -> str:
 class UltraHdrConfig:
     """ultrahdr_configuration (ultrahdr.h:222-241)."""
 
-    output_codec: str = "jpeg_r"       # jpeg | jpeg_r | heic_r | avif_r
+    # Output codec names map 1:1 onto ultrahdr_codec (ultrahdr.h:79-88):
+    #   jpeg | jpeg_r | heic | heic_r | heic_10bit | avif | avif_r |
+    #   avif_10bit   (raw pixels go via convert_to_raw()).
+    # "heic"/"avif" are the reference's plain 8-bit SDR renditions
+    # (ultrahdr.cpp:1181-1206), NOT the 10-bit HDR outputs.
+    output_codec: str = "jpeg_r"
     quality: int = 95
     gamut: ColorGamut = ColorGamut.BT709
     transfer: ColorTransfer = ColorTransfer.HLG
@@ -57,6 +62,31 @@ class UltraHdrConfig:
     # passthrough outputs, ultrahdr.cpp:1296-1441); None derives the
     # layout from output_format.
     output_pixel_format: PixelFormat | None = None
+
+
+def _rgb10_to_bt2020_yuv420(planes):
+    """(3,H,W) 10-bit OETF-encoded RGB -> narrow-range BT.2020
+    YCbCr 4:2:0 10-bit ((H,W) y, (H/2,W/2) cb/cr). Narrow-range
+    constants match the P010 conventions the ingest side assumes
+    (gainmapmath.cpp:583-601: (y-64)/876, (uv-512)/896)."""
+    r, g, b = (planes.astype(np.float32) / 1023.0)
+    y = 0.2627 * r + 0.6780 * g + 0.0593 * b
+    u = (b - y) / 1.8814
+    v = (r - y) / 1.4746
+    h, w = y.shape
+    if h % 2 or w % 2:  # pad to even for the 2x2 chroma mean
+        y = np.pad(y, ((0, h % 2), (0, w % 2)), mode="edge")
+        u = np.pad(u, ((0, h % 2), (0, w % 2)), mode="edge")
+        v = np.pad(v, ((0, h % 2), (0, w % 2)), mode="edge")
+    yq = np.clip(np.round(64 + 876 * y[:h, :w]), 0, 1023)
+    uq = np.clip(np.round(
+        512 + 896 * u.reshape(-1, 2, u.shape[1] // 2, 2).mean((1, 3))),
+        0, 1023)
+    vq = np.clip(np.round(
+        512 + 896 * v.reshape(-1, 2, v.shape[1] // 2, 2).mean((1, 3))),
+        0, 1023)
+    return (yq.astype(np.uint16), uq.astype(np.uint16),
+            vq.astype(np.uint16))
 
 
 class UltraHdr:
@@ -131,6 +161,8 @@ class UltraHdr:
                 planes={"y": y8, "u": u8, "v": v8})
             self.gainmap_raw = np.asarray(res.gainmap)
             self.metadata = res.metadata
+            if res.exif is not None:
+                self.exif = res.exif
             return self
         # Plain HEIF: 8-bit primary is the SDR rendition, a 10-bit one
         # populates the raw HDR slot as P010 (ultrahdr.cpp:661-692:
@@ -139,6 +171,9 @@ class UltraHdr:
             raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
                       "heif input requires the libheif shared library")
         planes, depth = lh.decode_primary_depth(data, monochrome=False)
+        heif_exif = lh.extract_exif(data)
+        if heif_exif is not None:
+            self.exif = heif_exif
         y, u, v = planes
         h, w = y.shape
         if depth > 8:
@@ -224,9 +259,30 @@ class UltraHdr:
             return self._convert_to_heifr(
                 config, config.output_codec[:4])
         if config.output_codec in ("heic", "avif"):
-            return self._convert_to_heif10(config, config.output_codec)
+            return self._convert_to_heif_sdr(config,
+                                             config.output_codec)
+        if config.output_codec in ("heic_10bit", "avif_10bit"):
+            return self._convert_to_heif10(
+                config, config.output_codec.split("_")[0])
         raise err("UHDR_CODEC_INVALID_PARAM",
                   f"unknown output codec {config.output_codec}")
+
+    def _convert_to_heif_sdr(self, config: UltraHdrConfig,
+                             codec: str) -> bytes:
+        """Plain 8-bit SDR HEIC/AVIF output — ULTRAHDR_CODEC_HEIC/AVIF
+        (ultrahdr.cpp:1181-1206): tone map / decode the SDR rendition,
+        apply effects, encode heif-only with EXIF attached
+        (heifr.cpp:271-279)."""
+        from .heifr import HeifR
+
+        self._maybe_tonemap_raw_hdr()
+        self._maybe_decode_jpeg_sdr()
+        if self.sdr_raw is None:
+            raise err("UHDR_CODEC_INVALID_OPERATION",
+                      "no SDR rendition available")
+        sdr = editor.apply_effects(self.sdr_raw, config.effects)
+        return HeifR(codec).encode_sdr(sdr, quality=config.quality,
+                                       exif=self.exif)
 
     def _convert_to_heifr(self, config: UltraHdrConfig,
                           codec: str) -> bytes:
@@ -246,15 +302,18 @@ class UltraHdr:
                 gmap = editor.apply_effects(
                     gmap, editor.scale_effects(config.effects, scale))
             return hr.encode_apix(sdr, gmap.planes["y"], self.metadata,
-                                  quality=config.quality)
+                                  quality=config.quality,
+                                  exif=self.exif)
         if self.hdr_raw is not None and self.sdr_raw is not None:
             if not config.effects:
                 return hr.encode_api1(self.hdr_raw, self.sdr_raw,
                                       config.transfer,
-                                      quality=config.quality)
+                                      quality=config.quality,
+                                      exif=self.exif)
         if self.hdr_raw is not None and not config.effects:
             return hr.encode_api0(self.hdr_raw, config.transfer,
-                                  quality=config.quality)
+                                  quality=config.quality,
+                                  exif=self.exif)
         if self.hdr_raw is not None or (
                 self.sdr_jpeg is not None and self.gainmap_raw is not None
                 and self.metadata is not None):
@@ -270,7 +329,8 @@ class UltraHdr:
                 gmap = editor.apply_effects(
                     gmap, editor.scale_effects(config.effects, scale))
             return hr.encode_apix(sdr, gmap.planes["y"], self.metadata,
-                                  quality=config.quality)
+                                  quality=config.quality,
+                                  exif=self.exif)
         raise err("UHDR_CODEC_INVALID_OPERATION",
                   f"insufficient inputs for {codec}_r conversion")
 
@@ -296,8 +356,18 @@ class UltraHdr:
         packed = np.asarray(raw.planes["rgba"])  # RGBA1010102 u32
         planes = np.stack([(packed >> s10) & 0x3FF
                            for s10 in (0, 10, 20)]).astype(np.uint16)
+        if codec == "avif":
+            # libheif's aom plugin here mis-selects AV1 profile 2 for
+            # any 10-bit encode (libaom assertion -> process abort), so
+            # 10-bit AVIF goes through libavif directly as BT.2020
+            # narrow-range YCbCr 4:2:0 (AV1 Main profile).
+            from .container import libavif as la
+            return la.encode_yuv(
+                _rgb10_to_bt2020_yuv420(planes), 10, config.quality,
+                transfer=config.transfer.value, exif=self.exif)
         return lh.encode_rgb10(planes, codec, config.quality,
-                               transfer=config.transfer.value)
+                               transfer=config.transfer.value,
+                               exif=self.exif)
 
     def convert_to_raw(self, config: UltraHdrConfig) -> RawImage:
         """Raw-pixel outputs (ultrahdr.cpp:1296-1441), computed

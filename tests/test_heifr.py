@@ -107,3 +107,71 @@ def test_tmap_metadata_roundtrip():
                                                    abs=1e-6)
     assert back.min_content_boost == 1.0
     assert back.gamma == 1.0
+
+
+@needs_heif
+@pytest.mark.parametrize("codec", ["avif", "heic"])
+def test_exif_roundtrip(codec):
+    """Exif item written to / parsed from the gain-map container
+    (heifr.cpp:266-268, 324-331)."""
+    exif = b"Exif\x00\x00MM\x00*\x00\x00\x00\x08" + bytes(range(32))
+    p010 = _p010(96, 128)
+    hr = HeifR(codec)
+    blob = hr.encode_api0(p010, ColorTransfer.HLG, quality=90,
+                          exif=exif)
+    res = hr.decode(blob, OutputFormat.SDR)
+    assert res.exif == exif
+    blob2 = hr.encode_api0(p010, ColorTransfer.HLG, quality=90)
+    assert hr.decode(blob2, OutputFormat.SDR).exif is None
+
+
+@needs_heif
+def test_grid_encode_roundtrip(monkeypatch):
+    """>limit dimensions split into a HEIF 'grid' of coded tiles;
+    decode reassembles them (SURVEY row 11 / heifr >4K gap). The
+    shrunken limit exercises 2x2 luma tiling + a tiled gain map
+    cheaply; tile placement is proven by a spatial gradient."""
+    from libultrahdr_dev_tpu import heifr as heifr_mod
+    monkeypatch.setattr(heifr_mod, "GRID_TILE_LIMIT", 64)
+    h, w = 96, 160  # 2x3 tile lattice at limit 64
+    y = np.add.outer(np.linspace(100, 600, h),
+                     np.linspace(0, 300, w)).astype(np.uint16) << 6
+    uv = np.full((h // 2, w), 512 << 6, np.uint16)
+    p010 = RawImage(fmt=PixelFormat.P010, width=w, height=h,
+                    gamut=ColorGamut.BT2100,
+                    planes={"y": y, "uv": uv})
+    hr = HeifR("heic")
+    blob = hr.encode_api0(p010, ColorTransfer.HLG, quality=90)
+    hp = iso.parse_heif(blob)
+    grids = [i for i, it in hp.items.items() if it.item_type == "grid"]
+    assert grids, "expected a grid root item"
+    assert len(hp.refs[("dimg", grids[0])]) == 6
+    res = hr.decode(blob, OutputFormat.SDR)
+    assert (res.width, res.height) == (w, h)
+    # The tone-mapped base must track the input gradient tile-free:
+    # compare against an un-gridded encode of the same image.
+    monkeypatch.setattr(heifr_mod, "GRID_TILE_LIMIT", 4096)
+    ref = hr.decode(hr.encode_api0(p010, ColorTransfer.HLG,
+                                   quality=90), OutputFormat.SDR)
+    dy = (res.base_yuv[0].astype(np.int32)
+          - ref.base_yuv[0].astype(np.int32))
+    assert np.abs(dy).mean() < 4.0
+
+
+@needs_heif
+def test_8k_grid_encode_decode():
+    """8192x4320 HEIC_R: the reference reaches this via libheif's
+    transparent grid split; our own container writer must emit the
+    grid (VERDICT r2 missing #3)."""
+    h, w = 4320, 8192
+    ramp = np.linspace(64, 940, w, dtype=np.float32)
+    y = np.broadcast_to(ramp.astype(np.uint16), (h, w)).copy() << 6
+    uv = np.full((h // 2, w), 512 << 6, np.uint16)
+    p010 = RawImage(fmt=PixelFormat.P010, width=w, height=h,
+                    gamut=ColorGamut.BT2100,
+                    planes={"y": y, "uv": uv})
+    hr = HeifR("heic")
+    blob = hr.encode_api0(p010, ColorTransfer.HLG, quality=30)
+    res = hr.decode(blob, OutputFormat.SDR)
+    assert (res.width, res.height) == (w, h)
+    assert res.gainmap.shape == (h // 4, w // 4)

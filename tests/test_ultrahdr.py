@@ -194,7 +194,7 @@ class TestHeifFlows:
 
     def test_flow_p010_to_10bit_heic(self):
         u = UltraHdr().add_raw(p010())
-        blob = u.convert(UltraHdrConfig(output_codec="heic",
+        blob = u.convert(UltraHdrConfig(output_codec="heic_10bit",
                                         transfer=ColorTransfer.HLG,
                                         max_display_boost=4.9))
         assert sniff_format(blob) == "heic"
@@ -248,7 +248,7 @@ class TestReviewRegressions:
         img = p010()
         img.transfer = ColorTransfer.PQ
         u = UltraHdr().add_raw(img)
-        blob = u.convert(UltraHdrConfig(output_codec="heic",
+        blob = u.convert(UltraHdrConfig(output_codec="heic_10bit",
                                         transfer=ColorTransfer.PQ,
                                         max_display_boost=49.3))
         assert sniff_format(blob) == "heic"
@@ -279,3 +279,124 @@ class TestReviewRegressions:
         assert res.image is not None
         with pytest.raises(UhdrError):
             JpegR().decode(stripped, OutputFormat.HDR_LINEAR)
+
+
+class TestCodecRouting:
+    """All nine ultrahdr_codec outputs route correctly
+    (ultrahdr.h:79-88; RAW_PIXELS is convert_to_raw, tested above)."""
+
+    @staticmethod
+    def _needs_heif():
+        from libultrahdr_dev_tpu.heifr import heif_available
+        if not heif_available():
+            pytest.skip("libheif not installed")
+
+    def test_jpeg_outputs(self):
+        u = UltraHdr().add_raw(p010())
+        out = u.convert(UltraHdrConfig(output_codec="jpeg"))
+        assert sniff_format(out) == "jpeg"
+        out = u.convert(UltraHdrConfig(output_codec="jpeg_r"))
+        assert sniff_format(out) == "jpeg_r"
+
+    @pytest.mark.parametrize("codec", ["heic", "avif"])
+    def test_sdr_heif_is_8bit_no_gainmap(self, codec):
+        """ULTRAHDR_CODEC_HEIC/AVIF = plain 8-bit SDR rendition
+        (ultrahdr.cpp:1181-1206 -> heifr.cpp:271-279 'only encode
+        heif'), not a gain-map or 10-bit container."""
+        self._needs_heif()
+        from libultrahdr_dev_tpu.container import isobmff as iso
+        from libultrahdr_dev_tpu.container import libheif as lh
+        u = UltraHdr().add_raw(p010())
+        out = u.convert(UltraHdrConfig(output_codec=codec,
+                                       transfer=ColorTransfer.HLG))
+        assert sniff_format(out) == codec
+        hp = iso.parse_heif(out)
+        assert not any(it.item_type == "tmap"
+                       for it in hp.items.values())
+        planes, depth = lh.decode_primary_depth(out, monochrome=False)
+        assert depth == 8
+        assert planes[0].shape == (64, 96)
+
+    @pytest.mark.parametrize("codec", ["heic", "avif"])
+    def test_10bit_heif_is_10bit(self, codec):
+        self._needs_heif()
+        from libultrahdr_dev_tpu.container import libheif as lh
+        u = UltraHdr().add_raw(p010())
+        out = u.convert(UltraHdrConfig(output_codec=codec + "_10bit",
+                                       transfer=ColorTransfer.HLG,
+                                       max_display_boost=4.9))
+        assert sniff_format(out) == codec
+        _, depth = lh.decode_primary_depth(out, monochrome=False)
+        assert depth == 10
+
+    @pytest.mark.parametrize("codec", ["heic", "avif"])
+    def test_gainmap_heif_has_tmap(self, codec):
+        self._needs_heif()
+        from libultrahdr_dev_tpu.container import isobmff as iso
+        u = UltraHdr().add_raw(p010())
+        out = u.convert(UltraHdrConfig(output_codec=codec + "_r",
+                                       transfer=ColorTransfer.HLG))
+        assert sniff_format(out) == codec
+        hp = iso.parse_heif(out)
+        assert any(it.item_type == "tmap" for it in hp.items.values())
+
+    def test_unknown_codec_rejected(self):
+        with pytest.raises(UhdrError):
+            UltraHdr().add_raw(p010()).convert(
+                UltraHdrConfig(output_codec="webp"))
+
+
+class TestHeifExif:
+    EXIF = b"Exif\x00\x00MM\x00*\x00\x00\x00\x08" + bytes(range(64))
+
+    @staticmethod
+    def _needs_heif():
+        from libultrahdr_dev_tpu.heifr import heif_available
+        if not heif_available():
+            pytest.skip("libheif not installed")
+
+    def test_exif_survives_jpegr_heicr_jpegr(self):
+        """EXIF round trip JPEG_R -> HEIC_R -> JPEG_R byte-identically
+        (heifr.cpp:266-268 encode; heifr.cpp:324-331 decode)."""
+        self._needs_heif()
+        from libultrahdr_dev_tpu.container import jfif
+        jr_blob = JpegR().encode_api0(p010(), ColorTransfer.HLG,
+                                      quality=95, exif=self.EXIF)
+        u = UltraHdr().add_image(jr_blob)
+        assert u.exif == self.EXIF
+        heic_blob = u.convert(UltraHdrConfig(output_codec="heic_r"))
+        u2 = UltraHdr().add_image(heic_blob)
+        assert u2.exif == self.EXIF
+        jr_out = u2.convert(UltraHdrConfig(output_codec="jpeg_r"))
+        info = jfif.parse_jpeg_info(jr_out)
+        assert info.exif == self.EXIF
+
+    def test_exif_on_sdr_heif_output(self):
+        self._needs_heif()
+        from libultrahdr_dev_tpu.container import libheif as lh
+        u = UltraHdr().add_raw(p010())
+        u.exif = self.EXIF
+        out = u.convert(UltraHdrConfig(output_codec="heic"))
+        assert lh.extract_exif(out) == self.EXIF
+
+    def test_exif_on_10bit_heif_output(self):
+        self._needs_heif()
+        from libultrahdr_dev_tpu.container import libheif as lh
+        u = UltraHdr().add_raw(p010())
+        u.exif = self.EXIF
+        out = u.convert(UltraHdrConfig(output_codec="heic_10bit",
+                                       transfer=ColorTransfer.HLG,
+                                       max_display_boost=4.9))
+        assert lh.extract_exif(out) == self.EXIF
+
+    def test_plain_heif_ingest_reads_exif(self):
+        self._needs_heif()
+        from libultrahdr_dev_tpu.container import libheif as lh
+        rng = np.random.default_rng(5)
+        planes = (rng.integers(0, 255, (64, 96), dtype=np.uint8),
+                  np.full((32, 48), 128, np.uint8),
+                  np.full((32, 48), 128, np.uint8))
+        blob = lh.encode_image(planes, "heic", 90, exif=self.EXIF)
+        u = UltraHdr().add_image(blob)
+        assert u.exif == self.EXIF
+        assert u.sdr_raw is not None
