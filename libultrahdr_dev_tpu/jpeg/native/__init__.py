@@ -28,7 +28,8 @@ def _build() -> bool:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_m:
             return True
         subprocess.run(
-            ["g++", "-O3", "-funroll-loops", "-std=c++17", "-shared",
+            ["g++", "-O3", "-march=native", "-funroll-loops",
+             "-std=c++17", "-shared",
              "-fPIC", _SRC,
              "-o", _SO + ".tmp"],
             check=True, capture_output=True)

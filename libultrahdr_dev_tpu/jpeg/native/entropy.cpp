@@ -79,6 +79,10 @@ struct HuffDecTable {
   uint8_t vals[256];
   // fast path: index by next 8 bits -> (symbol | (len << 8)) or 0xFFFF
   uint16_t lut[256];
+  // wide fast path: next 12 bits -> (symbol | (len << 8)) or 0xFFFF.
+  // Annex-K AC tables put many common run/size symbols at 9-12 bits,
+  // so the 8-bit window misses often on dense (high-quality) scans.
+  uint16_t lut12[4096];
 };
 
 void build_dec_table(const uint8_t* bits17, const uint8_t* vals256,
@@ -109,6 +113,19 @@ void build_dec_table(const uint8_t* bits17, const uint8_t* vals256,
       int base = code << shift;
       for (int j = 0; j < (1 << shift); ++j)
         t->lut[base + j] = (uint16_t)(sym | (len << 8));
+      ++code;
+    }
+    code <<= 1;
+  }
+  for (int i = 0; i < 4096; ++i) t->lut12[i] = 0xFFFF;
+  code = 0; k = 0;
+  for (int len = 1; len <= 12; ++len) {
+    for (int i = 0; i < bits17[len]; ++i) {
+      uint8_t sym = vals256[k++];
+      int shift = 12 - len;
+      int base = code << shift;
+      for (int j = 0; j < (1 << shift); ++j)
+        t->lut12[base + j] = (uint16_t)(sym | (len << 8));
       ++code;
     }
     code <<= 1;
@@ -194,6 +211,132 @@ struct BitReader {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Fast baseline decode path: destuff once, then a branch-light
+// left-aligned 64-bit bit reader (one refill covers a full
+// code+value pair, <= 31 bits). This fills the role of
+// libjpeg-turbo's SIMD-assisted entropy decoder behind the
+// reference's jpegdecoderhelper.cpp:422 for foreign (non-restart)
+// streams that can't ride the TPU-parallel device path.
+// ---------------------------------------------------------------------------
+
+// Remove 0xFF00 byte stuffing; split at RSTn markers. Returns the
+// destuffed length; seg_starts[i] = destuffed offset where restart
+// segment i begins (segment 0 starts at 0). out must have room for
+// len + 64 bytes (tail is zero-padded for the wide loads).
+static long destuff(const uint8_t* in, long len, uint8_t* out,
+                    long* seg_starts, long max_segs, long* nsegs) {
+  long o = 0;
+  long s = 0;
+  seg_starts[s++] = 0;
+  long i = 0;
+  while (i < len) {
+    const uint8_t* ff = (const uint8_t*)memchr(in + i, 0xFF, len - i);
+    if (!ff) {
+      std::memcpy(out + o, in + i, len - i);
+      o += len - i;
+      break;
+    }
+    long n = ff - (in + i);
+    std::memcpy(out + o, in + i, n);
+    o += n;
+    i += n;
+    // in[i] == 0xFF
+    if (i + 1 >= len) break;  // dangling FF at end: drop
+    uint8_t m = in[i + 1];
+    if (m == 0x00) {          // stuffed data byte
+      out[o++] = 0xFF;
+      i += 2;
+    } else if (m == 0xFF) {   // fill byte
+      ++i;
+    } else if (m >= 0xD0 && m <= 0xD7) {  // restart marker
+      if (s < max_segs) seg_starts[s++] = o;
+      i += 2;
+    } else {
+      break;                  // real marker terminates entropy data
+    }
+  }
+  std::memset(out + o, 0, 1024);
+  *nsegs = s;
+  return o;
+}
+
+struct FastReader {
+  const uint8_t* start;
+  const uint8_t* p;
+  const uint8_t* pend;   // destuffed end (zero padding beyond)
+  uint64_t bits = 0;     // left-aligned
+  int cnt = 0;
+
+  inline void reset(const uint8_t* base, const uint8_t* at,
+                    const uint8_t* end) {
+    start = base;
+    p = at;
+    pend = end;
+    bits = 0;
+    cnt = 0;
+  }
+
+  inline void refill() {
+    // Safe: the buffer carries 1024 zero-pad bytes past pend. A
+    // valid stream keeps p <= pend + 8 at block boundaries (the
+    // register holds at most 63 look-ahead bits); one block's decode
+    // advances p by at most ~256 bytes, so reads stay inside the
+    // pad and the per-block overrun check bounds garbage decode.
+    uint64_t w;
+    __builtin_memcpy(&w, p, 8);
+    bits |= __builtin_bswap64(w) >> cnt;
+    int adv = (63 - cnt) >> 3;
+    p += adv;
+    cnt += adv << 3;
+  }
+
+  inline uint32_t peek(int n) const {
+    return (uint32_t)(bits >> (64 - n));
+  }
+
+  inline void consume(int n) {
+    bits <<= n;
+    cnt -= n;
+  }
+
+  inline bool overrun() const { return p > pend + 64; }
+};
+
+inline int fast_decode_huff(FastReader& r, const HuffDecTable& t) {
+  uint32_t look = r.peek(12);
+  uint16_t hit = t.lut12[look];
+  if (__builtin_expect(hit != 0xFFFF, 1)) {
+    r.consume(hit >> 8);
+    return hit & 0xFF;
+  }
+  int code = (int)r.peek(16);
+  for (int len = 13; len <= 16; ++len) {
+    int c = code >> (16 - len);
+    if (c <= t.maxcode[len]) {
+      r.consume(len);
+      return t.vals[t.valptr[len] + (c - t.mincode[len])];
+    }
+  }
+  return -1;
+}
+
+// Slow-path decode for codes longer than the 12-bit window; does NOT
+// consume — returns the symbol and its length via *len_out so the
+// caller can extract value bits from the same register window.
+inline int fast_decode_slow(const FastReader& r, const HuffDecTable& t,
+                            int* len_out) {
+  int code = (int)r.peek(16);
+  for (int len = 13; len <= 16; ++len) {
+    int c = code >> (16 - len);
+    if (c <= t.maxcode[len]) {
+      *len_out = len;
+      return t.vals[t.valptr[len] + (c - t.mincode[len])];
+    }
+  }
+  return -1;
+}
+
 inline int decode_huff(BitReader& br, const HuffDecTable& t) {
   uint32_t look = br.peek(8);
   uint16_t hit = t.lut[look];
@@ -214,9 +357,11 @@ inline int decode_huff(BitReader& br, const HuffDecTable& t) {
   return 0;
 }
 
-// Extend: T.81 F.2.2.1 (receive/extend).
+// Extend: T.81 F.2.2.1 (receive/extend), branchless — the sign of a
+// coefficient is coin-flip data, so the naive compare mispredicts on
+// ~half of all nonzero coefficients.
 inline int extend(int v, int size) {
-  return (v < (1 << (size - 1))) ? v - (1 << size) + 1 : v;
+  return v + (((v - (1 << (size - 1))) >> 31) & ((-1 << size) + 1));
 }
 
 }  // namespace
@@ -319,47 +464,103 @@ long uhdr_huff_decode(const uint8_t* data, long len, long nblocks,
     build_dec_table(dc_bits + i * 17, dc_vals + i * 256, &dct[i]);
     build_dec_table(ac_bits + i * 17, ac_vals + i * 256, &act[i]);
   }
-  BitReader br{data, len};
+
+  // Destuff + segment split once up front; the hot loop then runs a
+  // branch-light wide reader with no stuffing/marker logic.
+  long max_segs = restart_interval && mcu_blocks
+                      ? (nblocks / mcu_blocks) / restart_interval + 2
+                      : 2;
+  uint8_t* flat = new uint8_t[(size_t)len + 1024];
+  long* seg_starts = new long[max_segs];
+  long nsegs = 0;
+  long flat_len = destuff(data, len, flat, seg_starts, max_segs,
+                          &nsegs);
+  long seg = 0;
+
+  FastReader r;
+  r.reset(flat, flat, flat + flat_len);
   int pred[4] = {0, 0, 0, 0};
   long mcu_count = 0;
+  long rc = 0;
 
   std::memset(out_blocks, 0, (size_t)nblocks * 64 * sizeof(int16_t));
 
   for (long b = 0; b < nblocks; ++b) {
-    if (restart_interval && mcu_blocks && b % mcu_blocks == 0 &&
-        mcu_count && mcu_count % restart_interval == 0) {
-      br.sync_restart();
-      pred[0] = pred[1] = pred[2] = pred[3] = 0;
+    if (mcu_blocks && b % mcu_blocks == 0) {
+      if (restart_interval && mcu_count &&
+          mcu_count % restart_interval == 0) {
+        ++seg;
+        const uint8_t* at = seg < nsegs ? flat + seg_starts[seg]
+                                        : flat + flat_len;
+        r.reset(flat, at, flat + flat_len);
+        pred[0] = pred[1] = pred[2] = pred[3] = 0;
+      }
+      ++mcu_count;
     }
-    if (mcu_blocks && b % mcu_blocks == 0) ++mcu_count;
+    if (r.overrun()) { rc = -(b + 1); break; }
 
     int c = comp_ids[b];
     const HuffDecTable& dt = dct[dc_sel[c]];
     const HuffDecTable& at = act[ac_sel[c]];
     int16_t* blk = out_blocks + b * 64;
 
-    int size = decode_huff(br, dt);
-    if (br.error) return -(b + 1);
-    int diff = size ? extend((int)br.get(size), size) : 0;
-    pred[c] += diff;
+    r.refill();
+    // DC: symbol + value in one register window (dependent-chain
+    // shortening: a single shift extracts the value bits behind the
+    // code instead of consume-then-peek).
+    {
+      uint32_t look = r.peek(12);
+      uint16_t hit = dt.lut12[look];
+      int size, len;
+      if (__builtin_expect(hit != 0xFFFF, 1)) {
+        size = hit & 0xFF;
+        len = hit >> 8;
+      } else {
+        size = fast_decode_slow(r, dt, &len);
+        if (size < 0) { rc = -(b + 1); break; }
+      }
+      if (size) {
+        int v = (int)((r.bits >> (64 - len - size))
+                      & ((1u << size) - 1));
+        pred[c] += extend(v, size);
+        r.consume(len + size);
+      } else {
+        r.consume(len);
+      }
+    }
     blk[0] = (int16_t)pred[c];
 
     int k = 1;
     while (k < 64) {
-      int sym = decode_huff(br, at);
-      if (br.error) return -(b + 1);
+      if (r.cnt < 32) r.refill();
+      uint32_t look = r.peek(12);
+      uint16_t hit = at.lut12[look];
+      int sym, len;
+      if (__builtin_expect(hit != 0xFFFF, 1)) {
+        sym = hit & 0xFF;
+        len = hit >> 8;
+      } else {
+        sym = fast_decode_slow(r, at, &len);
+        if (sym < 0) { rc = -(b + 1); goto done; }
+      }
       int run = sym >> 4, s = sym & 15;
       if (s == 0) {
+        r.consume(len);
         if (run == 15) { k += 16; continue; }  // ZRL
         break;                                  // EOB
       }
       k += run;
-      if (k > 63) return -(b + 1);
-      blk[k] = (int16_t)extend((int)br.get(s), s);
+      if (k > 63) { rc = -(b + 1); goto done; }
+      int v = (int)((r.bits >> (64 - len - s)) & ((1u << s) - 1));
+      blk[k] = (int16_t)extend(v, s);
+      r.consume(len + s);
       ++k;
     }
   }
-  return 0;
+done:
+  delete[] flat;
+  delete[] seg_starts;
+  return rc;
 }
 
 // ---------------------------------------------------------------------------
