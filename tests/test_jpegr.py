@@ -238,3 +238,57 @@ class TestCrossParity:
             .view(np.float16).astype(np.float64)
         p = psnr_float(dec_ours, want, peak=1.0)
         assert p >= 45.0, f"PSNR {p:.2f} dB"
+
+
+class TestCrossParityMatrix:
+    """Decode-side parity across the full {bt709,p3,bt2100} x {HLG,PQ}
+    sweep in both decode formats — the jpegr_test.cpp INSTANTIATE
+    sweep's analog (reference tests/jpegr_test.cpp:2154-2157). Goldens
+    are reference-binary encodes + decodes banked by
+    tools/gen_parity_goldens.sh."""
+
+    CONFIGS = [(gn, tn) for gn in ("709", "p3", "2100")
+               for tn in ("hlg", "pq")]
+
+    @staticmethod
+    def _golden(name):
+        path = os.path.join(GOLDENS, name)
+        if not os.path.exists(path):
+            pytest.skip(f"golden {name} unavailable")
+        return path
+
+    @pytest.mark.parametrize("gn,tn", CONFIGS)
+    def test_f16_decode_parity(self, gn, tn):
+        blob = open(self._golden(f"enc0_{gn}_{tn}.jpegr"), "rb").read()
+        boost = 4.926108 if tn == "hlg" else 49.261084
+        res = JpegR().decode(blob, OutputFormat.HDR_LINEAR,
+                             max_display_boost=boost)
+        ours = f16_planes(res.image)[..., :3]
+        want = np.frombuffer(
+            gzip.open(self._golden(
+                f"dec0_{gn}_{tn}_f16.raw.gz")).read(),
+            np.uint16).reshape(H, W, 4)[..., :3] \
+            .view(np.float16).astype(np.float64)
+        p = psnr_float(ours, want, peak=1.0)
+        assert p >= 55.0, f"{gn}/{tn} F16 PSNR {p:.2f} dB < 55"
+
+    @pytest.mark.parametrize("gn,tn", CONFIGS)
+    def test_1010102_decode_parity(self, gn, tn):
+        blob = open(self._golden(f"enc0_{gn}_{tn}.jpegr"), "rb").read()
+        if tn == "hlg":
+            fmt, boost = OutputFormat.HDR_HLG, 4.926108
+        else:
+            fmt, boost = OutputFormat.HDR_PQ, 49.261084
+        res = JpegR().decode(blob, fmt, max_display_boost=boost)
+        ours = np.asarray(res.image.planes["rgba"]).astype(np.uint32)
+        want = np.frombuffer(
+            gzip.open(self._golden(
+                f"dec0_{gn}_{tn}_1010102.raw.gz")).read(),
+            np.uint32).reshape(H, W)
+        worst = []
+        for shift in (0, 10, 20):
+            a = ((ours >> shift) & 0x3FF).astype(np.float64)
+            b = ((want >> shift) & 0x3FF).astype(np.float64)
+            mse = np.mean((a - b) ** 2)
+            worst.append(10 * np.log10(1023.0 ** 2 / mse))
+        assert min(worst) >= 50.0, f"{gn}/{tn} 1010102 {worst}"

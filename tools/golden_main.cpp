@@ -53,12 +53,14 @@ int main(int argc, char** argv) {
   }
   if (mode == "encode0") {
     // argv: encode0 <p010file> <w> <h> <tf 1=hlg 2=pq> <quality> <out>
+    //       [gamut 0=709 1=p3 2=2100]
     auto raw = readfile(argv[2]);
     int w = atoi(argv[3]), h = atoi(argv[4]);
     ultrahdr_uncompressed_struct p010{};
     p010.data = raw.data();
     p010.width = w; p010.height = h;
-    p010.colorGamut = ULTRAHDR_COLORGAMUT_BT2100;
+    p010.colorGamut = argc > 8 ? (ultrahdr_color_gamut)atoi(argv[8])
+                               : ULTRAHDR_COLORGAMUT_BT2100;
     p010.luma_stride = w;
     p010.chroma_data = raw.data() + (size_t)w * h * 2;
     p010.chroma_stride = w;
