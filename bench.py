@@ -12,15 +12,15 @@ decode at 1280x720 (BASELINE.md); scaled by pixel count to 4080x3072
 (13.6x) -> 1911 ms/frame for encode+decode on one x86 core.
 
 Decode output is RGBA1010102/HLG (one of the reference benchmark's
-decode configs). NOTE: in this harness the chip sits behind a relay
-whose throughput fluctuates between ~13 and ~45 MB/s in BOTH
-directions, so the headline (host pixels in, host pixels out) is
-link-bound: ~23.5 MB packed P010 upload per encode and ~50 MB decoded
-pixel readback per decode. The TPU itself is >10x faster than that:
-the detail block reports device-compute times (encode ~125 ms/frame,
-decode ~45 ms/frame including on-device Huffman decode of the restart
-streams) and the measured link speed for normalization.
-"""
+decode configs). The chip sits behind a relay whose throughput
+fluctuates 7-45 MB/s in both directions, so host<->device bytes decide
+the headline. Since round 3 both directions ride a lossless segment
+pack (parallel/packio.py): the 23.5 MB/frame P010 upload becomes
+~0.6 MB and the 50 MB/frame pixel readback ~4 MB on this content, and
+the next batch's host pack overlaps the current batch's device work.
+The detail block reports exact bytes/frame so link weather is
+auditable, plus dispatch-amortized device-compute times and roofline
+context."""
 
 import json
 import os
@@ -35,6 +35,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 BASELINE_4K_MS = 1911.0
 W, H = 4080, 3072
 FRAMES = 4
+
+# v5e-class chip peaks for the roofline context fields.
+PEAK_HBM_GBPS = 819.0
+PEAK_BF16_TFLOPS = 197.0
 
 
 def synth_p010(h, w, seed=0):
@@ -55,7 +59,35 @@ def synth_p010(h, w, seed=0):
     return y10, uv
 
 
+def foreign_decode_ms():
+    """Host entropy decode of a foreign (no-restart-marker) 4K JPEG —
+    the path that can't ride the TPU-parallel device decoder and runs
+    the native C++ decoder instead (jpeg/native/entropy.cpp). Pure
+    host work; independent of the link."""
+    import io
+
+    from PIL import Image
+
+    from libultrahdr_dev_tpu.jpeg import codec
+
+    y10, _ = synth_p010(H, W, seed=9)
+    img = (y10 >> 8).astype(np.uint8)
+    rgb = np.stack([img, np.roll(img, 5, 1), np.roll(img, 9, 0)], -1)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG", quality=95, subsampling=2)
+    blob = buf.getvalue()
+    codec.decode_jpeg_coefs(blob)  # warm table/ctypes setup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        codec.decode_jpeg_coefs(blob)
+        best = min(best, (time.perf_counter() - t0) * 1000)
+    return best, len(blob)
+
+
 def main():
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax
 
     from libultrahdr_dev_tpu.parallel import sharding
@@ -71,35 +103,53 @@ def main():
         leaf = jax.tree_util.tree_leaves(x)[-1]
         np.asarray(leaf[(0,) * leaf.ndim])
 
-    def encode_all():
-        return sharding.batched_encode_api0(ys, uvs, mesh)
+    # ---- Warmup: compile everything, and verify the packed readback
+    # matches the raw fetch bit-for-bit on this content.
+    wstats = {}
+    pre = sharding.pack_p010_batch_host(ys, uvs)
+    ydev, uvdev, _ = sharding.upload_p010_batch(ys, uvs, wstats, pre)
+    blobs = sharding.batched_encode_api0(
+        ys, uvs, mesh, device_input=(ydev, uvdev), stats=wstats)
+    out = sharding.batched_decode(blobs, "hdr_hlg", boost, mesh,
+                                  stats=wstats)
+    pixels = sharding.fetch_1010102_packed(out, wstats)
+    raw = np.asarray(out)
+    assert np.array_equal(pixels, raw), "packed readback mismatch"
+    del raw
 
-    def decode_all(blobs):
-        out = sharding.batched_decode(blobs, "hdr_hlg", boost, mesh)
-        return np.asarray(out)
-
-    # Warmup: compiles all 4K kernels + absorbs the first-transfer cost.
-    blobs = encode_all()
-    decode_all(blobs)
-
-    # The relay link's throughput fluctuates 2-4x between runs; take
-    # the best of three measurement rounds.
+    # ---- Pipelined serving loop: the next batch's host pack runs in
+    # a worker thread while the current batch's device work and
+    # transfers proceed (double buffering; the reference's analog is
+    # its zero-copy in-process loop, jpegr.cpp:167-247).
+    ROUNDS = 3
     enc = dec = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        blobs = encode_all()
-        t1 = time.perf_counter()
-        pixels = decode_all(blobs)
-        t2 = time.perf_counter()
-        enc = min(enc, (t1 - t0) * 1000 / FRAMES)
-        dec = min(dec, (t2 - t1) * 1000 / FRAMES)
+    stats = {}
+    with ThreadPoolExecutor(1) as pool:
+        fut = pool.submit(sharding.pack_p010_batch_host, ys, uvs)
+        for _ in range(ROUNDS):
+            t0 = time.perf_counter()
+            pre = fut.result()
+            fut = pool.submit(sharding.pack_p010_batch_host, ys, uvs)
+            rstats = {}
+            ydev, uvdev, _ = sharding.upload_p010_batch(
+                ys, uvs, rstats, pre)
+            blobs = sharding.batched_encode_api0(
+                ys, uvs, mesh, device_input=(ydev, uvdev), stats=rstats)
+            t1 = time.perf_counter()
+            out = sharding.batched_decode(blobs, "hdr_hlg", boost, mesh,
+                                          stats=rstats)
+            pixels = sharding.fetch_1010102_packed(out, rstats)
+            t2 = time.perf_counter()
+            if (t1 - t0) + (t2 - t1) < enc + dec:
+                enc, dec = (t1 - t0) * 1000 / FRAMES, \
+                    (t2 - t1) * 1000 / FRAMES
+                stats = rstats
     total = enc + dec
 
     # Decode-to-device (TPU-serving path: consumers read the decoded
     # planes on device, no host materialization). Sync via a jitted
     # scalar reduction: fetching even one ELEMENT of the result makes
-    # this relay materialize the whole 200 MB buffer host-side, which
-    # would mis-measure the serving path as link-bound.
+    # this relay materialize the whole 200 MB buffer host-side.
     import jax.numpy as _jnp
 
     scalar_probe = jax.jit(lambda x: x.ravel()[0].astype(_jnp.float32))
@@ -152,13 +202,13 @@ def main():
                     + gsw[0].astype(jnp.int32))
         return jax.lax.fori_loop(0, NLOOP, body, jnp.int32(0))
 
-    out = enc_many(*dp)
-    sync(out)
+    out2 = enc_many(*dp)
+    sync(out2)
     enc_kernel = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        out = enc_many(*dp)
-        sync(out)
+        out2 = enc_many(*dp)
+        sync(out2)
         enc_kernel = min(enc_kernel,
                          (time.perf_counter() - t0) * 1000 / NLOOP)
 
@@ -199,13 +249,13 @@ def main():
             return acc + hdr[0, 0].astype(jnp.uint32)
         return jax.lax.fori_loop(0, NLOOP, body, jnp.uint32(0))
 
-    out = dec_many(bch, gch)
-    sync(out)
+    out3 = dec_many(bch, gch)
+    sync(out3)
     dec_kernel = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        out = dec_many(bch, gch)
-        sync(out)
+        out3 = dec_many(bch, gch)
+        sync(out3)
         dec_kernel = min(dec_kernel,
                          (time.perf_counter() - t0) * 1000 / NLOOP)
 
@@ -218,6 +268,39 @@ def main():
     t0 = time.perf_counter()
     np.asarray(d)
     d2h_mbps = 8.0 / max(time.perf_counter() - t0, 1e-9)
+
+    f_ms, f_bytes = foreign_decode_ms()
+
+    # Roofline context (estimates, not profiler counters): the pixel
+    # pipeline is HBM/VPU-bound, not MXU-bound — the only large
+    # matmuls are the kron(D,D) fDCT/IDCT passes. Byte estimates count
+    # the main HBM round trips of each fused kernel (unpack + color +
+    # gainmap + DCT + entropy select/sort passes).
+    npix = W * H
+    nsamp = int(npix * 1.5)
+    enc_hbm_gb = (nsamp * 2 * 2       # P010 unpack r/w
+                  + npix * 4 * 3      # tonemap+gainmap f32 traffic
+                  + nsamp * 2 * 4     # fDCT in/out + quant r/w
+                  + nsamp * 2 * 6     # entropy units/words/sort passes
+                  ) / 1e9
+    dec_hbm_gb = (nsamp * 2 * 4       # entropy decode passes
+                  + nsamp * 2 * 4     # IDCT in/out
+                  + npix * 4 * 2      # apply + pack
+                  ) / 1e9
+    fdct_tflops = (nsamp / 64) * 64 * 64 * 2 * 3 / 1e12  # bf16x3 kron
+    roofline = {
+        "assumed_peaks": {"hbm_GBps": PEAK_HBM_GBPS,
+                          "bf16_tflops": PEAK_BF16_TFLOPS},
+        "encode_kernel_hbm_gb_est": round(enc_hbm_gb, 3),
+        "encode_kernel_hbm_frac": round(
+            enc_hbm_gb / (enc_kernel / 1e3) / PEAK_HBM_GBPS, 3),
+        "decode_kernel_hbm_gb_est": round(dec_hbm_gb, 3),
+        "decode_kernel_hbm_frac": round(
+            dec_hbm_gb / (dec_kernel / 1e3) / PEAK_HBM_GBPS, 3),
+        "fdct_tflop_est": round(fdct_tflops, 4),
+        "fdct_mxu_frac_at_kernel_time": round(
+            fdct_tflops / (enc_kernel / 1e3) / PEAK_BF16_TFLOPS, 4),
+    }
 
     result = {
         "metric": "4k_jpegr_encode_decode",
@@ -235,14 +318,22 @@ def main():
             "frames": FRAMES,
             "device": str(dev),
             "jpegr_bytes": len(blobs[0]),
+            "link_bytes_per_frame": {
+                "h2d": round(stats.get("h2d_bytes", 0) / FRAMES),
+                "d2h": round(stats.get("d2h_bytes", 0) / FRAMES),
+                "h2d_pack": stats.get("h2d_pack", "?"),
+                "d2h_pack": stats.get("d2h_pack", "?"),
+            },
             "h2d_MBps": round(h2d_mbps, 1),
             "d2h_MBps": round(d2h_mbps, 1),
-            "note": "headline is link-bound on this harness: 23.5MB "
-                    "packed P010 upload per encode + 50MB pixel "
-                    "readback per decode over a 7-45MB/s relay whose "
-                    "throughput is weather; the *_device_compute_* "
-                    "fields are dispatch-amortized TPU times (entropy "
-                    "coding on device in both directions)",
+            "foreign_entropy_decode_ms": round(f_ms, 1),
+            "foreign_jpeg_bytes": f_bytes,
+            "roofline_est": roofline,
+            "note": "lossless segment-packed transfers both ways "
+                    "(parallel/packio.py) + pipelined host pack; "
+                    "link_bytes_per_frame are the exact bytes moved, "
+                    "so the headline is auditable against the "
+                    "measured h2d/d2h MBps link weather",
         },
     }
     assert pixels.shape == (FRAMES, H, W)

@@ -68,6 +68,134 @@ def _unpack_p010_device(hi, lob):
 
 
 @lru_cache(maxsize=None)
+def _split_p010_stack_fn(n: int, h: int, w: int):
+    """Jitted slice of the tall unpacked plane into MSB-aligned
+    (n,h,w) y and (n,h/2,w) uv batches."""
+
+    @jax.jit
+    def split(big):
+        y = (big[:n * h].reshape(n, h, w).astype(jnp.uint16)) << 6
+        uv = (big[n * h:].reshape(n, h // 2, w)
+              .astype(jnp.uint16)) << 6
+        return y, uv
+
+    return split
+
+
+def pack_p010_batch_host(p010_y_batch, p010_uv_batch):
+    """Host half of the segment-packed upload: stack every frame's y
+    and uv planes into ONE tall 10-bit plane and pack it
+    (parallel/packio.py). Runs pure numpy — callers can overlap it
+    with the previous batch's device work in a thread. Falls back to
+    the dense 10-bit layout when the content doesn't compress (noise)
+    or the geometry doesn't fit the packer's 32-row groups."""
+    from . import packio
+
+    y = np.asarray(p010_y_batch)
+    uv = np.asarray(p010_uv_batch)
+    n, h, w = y.shape
+    dense_bytes = (y.size + uv.size) * 10 // 8
+    if h % 64 == 0 and w % 16 == 0:
+        big = np.concatenate([(y >> 6).reshape(n * h, w),
+                              (uv >> 6).reshape(n * (h // 2), w)])
+        packed = packio.pack_plane_host(big)
+        if packed.nbytes() < 0.9 * dense_bytes:
+            return ("seg", packed, packed.to_blob(), n, h, w)
+    return ("dense", pack_p010_host(y), pack_p010_host(uv), n, h, w)
+
+
+def upload_p010_batch(p010_y_batch, p010_uv_batch, stats=None,
+                      prepacked=None):
+    """Upload a P010 batch: ONE u32 blob over the link, reconstructed
+    on device (~10 ms for a 4-frame 4K batch). Returns
+    (y_dev_msb, uv_dev_msb, h2d_bytes)."""
+    from . import packio
+
+    pre = prepacked if prepacked is not None else \
+        pack_p010_batch_host(p010_y_batch, p010_uv_batch)
+    if pre[0] == "seg":
+        _, packed, blob, n, h, w = pre
+        blob_dev = jax.device_put(blob)
+        bigdev = packio.unpack_plane_device(packed, blob_dev)
+        ydev, uvdev = _split_p010_stack_fn(n, h, w)(bigdev)
+        nbytes = blob.nbytes
+        mode = "seg"
+    else:
+        _, (yh, yl), (uh, ul), n, h, w = pre
+        nbytes = yh.nbytes + yl.nbytes + uh.nbytes + ul.nbytes
+        parts = [jax.device_put(p) for p in (yh, yl, uh, ul)]
+
+        @jax.jit
+        def dense(yh, yl, uh, ul):
+            return (_unpack_p010_device(yh, yl),
+                    _unpack_p010_device(uh, ul))
+
+        ydev, uvdev = dense(*parts)
+        mode = "dense"
+    if stats is not None:
+        stats["h2d_bytes"] = stats.get("h2d_bytes", 0) + nbytes
+        stats["h2d_pack"] = mode
+    return ydev, uvdev, nbytes
+
+
+@lru_cache(maxsize=None)
+def _extract_1010102_fn(n: int, h: int, w: int):
+    """Jitted channel split of a (n,h,w) RGBA1010102 batch into one
+    tall (3n*h, w) 10-bit plane for the readback pack."""
+
+    @jax.jit
+    def chans(x):
+        r = (x & 0x3FF).astype(jnp.uint16)
+        g = ((x >> 10) & 0x3FF).astype(jnp.uint16)
+        b = ((x >> 20) & 0x3FF).astype(jnp.uint16)
+        return jnp.concatenate([r.reshape(n * h, w),
+                                g.reshape(n * h, w),
+                                b.reshape(n * h, w)])
+
+    return chans
+
+
+def fetch_1010102_packed(out_dev, stats=None):
+    """Fetch a device-resident (n,h,w) RGBA1010102 batch to host
+    through the lossless segment pack: ~3-6x fewer bytes than the raw
+    u32 readback on natural content, two d2h transfers total (width
+    map + fused bucket blob). Alpha is the packer's constant
+    0xC0000000 (ops/color.py pack_rgba1010102)."""
+    from . import packio
+
+    n, h, w = (int(s) for s in out_dev.shape)
+    if h % 64:
+        arr = np.asarray(out_dev)
+        if stats is not None:
+            stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + arr.nbytes
+            stats["d2h_pack"] = "raw"
+        return arr
+    big = _extract_1010102_fn(n, h, w)(out_dev)
+    packed = packio.pack_plane_device(
+        big, max_bytes=int(0.85 * n * h * w * 4))
+    if packed is None:  # incompressible content: raw fetch wins
+        arr = np.asarray(out_dev)
+        if stats is not None:
+            stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + arr.nbytes
+            stats["d2h_pack"] = "raw"
+        return arr
+    planes = packio.unpack_plane_host(packed).reshape(3, n, h, w)
+    out = (planes[0].astype(np.uint32)
+           | (planes[1].astype(np.uint32) << 10)
+           | (planes[2].astype(np.uint32) << 20)
+           | np.uint32(0xC0000000))
+    if stats is not None:
+        # What crossed the link: the fused bucket blob + the pass-1
+        # width map (the perm stays host-side).
+        wp = -(-w // packio.L) * packio.L
+        widths_bytes = 3 * n * h * (wp // packio.L)
+        stats["d2h_bytes"] = stats.get("d2h_bytes", 0) \
+            + packed.nbytes() - packed.perm.nbytes + widths_bytes
+        stats["d2h_pack"] = "seg"
+    return out
+
+
+@lru_cache(maxsize=None)
 def _batched_encode_compute(mesh: Mesh, gamut: str, hdr_tf: str,
                             base_quality: int):
     """Fused per-batch encode device stage: tonemap + gain map +
@@ -168,6 +296,19 @@ def _batched_encode_to_streams_rst(mesh: Mesh, gamut: str, hdr_tf: str,
 
         coefs = jax.vmap(one)(y_hi, y_lo, uv_hi, uv_lo)
         return jax.vmap(streams_one)(*coefs)
+
+    @partial(jax.jit, in_shardings=(spec,) * 2,
+             out_shardings=(spec,) * 2)
+    def kernel_dev(y_batch, uv_batch):
+        """Variant over device-resident MSB-aligned u16 P010 batches
+        (the segment-packed upload path, upload_p010_batch)."""
+        coefs = jax.vmap(
+            lambda y, uv: _encode_one_image_coefs(y, uv, gamut, hdr_tf,
+                                                  base_quality)
+        )(y_batch, uv_batch)
+        return jax.vmap(streams_one)(*coefs)
+
+    kernel.device_input_variant = kernel_dev
 
     return kernel, max_boost
 
@@ -312,7 +453,7 @@ def batched_encode_api1(p010_y_batch, p010_uv_batch, sdr_y_batch,
 
 
 def _assemble_rst_outputs(combined, meta, n, h, w, quality, gamut,
-                          metadata):
+                          metadata, stats=None):
     """Host tail shared by the batched RST encode paths."""
     from ..container import icc as icc_mod, mux
     from ..jpeg import codec, device_entropy as de
@@ -342,6 +483,8 @@ def _assemble_rst_outputs(combined, meta, n, h, w, quality, gamut,
     for shard in combined.addressable_shards:
         lo = shard.index[0].start or 0
         data = np.asarray(shard.data[:, :k])
+        if stats is not None:
+            stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + data.nbytes
         for j in range(data.shape[0]):
             rows[lo + j] = data[j]
     out = []
@@ -376,22 +519,36 @@ def batched_encode_device_stage(p010_y_batch, p010_uv_batch, mesh: Mesh,
 
 def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
                         gamut: str = "bt2100", hdr_tf: str = "hlg",
-                        quality: int = 95) -> list[bytes]:
+                        quality: int = 95, device_input=None,
+                        stats=None) -> list[bytes]:
     """Full batched API-0 encode: device compute (entropy coding
     included) in one sharded jit, then host marker/mux assembly. Dims
     must be multiples of 16 and the batch must divide the mesh's batch
-    axis (pad to a bucket for mixed sizes)."""
+    axis (pad to a bucket for mixed sizes).
+
+    device_input: optional (y_dev, uv_dev) MSB-aligned u16 device
+    batches from upload_p010_batch — skips the dense host pack and
+    rides the segment-packed upload (pass the host batches too for
+    the rare scatter fallback)."""
     from ..container import icc as icc_mod, mux
     from ..jpeg import codec, device_entropy as de
 
-    n, h, w = p010_y_batch.shape
+    if device_input is not None:
+        n, h, w = (int(s) for s in device_input[0].shape)
+    else:
+        n, h, w = p010_y_batch.shape
     if h % 16 or w % 16:
         raise ValueError(f"batched encode requires 16-aligned dims, "
                          f"got {w}x{h}")
     from ..jpeg.device_entropy import DEFAULT_CHUNK_CAP
 
-    yh, yl = pack_p010_host(p010_y_batch)
-    uh, ul = pack_p010_host(p010_uv_batch)
+    if device_input is None:
+        yh, yl = pack_p010_host(p010_y_batch)
+        uh, ul = pack_p010_host(p010_uv_batch)
+        if stats is not None:
+            stats["h2d_bytes"] = stats.get("h2d_bytes", 0) + (
+                yh.nbytes + yl.nbytes + uh.nbytes + ul.nbytes)
+            stats["h2d_pack"] = "dense"
     metadata = None
     # Tight sort cap first; dense content retries at full width (still
     # scatter-free), then the exact scatter path as a last resort.
@@ -401,10 +558,14 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
         metadata = GainMapMetadata(
             max_content_boost=max_boost, min_content_boost=1.0,
             hdr_capacity_min=1.0, hdr_capacity_max=max_boost)
-        combined, meta = kernel(yh, yl, uh, ul)
+        if device_input is not None:
+            combined, meta = kernel.device_input_variant(*device_input)
+        else:
+            combined, meta = kernel(yh, yl, uh, ul)
         try:
             return _assemble_rst_outputs(combined, np.asarray(meta), n,
-                                         h, w, quality, gamut, metadata)
+                                         h, w, quality, gamut, metadata,
+                                         stats=stats)
         except OverflowError:
             continue
 
@@ -447,7 +608,7 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
 
 def _batched_decode_device(blobs, output_format: str,
                            max_display_boost: float, mesh: Mesh,
-                           use_luts: bool):
+                           use_luts: bool, stats=None):
     """Batched fully-on-device decode (parallel RST entropy decode +
     IDCT + apply, one vmapped jit) for blobs this framework encoded.
     Returns None when any blob's bitstreams don't qualify."""
@@ -523,6 +684,9 @@ def _batched_decode_device(blobs, output_format: str,
                         max_display_boost)
         for _, dsg in parsed])
 
+    if stats is not None:
+        stats["h2d_bytes"] = stats.get("h2d_bytes", 0) \
+            + combined.nbytes + scalars.nbytes
     return batch_kernel(combined, scalars)
 
 
@@ -566,7 +730,7 @@ def _decode_scalars(metadata, max_display_boost: float) -> np.ndarray:
 
 
 def batched_decode(blobs, output_format: str, max_display_boost: float,
-                   mesh: Mesh, use_luts: bool = False):
+                   mesh: Mesh, use_luts: bool = False, stats=None):
     """Decode N same-geometry JPEG/R blobs with one batched device
     dispatch. Streams this framework encoded take the fully-on-device
     path (parallel RST entropy decode); foreign streams fall back to
@@ -580,7 +744,8 @@ def batched_decode(blobs, output_format: str, max_display_boost: float,
     from ..jpegr import _fused_decode_kernel
 
     fast = _batched_decode_device(blobs, output_format,
-                                  max_display_boost, mesh, use_luts)
+                                  max_display_boost, mesh, use_luts,
+                                  stats)
     if fast is not None:
         return fast
 
