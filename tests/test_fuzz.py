@@ -325,3 +325,65 @@ class TestMpfIccStructuralFuzz:
                 icc.read_icc_color_gamut(bytes(data))
             except (UhdrError, Exception):
                 pass
+
+
+class TestExifGridFuzz:
+    """Round-3 container surfaces: Exif items and grid payloads must
+    never crash the parser, only raise UhdrError or return None."""
+
+    def _tmap_with_exif(self, exif_payload: bytes) -> bytes:
+        from libultrahdr_dev_tpu.container import isobmff as iso
+        base = [iso.OutItem("hvc1", b"\x00" * 64,
+                            [iso.ispe_prop(16, 16)])]
+        gmap = [iso.OutItem("hvc1", b"\x00" * 32,
+                            [iso.ispe_prop(4, 4)])]
+        md = iso.encode_tmap_metadata(
+            __import__("libultrahdr_dev_tpu.types",
+                       fromlist=["GainMapMetadata"]).GainMapMetadata(
+                max_content_boost=4.0, min_content_boost=1.0))
+        blob = iso.build_tmap_container("heic", base, gmap, md,
+                                        exif=b"XX")
+        # splice arbitrary bytes over the Exif payload region
+        return blob.replace(iso.encode_exif_item_payload(b"XX"),
+                            exif_payload[:6].ljust(6, b"\0"))
+
+    def test_exif_payload_mutations(self):
+        from libultrahdr_dev_tpu.container import isobmff as iso
+        rng = __import__("numpy").random.default_rng(0)
+        for n in (0, 1, 3, 4, 5, 64):
+            payload = bytes(rng.integers(0, 256, n, dtype="uint8"))
+            blob = self._tmap_with_exif(payload)
+            try:
+                hp = iso.parse_heif(blob)
+                iso.find_exif(blob, hp, None)
+            except Exception as e:
+                from libultrahdr_dev_tpu.types import UhdrError
+                assert isinstance(e, UhdrError), type(e)
+
+    def test_exif_item_roundtrip_via_parser(self):
+        from libultrahdr_dev_tpu.container import isobmff as iso
+        from libultrahdr_dev_tpu.types import GainMapMetadata
+        exif = b"Exif\x00\x00MM\x00*" + bytes(range(20))
+        base = [iso.OutItem("hvc1", b"\x00" * 64,
+                            [iso.ispe_prop(16, 16)])]
+        gmap = [iso.OutItem("hvc1", b"\x00" * 32,
+                            [iso.ispe_prop(4, 4)])]
+        md = iso.encode_tmap_metadata(GainMapMetadata(
+            max_content_boost=4.0, min_content_boost=1.0))
+        blob = iso.build_tmap_container("heic", base, gmap, md,
+                                        exif=exif)
+        hp = iso.parse_heif(blob)
+        assert iso.find_exif(blob, hp, 1) == exif
+        # cdsc ref points from the Exif item to the base image
+        exif_ids = [i for i, it in hp.items.items()
+                    if it.item_type == "Exif"]
+        assert len(exif_ids) == 1
+        assert hp.refs[("cdsc", exif_ids[0])] == [1]
+
+    def test_grid_payload_variants(self):
+        from libultrahdr_dev_tpu.container import isobmff as iso
+        assert iso.grid_payload(2, 3, 100, 50) == bytes(
+            [0, 0, 1, 2]) + (100).to_bytes(2, "big") + (50).to_bytes(
+                2, "big")
+        big = iso.grid_payload(2, 2, 70000, 50)
+        assert big[1] == 1 and len(big) == 12
