@@ -273,6 +273,15 @@ class Encoder:
 # ---------------------------------------------------------------------------
 
 
+
+
+def _w16(v: int) -> int:
+    """Truncate to int16 exactly like the C (JCOEF) cast in the
+    reference's libjpeg — reachable only on corrupt streams, where
+    jdarith stores the truncated garbage rather than failing."""
+    return ((v + 0x8000) & 0xFFFF) - 0x8000
+
+
 def _dc_decode(dec, stats, ctx, cond):
     """Decode one DC difference (F.2.4.1). `ctx` is the conditioning
     context base (0/4/8/12/16); returns (diff, new_ctx)."""
@@ -372,7 +381,7 @@ def _ac_decode_block(dec, stats, fixed, kx, block, ss=1, se=63, al=0):
             if dec.decode(stats, st):
                 v |= mm
         v += 1
-        block[k] = (-v if sign else v) << al
+        block[k] = _w16((-v if sign else v) << al)
         k += 1
 
 
@@ -486,7 +495,7 @@ def decode_seq_scan(entropy, blocks, comp_ids, dc_sel, ac_sel,
                                       dc_cond[ds])
         last_dc[si] += diff
         row = blocks[b]
-        row[0] = last_dc[si]
+        row[0] = _w16(last_dc[si])
         _ac_decode_block(dec, ac_stats[As], fixed, ac_cond[As], row)
     return blocks
 
@@ -552,7 +561,7 @@ def prog_dc_first(entropy, blocks, comp_ids, dc_sel, dc_cond, al,
         diff, dc_ctx[si] = _dc_decode(dec, dc_stats[ds], dc_ctx[si],
                                       dc_cond[ds])
         last_dc[si] += diff
-        blocks[b, 0] = last_dc[si] << al
+        blocks[b, 0] = _w16(last_dc[si] << al)
     return 0
 
 

@@ -196,7 +196,8 @@ def _interleave_ycbcr(yb, ub, vb, mcus_x: int, mcus_y: int,
 
 def gray_jpeg_headers(w: int, h: int, quality: int,
                       icc: bytes | None = None,
-                      restart_interval: int = 0) -> bytes:
+                      restart_interval: int = 0,
+                      arithmetic: bool = False) -> bytes:
     """All markers up to (and including) SOS for a grayscale image."""
     ql = tables.scale_quant_table(tables.STD_LUMINANCE_QUANT, quality)
     out = bytearray()
@@ -205,11 +206,15 @@ def gray_jpeg_headers(w: int, h: int, quality: int,
     if icc:
         out += _marker(0xE2, icc)
     out += _marker(0xDB, _dqt(0, ql))
-    out += _marker(0xC0, _sof0(w, h, [(1, 1, 1, 0)]))
-    out += _marker(0xC4, _dht(0, 0, tables.DC_LUMA_BITS,
-                              tables.DC_LUMA_VALS))
-    out += _marker(0xC4, _dht(1, 0, tables.AC_LUMA_BITS,
-                              tables.AC_LUMA_VALS))
+    if arithmetic:
+        out += _marker(0xC9, _sof0(w, h, [(1, 1, 1, 0)]))
+        out += _marker(0xCC, bytes([0x00, 0x10, 0x10, 5]))
+    else:
+        out += _marker(0xC0, _sof0(w, h, [(1, 1, 1, 0)]))
+        out += _marker(0xC4, _dht(0, 0, tables.DC_LUMA_BITS,
+                                  tables.DC_LUMA_VALS))
+        out += _marker(0xC4, _dht(1, 0, tables.AC_LUMA_BITS,
+                                  tables.AC_LUMA_VALS))
     if restart_interval:
         out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
     out += _marker(0xDA, _sos([(1, 0, 0)]))
@@ -227,7 +232,8 @@ def yuv420_jpeg_headers(w: int, h: int, quality: int,
 def ycbcr_jpeg_headers(w: int, h: int, quality: int,
                        sampling: tuple[int, int],
                        icc: bytes | None = None,
-                       restart_interval: int = 0) -> bytes:
+                       restart_interval: int = 0,
+                       arithmetic: bool = False) -> bytes:
     """All markers up to (and including) SOS for YCbCr with luma
     sampling factors `sampling` = (h, v) in {(2,2), (2,1), (1,1)}
     (4:2:0 / 4:2:2 / 4:4:4); chroma is always 1x1."""
@@ -241,14 +247,21 @@ def ycbcr_jpeg_headers(w: int, h: int, quality: int,
         out += _marker(0xE2, icc)
     out += _marker(0xDB, _dqt(0, ql))
     out += _marker(0xDB, _dqt(1, qc))
-    out += _marker(0xC0, _sof0(w, h, [(1, hs, vs, 0), (2, 1, 1, 1),
-                                      (3, 1, 1, 1)]))
-    out += _marker(0xC4, _dht(0, 0, tables.DC_LUMA_BITS, tables.DC_LUMA_VALS))
-    out += _marker(0xC4, _dht(1, 0, tables.AC_LUMA_BITS, tables.AC_LUMA_VALS))
-    out += _marker(0xC4, _dht(0, 1, tables.DC_CHROMA_BITS,
-                              tables.DC_CHROMA_VALS))
-    out += _marker(0xC4, _dht(1, 1, tables.AC_CHROMA_BITS,
-                              tables.AC_CHROMA_VALS))
+    sof = _sof0(w, h, [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)])
+    if arithmetic:
+        out += _marker(0xC9, sof)
+        out += _marker(0xCC, bytes([0x00, 0x10, 0x01, 0x10,
+                                    0x10, 5, 0x11, 5]))
+    else:
+        out += _marker(0xC0, sof)
+        out += _marker(0xC4, _dht(0, 0, tables.DC_LUMA_BITS,
+                                  tables.DC_LUMA_VALS))
+        out += _marker(0xC4, _dht(1, 0, tables.AC_LUMA_BITS,
+                                  tables.AC_LUMA_VALS))
+        out += _marker(0xC4, _dht(0, 1, tables.DC_CHROMA_BITS,
+                                  tables.DC_CHROMA_VALS))
+        out += _marker(0xC4, _dht(1, 1, tables.AC_CHROMA_BITS,
+                                  tables.AC_CHROMA_VALS))
     if restart_interval:
         out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
     out += _marker(0xDA, _sos([(1, 0, 0), (2, 1, 1), (3, 1, 1)]))
@@ -257,18 +270,26 @@ def ycbcr_jpeg_headers(w: int, h: int, quality: int,
 
 def assemble_gray_jpeg(yz: np.ndarray, w: int, h: int, quality: int,
                        icc: bytes | None = None,
-                       restart_interval: int = 0) -> bytes:
+                       restart_interval: int = 0,
+                       arithmetic: bool = False) -> bytes:
     """Host stage: marker emission + entropy coding for a grayscale
     image whose zigzag coefficients (for the 8-padded plane) were
     already computed on device."""
     out = bytearray(gray_jpeg_headers(w, h, quality, icc,
-                                      restart_interval))
+                                      restart_interval, arithmetic))
     comp_ids = np.zeros(yz.shape[0], np.uint8)
-    out += entropy_encode(
-        yz, comp_ids, [0], [0],
-        [(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS)],
-        [(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS)],
-        restart_interval, 1)
+    if arithmetic:
+        from . import arith as ar
+        out += ar.encode_seq_scan(
+            np.ascontiguousarray(yz, np.int16), comp_ids, [0], [0],
+            {0: ar.DEFAULT_DC_COND}, {0: ar.DEFAULT_AC_COND},
+            restart_interval, 1)
+    else:
+        out += entropy_encode(
+            yz, comp_ids, [0], [0],
+            [(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS)],
+            [(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS)],
+            restart_interval, 1)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -285,7 +306,8 @@ def assemble_ycbcr_jpeg(yz: np.ndarray, uz: np.ndarray, vz: np.ndarray,
                         w: int, h: int, quality: int,
                         sampling: tuple[int, int] = (2, 2),
                         icc: bytes | None = None,
-                        restart_interval: int = 0) -> bytes:
+                        restart_interval: int = 0,
+                        arithmetic: bool = False) -> bytes:
     """Host stage for YCbCr: MCU interleave + markers + entropy.
     sampling = luma (h, v) factors; yz covers the MCU-aligned luma
     plane, uz/vz the 8-aligned chroma planes at their natural size."""
@@ -302,14 +324,23 @@ def assemble_ycbcr_jpeg(yz: np.ndarray, uz: np.ndarray, vz: np.ndarray,
         hs, vs)
 
     out = bytearray(ycbcr_jpeg_headers(w, h, quality, sampling, icc,
-                                       restart_interval))
-    out += entropy_encode(
-        blocks, comp_ids, [0, 1, 1], [0, 1, 1],
-        [(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS),
-         (tables.DC_CHROMA_BITS, tables.DC_CHROMA_VALS)],
-        [(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS),
-         (tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS)],
-        restart_interval, hs * vs + 2)
+                                       restart_interval, arithmetic))
+    if arithmetic:
+        from . import arith as ar
+        out += ar.encode_seq_scan(
+            np.ascontiguousarray(blocks, np.int16), comp_ids,
+            [0, 1, 1], [0, 1, 1],
+            {0: ar.DEFAULT_DC_COND, 1: ar.DEFAULT_DC_COND},
+            {0: ar.DEFAULT_AC_COND, 1: ar.DEFAULT_AC_COND},
+            restart_interval, hs * vs + 2)
+    else:
+        out += entropy_encode(
+            blocks, comp_ids, [0, 1, 1], [0, 1, 1],
+            [(tables.DC_LUMA_BITS, tables.DC_LUMA_VALS),
+             (tables.DC_CHROMA_BITS, tables.DC_CHROMA_VALS)],
+            [(tables.AC_LUMA_BITS, tables.AC_LUMA_VALS),
+             (tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS)],
+            restart_interval, hs * vs + 2)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -339,7 +370,8 @@ def _infer_sampling(y_shape, u_shape) -> tuple[int, int]:
 
 def encode_jpeg(planes: dict, quality: int, icc: bytes | None = None,
                 restart_interval: int = 0,
-                sampling: tuple[int, int] | None = None) -> bytes:
+                sampling: tuple[int, int] | None = None,
+                arithmetic: bool = False) -> bytes:
     """Encode YCbCr planes {y,u,v} or grayscale {y} to baseline JFIF.
 
     Chroma subsampling is inferred from the chroma planes' shape
@@ -361,7 +393,8 @@ def encode_jpeg(planes: dict, quality: int, icc: bytes | None = None,
     ql = tables.scale_quant_table(tables.STD_LUMINANCE_QUANT, quality)
     if gray:
         yz = _np(fdct_quant(_pad_plane(y, 8), ql))
-        return assemble_gray_jpeg(yz, w, h, quality, icc, restart_interval)
+        return assemble_gray_jpeg(yz, w, h, quality, icc,
+                                  restart_interval, arithmetic)
 
     qc = tables.scale_quant_table(tables.STD_CHROMINANCE_QUANT, quality)
     u = _np(planes["u"])
@@ -384,7 +417,7 @@ def encode_jpeg(planes: dict, quality: int, icc: bytes | None = None,
     uz = _np(fdct_quant(up, qc))
     vz = _np(fdct_quant(vp, qc))
     return assemble_ycbcr_jpeg(yz, uz, vz, w, h, quality, (hs, vs),
-                               icc, restart_interval)
+                               icc, restart_interval, arithmetic)
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +505,7 @@ def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
     w = h = 0
     restart_interval = 0
     progressive = False
+    arith = False
     result = DecodedCoefs(0, 0, 0)
     scan_comps: list[int] = []
 
@@ -504,17 +538,22 @@ def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
             for i in range(nc):
                 cid, samp, qt = p[6 + i * 3], p[7 + i * 3], p[8 + i * 3]
                 comps.append(_Component(cid, samp >> 4, samp & 15, qt))
-        elif seg.marker == 0xC2:  # SOF2 progressive
+        elif seg.marker in (0xC2, 0xC9, 0xCA):
+            # SOF2 progressive Huffman; SOF9/SOF10 sequential/
+            # progressive arithmetic (T.81 Annex D/F/G — the reference
+            # decodes these through libjpeg-turbo's jdarith,
+            # jpegdecoderhelper.cpp:422).
             p = seg.payload
             if len(p) < 6 or len(p) < 6 + p[5] * 3:
-                raise err("UHDR_CODEC_ERROR", "truncated SOF2 header")
+                raise err("UHDR_CODEC_ERROR", "truncated SOF header")
             h = (p[1] << 8) | p[2]
             w = (p[3] << 8) | p[4]
             comps = []
             for i in range(p[5]):
                 cid, samp, qt = p[6 + i * 3], p[7 + i * 3], p[8 + i * 3]
                 comps.append(_Component(cid, samp >> 4, samp & 15, qt))
-            progressive = True
+            progressive = seg.marker in (0xC2, 0xCA)
+            arith = seg.marker in (0xC9, 0xCA)
         elif seg.marker in set(range(0xC3, 0xD0)) - {0xC4, 0xC8, 0xCC}:
             raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
                       f"SOF marker {seg.marker:#x} not supported")
@@ -522,6 +561,8 @@ def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
             restart_interval = int.from_bytes(seg.payload[:2], "big")
         elif seg.marker == 0xDA:  # SOS
             p = seg.payload
+            if len(p) < 1 or len(p) < 1 + p[0] * 2:
+                raise err("UHDR_CODEC_ERROR", "truncated SOS header")
             ns = p[0]
             scan_comps = []
             for i in range(ns):
@@ -543,10 +584,13 @@ def decode_jpeg_coefs(data: bytes) -> DecodedCoefs:
         raise err("UHDR_CODEC_ERROR", "no frame header found")
     if w > MAX_DIM or h > MAX_DIM:
         raise err("UHDR_CODEC_ERROR", f"image too large {w}x{h}")
-    if progressive:
+    if progressive or arith:
+        # Arithmetic files (even single-scan sequential) share the
+        # scan-by-scan orchestration so DAC markers between scans are
+        # honored.
         result.width, result.height = w, h
         return _decode_multiscan(data, result, comps, w, h, qtables,
-                                 progressive=True)
+                                 progressive=progressive, arith=arith)
     if len(scan_comps) != len(comps):
         # Multi-scan baseline (T.81 allows several SOS, each covering a
         # component subset); decode scan-by-scan like progressive.
@@ -649,11 +693,36 @@ def _entropy_end(data: bytes, start: int) -> int:
     return int(real[0]) if real.size else len(data)
 
 
+def _parse_dac(payload: bytes, dc_cond: dict, ac_cond: dict):
+    """DAC marker (T.81 B.2.4.3): per table class/slot one
+    conditioning byte — DC: L = low nibble, U = high nibble
+    (0 <= L <= U <= 15); AC: Kx in [1, 63]."""
+    pos = 0
+    while pos + 1 < len(payload):
+        tc, tb = payload[pos] >> 4, payload[pos] & 15
+        cs = payload[pos + 1]
+        pos += 2
+        if tc > 1 or tb > 3:
+            raise err("UHDR_CODEC_ERROR", "bad DAC header")
+        if tc == 0:
+            low, up = cs & 15, cs >> 4
+            if low > up:
+                raise err("UHDR_CODEC_ERROR",
+                          f"bad DC conditioning L={low} U={up}")
+            dc_cond[tb] = (low, up)
+        else:
+            if not 1 <= cs <= 63:
+                raise err("UHDR_CODEC_ERROR", f"bad AC conditioning {cs}")
+            ac_cond[tb] = cs
+
+
 def _decode_multiscan(data: bytes, result: DecodedCoefs,
                       comps: list, w: int, h: int,
-                      qtables: dict, progressive: bool) -> DecodedCoefs:
-    """Run all scans of a progressive (SOF2) or multi-scan baseline
-    (multiple SOS under SOF0) JPEG into per-component grids."""
+                      qtables: dict, progressive: bool,
+                      arith: bool = False) -> DecodedCoefs:
+    """Run all scans of a progressive (SOF2/SOF10), multi-scan
+    baseline, or arithmetic-coded (SOF9/SOF10) JPEG into
+    per-component grids."""
     lib = _native()
     import ctypes
 
@@ -669,6 +738,8 @@ def _decode_multiscan(data: bytes, result: DecodedCoefs,
 
     dc_tables: dict[int, tuple] = {}
     ac_tables: dict[int, tuple] = {}
+    dc_cond: dict[int, tuple] = {}   # arith DC (L, U) per slot
+    ac_cond: dict[int, int] = {}     # arith AC Kx per slot
     restart = 0
     pos = 2
     n = len(data)
@@ -689,6 +760,8 @@ def _decode_multiscan(data: bytes, result: DecodedCoefs,
         pos += 2 + seg_len
         if marker == 0xC4:  # DHT
             _parse_dht(payload, dc_tables, ac_tables)
+        elif marker == 0xCC:  # DAC (arith conditioning)
+            _parse_dac(payload, dc_cond, ac_cond)
         elif marker == 0xDB:  # DQT may be (re)defined between scans
             p2 = 0
             while p2 < len(payload):
@@ -738,15 +811,17 @@ def _decode_multiscan(data: bytes, result: DecodedCoefs,
             pos = e1
             entropy = np.frombuffer(data, np.uint8,
                                     count=e1 - e0, offset=e0)
+            arith_cond = (dc_cond, ac_cond) if arith else None
             if progressive:
                 _run_scan(lib, entropy, scan, comps, grids, grid_dims,
                           mcus_x, mcus_y, ss, se, ah, al, restart,
-                          dc_tables, ac_tables, w, h, hmax, vmax)
+                          dc_tables, ac_tables, w, h, hmax, vmax,
+                          arith_cond)
             else:
                 _run_baseline_scan(entropy.tobytes(), scan, comps,
                                    grids, mcus_x, mcus_y, restart,
                                    dc_tables, ac_tables, w, h, hmax,
-                                   vmax)
+                                   vmax, arith_cond)
 
     for i, c in enumerate(comps):
         if c.qtbl not in qtables:
@@ -792,7 +867,7 @@ def _scan_order_indices(scan, comps, grid_dims, mcus_x, mcus_y):
 
 def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
               mcus_y, ss, se, ah, al, restart, dc_tables, ac_tables,
-              w, h, hmax, vmax):
+              w, h, hmax, vmax, arith_cond=None):
     import ctypes
 
     u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
@@ -835,7 +910,24 @@ def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
             comp_ids = np.zeros(nblocks, np.uint8)
             mcu_blocks = 1
 
-        if ah == 0:
+        if ah == 0 and arith_cond is not None:
+            from . import arith as ar
+
+            dcd = arith_cond[0]
+            dc_sel = np.zeros(len(comps), np.uint8)
+            for ci, dsel, _ in scan:
+                dc_sel[ci] = dsel
+            cond = {s: dcd.get(s, ar.DEFAULT_DC_COND)
+                    for s in set(int(x) for x in dc_sel)}
+            rc = _wrap_prog(ar.prog_dc_first, entropy.tobytes(), buf,
+                            comp_ids, dc_sel, cond, al, restart,
+                            mcu_blocks)
+        elif ah != 0 and arith_cond is not None:
+            from . import arith as ar
+
+            rc = _wrap_prog(ar.prog_dc_refine, entropy.tobytes(), buf,
+                            al, restart, mcu_blocks)
+        elif ah == 0:
             dcb = np.zeros((4, 17), np.uint8)
             dcv = np.zeros((4, 256), np.uint8)
             dc_sel = np.zeros(len(comps), np.uint8)
@@ -889,6 +981,21 @@ def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
     cw_b = -(-(-(-w * c.h // hmax)) // 8)
     ch_b = -(-(-(-h * c.v // vmax)) // 8)
     sub = np.ascontiguousarray(grids[ci][:ch_b, :cw_b])
+    if arith_cond is not None:
+        from . import arith as ar
+
+        kx = arith_cond[1].get(asel, ar.DEFAULT_AC_COND)
+        fn = ar.prog_ac_first if ah == 0 else ar.prog_ac_refine
+        args = ((entropy.tobytes(), sub.reshape(-1, 64), kx, ss, se,
+                 al, restart) if ah == 0 else
+                (entropy.tobytes(), sub.reshape(-1, 64), ss, se, al,
+                 restart))
+        rc = _wrap_prog(fn, *args)
+        if rc != 0:
+            raise err("UHDR_CODEC_ERROR",
+                      f"progressive AC scan failed {rc}")
+        grids[ci][:ch_b, :cw_b] = sub
+        return
     if asel not in ac_tables:
         raise err("UHDR_CODEC_ERROR", "missing AC table")
     if lib is None:
@@ -910,9 +1017,11 @@ def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
 
 def _run_baseline_scan(entropy: bytes, scan, comps, grids, mcus_x,
                        mcus_y, restart, dc_tables, ac_tables, w, h,
-                       hmax, vmax):
-    """Decode one full-precision baseline scan (one SOS of a multi-scan
-    SOF0 file) into the per-component grids."""
+                       hmax, vmax, arith_cond=None):
+    """Decode one full-precision sequential scan (one SOS of a
+    multi-scan SOF0 file, or any SOF9 arithmetic scan when
+    `arith_cond` carries the (dc, ac) conditioning dicts) into the
+    per-component grids."""
     if len(scan) > 1:
         # Interleaved: the frame's global MCU grid, scan components
         # only (T.81 A.2.3).
@@ -942,10 +1051,25 @@ def _run_baseline_scan(entropy: bytes, scan, comps, grids, mcus_x,
 
     dc_sel = [d for _, d, _ in scan]
     ac_sel = [a for _, _, a in scan]
-    blocks = entropy_decode(
-        entropy, nblocks, comp_ids, dc_sel, ac_sel,
-        table_list(dc_tables, dc_sel), table_list(ac_tables, ac_sel),
-        restart, mcu_blocks)
+    if arith_cond is not None:
+        from . import arith as ar
+
+        dcd, acd = arith_cond
+        blocks = np.zeros((nblocks, 64), np.int16)
+        try:
+            ar.decode_seq_scan(
+                entropy, blocks, comp_ids, dc_sel, ac_sel,
+                {s: dcd.get(s, ar.DEFAULT_DC_COND) for s in dc_sel},
+                {s: acd.get(s, ar.DEFAULT_AC_COND) for s in ac_sel},
+                restart, mcu_blocks)
+        except ar.ArithError as e:
+            raise err("UHDR_CODEC_ERROR",
+                      f"arith decode failed: {e}") from e
+    else:
+        blocks = entropy_decode(
+            entropy, nblocks, comp_ids, dc_sel, ac_sel,
+            table_list(dc_tables, dc_sel), table_list(ac_tables, ac_sel),
+            restart, mcu_blocks)
 
     if len(scan) == 1:
         grids[ci][:ch_b, :cw_b] = blocks.reshape(ch_b, cw_b, 64)

@@ -343,3 +343,161 @@ class TestLibjpegConformance:
                 grid[:, :, 3 + ci, 0:64].reshape(mcus_y, mcus_x,
                                                  64)[:bh_, :bw_],
                 want[ci])
+
+
+class TestCodecIntegration:
+    """decode_jpeg_coefs / encode_jpeg level: SOF9/SOF10 routing, DAC
+    parsing, and the arithmetic encode option."""
+
+    def _planes(self, seed=3, h=48, w=64):
+        rng = np.random.default_rng(seed)
+        return {"y": _synth_gray(w, h, seed),
+                "u": rng.integers(96, 160, (h // 2, w // 2)).astype(
+                    np.uint8),
+                "v": rng.integers(96, 160, (h // 2, w // 2)).astype(
+                    np.uint8)}
+
+    @pytest.mark.parametrize("rst", [0, 2])
+    def test_arith_encode_matches_huffman_coefs(self, rst):
+        from libultrahdr_dev_tpu.jpeg import codec
+        planes = self._planes()
+        a = codec.encode_jpeg(planes, 90, restart_interval=rst,
+                              arithmetic=True)
+        hj = codec.encode_jpeg(planes, 90, restart_interval=rst)
+        ra = codec.decode_jpeg_coefs(a)
+        rh = codec.decode_jpeg_coefs(hj)
+        for (ga, *_), (gh, *_) in zip(ra.comps, rh.comps):
+            assert np.array_equal(ga, gh)
+        # entropy layer should also be denser than Huffman here
+        assert len(a) < len(hj)
+
+    def test_arith_encode_gray(self):
+        from libultrahdr_dev_tpu.jpeg import codec
+        y = _synth_gray(64, 48, seed=9)
+        a = codec.encode_jpeg({"y": y}, 85, arithmetic=True)
+        hj = codec.encode_jpeg({"y": y}, 85)
+        assert np.array_equal(codec.decode_jpeg_coefs(a).comps[0][0],
+                              codec.decode_jpeg_coefs(hj).comps[0][0])
+
+    def test_pil_decodes_our_arith_jpeg(self):
+        import io
+
+        from PIL import Image
+
+        from libultrahdr_dev_tpu.jpeg import codec
+        blob = codec.encode_jpeg(self._planes(), 90, arithmetic=True)
+        im = Image.open(io.BytesIO(blob))
+        im.load()
+        assert im.size == (64, 48)
+
+    def test_full_decode_pixels_close_to_huffman(self):
+        from libultrahdr_dev_tpu.jpeg import codec
+        planes = self._planes(seed=4)
+        a = codec.decode_jpeg(codec.encode_jpeg(planes, 90,
+                                                arithmetic=True))
+        hj = codec.decode_jpeg(codec.encode_jpeg(planes, 90))
+        for pa, ph in zip(a.planes, hj.planes):
+            assert np.array_equal(pa, ph)
+
+    def test_jpegr_decodes_arith_base(self):
+        """API-4 mux with an arithmetic-coded base JPEG must decode
+        through the full JPEG/R path (the reference inherits this from
+        libjpeg's transparent SOF9 support)."""
+        from libultrahdr_dev_tpu.jpeg import codec
+        from libultrahdr_dev_tpu.jpegr import JpegR
+        from libultrahdr_dev_tpu.types import GainMapMetadata
+        planes = self._planes(seed=6)
+        base = codec.encode_jpeg(planes, 92, arithmetic=True)
+        gmap = codec.encode_jpeg(
+            {"y": _synth_gray(16, 12, seed=8)}, 85)
+        md = GainMapMetadata(max_content_boost=4.0,
+                             min_content_boost=1.0,
+                             hdr_capacity_max=4.0)
+        jr = JpegR()
+        blob = jr.encode_api4(base, gmap, md)
+        out = jr.decode(bytes(blob))
+        assert (out.width, out.height) == (64, 48)
+        assert out.image is not None
+
+    @needs_oracle
+    def test_oracle_decodes_codec_arith_output(self, tmp_path):
+        from libultrahdr_dev_tpu.jpeg import codec
+        blob = codec.encode_jpeg(self._planes(seed=5), 88,
+                                 restart_interval=3, arithmetic=True)
+        jp = str(tmp_path / "e.jpg")
+        open(jp, "wb").write(blob)
+        cf = str(tmp_path / "e.coef")
+        subprocess.run([ORACLE, "coef", jp, cf], check=True)
+        want = _read_coefs(cf)
+        got = codec.decode_jpeg_coefs(blob)
+        for ci in range(3):
+            bh, bw = want[ci].shape[:2]
+            assert np.array_equal(got.comps[ci][0][:bh, :bw], want[ci])
+
+    @needs_oracle
+    @pytest.mark.parametrize("prog,rst", [(0, 0), (0, 5), (1, 0),
+                                          (1, 3)])
+    def test_decode_jpeg_coefs_color_conformance(self, prog, rst,
+                                                 tmp_path):
+        from libultrahdr_dev_tpu.jpeg import codec
+        w, h = 80, 64
+        g = _synth_gray(w, h, seed=2)
+        rgb = np.stack([g, np.roll(g, 5, 1), np.roll(g, 9, 0)], -1)
+        rgb.tofile("/tmp/arith_c.raw")
+        jp = str(tmp_path / "c.jpg")
+        subprocess.run([ORACLE, "enc", "/tmp/arith_c.raw", str(w),
+                        str(h), "3", "90", str(prog), str(rst), jp],
+                       check=True)
+        cf = str(tmp_path / "c.coef")
+        subprocess.run([ORACLE, "coef", jp, cf], check=True)
+        want = _read_coefs(cf)
+        res = codec.decode_jpeg_coefs(open(jp, "rb").read())
+        for ci in range(3):
+            bh, bw = want[ci].shape[:2]
+            assert np.array_equal(res.comps[ci][0][:bh, :bw],
+                                  want[ci]), (prog, rst, ci)
+
+
+class TestArithFuzz:
+    def test_mutated_streams_never_crash(self):
+        from libultrahdr_dev_tpu.jpeg import codec
+        from libultrahdr_dev_tpu.types import UhdrError
+        rng = np.random.default_rng(17)
+        y = _synth_gray(48, 32, seed=13)
+        blob = bytearray(codec.encode_jpeg({"y": y}, 80,
+                                           arithmetic=True))
+        for _ in range(120):
+            mut = bytearray(blob)
+            for _ in range(rng.integers(1, 6)):
+                mut[rng.integers(2, len(mut))] = rng.integers(0, 256)
+            try:
+                codec.decode_jpeg_coefs(bytes(mut))
+            except UhdrError:
+                pass
+
+    def test_truncations_never_crash(self):
+        from libultrahdr_dev_tpu.jpeg import codec
+        from libultrahdr_dev_tpu.types import UhdrError
+        y = _synth_gray(48, 32, seed=14)
+        blob = codec.encode_jpeg({"y": y}, 80, restart_interval=2,
+                                 arithmetic=True)
+        for cut in range(2, len(blob), 37):
+            try:
+                codec.decode_jpeg_coefs(blob[:cut])
+            except UhdrError:
+                pass
+
+    def test_bad_dac_rejected(self):
+        from libultrahdr_dev_tpu.jpeg import codec
+        from libultrahdr_dev_tpu.types import UhdrError
+        y = _synth_gray(32, 32, seed=15)
+        blob = bytearray(codec.encode_jpeg({"y": y}, 80,
+                                           arithmetic=True))
+        i = bytes(blob).find(b"\xff\xcc")
+        assert i > 0
+        for payload in (b"\x50\x10", b"\x00\x01", b"\x10\x00",
+                        b"\x10\x40"):
+            mut = bytearray(blob)
+            mut[i + 4: i + 6] = payload[:2]
+            with pytest.raises(UhdrError):
+                codec.decode_jpeg_coefs(bytes(mut))
