@@ -198,7 +198,9 @@ def encode_yuv(planes, depth: int, quality: int,
         ic.colorPrimaries = 9                      # BT.2020
         ic.transferCharacteristics = 18 if transfer == "hlg" else 16
         ic.matrixCoefficients = 9                  # BT.2020 NCL
-        lib.avifImageAllocatePlanes(img, PLANES_YUV)
+        if lib.avifImageAllocatePlanes(img, PLANES_YUV) != 0:
+            raise err("UHDR_CODEC_ERROR",
+                      "avifImageAllocatePlanes failed")
         npdt = np.uint16 if depth > 8 else np.uint8
         for ci, plane in enumerate(planes):
             plane = np.ascontiguousarray(plane, npdt)

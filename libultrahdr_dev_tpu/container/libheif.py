@@ -175,6 +175,17 @@ def decode_primary_depth(data: bytes, monochrome: bool):
     """Like decode_primary but returns (planes, bit_depth); plane
     dtype is u8 for 8-bit content, u16 (values in [0, 2^depth)) for
     deeper content (10-bit HEIC/AVIF primaries)."""
+    planes, depth, _ = decode_primary_full(data, monochrome,
+                                           want_exif=False)
+    return planes, depth
+
+
+def decode_primary_full(data: bytes, monochrome: bool,
+                        want_exif: bool = True):
+    """Decode planes + depth and (optionally) the primary item's Exif
+    block in ONE container parse: returns (planes, depth, exif|None).
+    Callers that need both must use this instead of pairing
+    decode_primary_depth with extract_exif (two full parses)."""
     lib = _require()
     ctx = lib.heif_context_alloc()
     try:
@@ -223,11 +234,14 @@ def decode_primary_depth(data: bytes, monochrome: bool):
 
                 y = plane(CHANNEL_Y, h, w)
                 if monochrome:
-                    return (y,), depth
-                cw, chh = (w + 1) // 2, (h + 1) // 2
-                cb = plane(CHANNEL_CB, chh, cw)
-                cr = plane(CHANNEL_CR, chh, cw)
-                return (y, cb, cr), depth
+                    planes = (y,)
+                else:
+                    cw, chh = (w + 1) // 2, (h + 1) // 2
+                    planes = (y, plane(CHANNEL_CB, chh, cw),
+                              plane(CHANNEL_CR, chh, cw))
+                exif = (_exif_from_handle(lib, handle)
+                        if want_exif else None)
+                return planes, depth, exif
             finally:
                 lib.heif_image_release(img)
         finally:
@@ -236,12 +250,28 @@ def decode_primary_depth(data: bytes, monochrome: bool):
         lib.heif_context_free(ctx)
 
 
+def _exif_from_handle(lib, handle) -> bytes | None:
+    """EXIF payload of an image handle's Exif metadata block, or None.
+    The stored ExifDataBlock starts with a u32 tiff-header offset; the
+    returned bytes are the payload after that field — the same
+    APP1-style blob ("Exif\\0\\0" + TIFF) the JPEG paths carry."""
+    exif_id = ctypes.c_uint32()
+    n = lib.heif_image_handle_get_list_of_metadata_block_IDs(
+        handle, b"Exif", ctypes.byref(exif_id), 1)
+    if n != 1:
+        return None
+    size = lib.heif_image_handle_get_metadata_size(handle, exif_id)
+    if size <= 4:
+        return None
+    buf = (ctypes.c_uint8 * size)()
+    _check(lib.heif_image_handle_get_metadata(
+        handle, exif_id, buf), "get metadata")
+    return bytes(buf)[4:]
+
+
 def extract_exif(data: bytes) -> bytes | None:
     """EXIF payload of the primary image's Exif metadata block, or
-    None (heifr.cpp:324-331, ultrahdr.cpp HEIF addImage). The stored
-    ExifDataBlock starts with a u32 tiff-header offset; the returned
-    bytes are the payload after that field — the same APP1-style blob
-    ("Exif\\0\\0" + TIFF) the JPEG paths carry."""
+    None (heifr.cpp:324-331, ultrahdr.cpp HEIF addImage)."""
     lib = _require()
     ctx = lib.heif_context_alloc()
     try:
@@ -251,19 +281,7 @@ def extract_exif(data: bytes) -> bytes | None:
         _check(lib.heif_context_get_primary_image_handle(
             ctx, ctypes.byref(handle)), "primary handle")
         try:
-            exif_id = ctypes.c_uint32()
-            n = lib.heif_image_handle_get_list_of_metadata_block_IDs(
-                handle, b"Exif", ctypes.byref(exif_id), 1)
-            if n != 1:
-                return None
-            size = lib.heif_image_handle_get_metadata_size(
-                handle, exif_id)
-            if size <= 4:
-                return None
-            buf = (ctypes.c_uint8 * size)()
-            _check(lib.heif_image_handle_get_metadata(
-                handle, exif_id, buf), "get metadata")
-            return bytes(buf)[4:]
+            return _exif_from_handle(lib, handle)
         finally:
             lib.heif_image_handle_release(handle)
     finally:

@@ -385,12 +385,19 @@ def _ac_decode_block(dec, stats, fixed, kx, block, ss=1, se=63, al=0):
         k += 1
 
 
+def _pt(v, al):
+    """Point transform (T.81 G.1.2.1): sign-magnitude shift, NOT an
+    arithmetic shift — e.g. -1 >> 1 must give 0, not -1."""
+    v = int(v)
+    return -((-v) >> al) if v < 0 else v >> al
+
+
 def _ac_encode_block(enc, stats, fixed, kx, block, ss=1, se=63, al=0):
     k = ss
     while True:
         nz = 0
         for j in range(k, se + 1):
-            if block[j] >> al if al else block[j]:
+            if _pt(block[j], al) if al else block[j]:
                 nz = j
                 break
         if nz == 0:
@@ -401,7 +408,7 @@ def _ac_encode_block(enc, stats, fixed, kx, block, ss=1, se=63, al=0):
         for j in range(k, nz):
             enc.encode(stats, 3 * (j - 1) + 1, 0)
         enc.encode(stats, 3 * (nz - 1) + 1, 1)
-        v = int(block[nz]) >> al if al else int(block[nz])
+        v = _pt(block[nz], al) if al else int(block[nz])
         sign = 1 if v < 0 else 0
         enc.encode(fixed, 0, sign)
         sz = (-v if sign else v) - 1
@@ -455,8 +462,47 @@ def _resync(dec):
 
 
 # ---------------------------------------------------------------------------
-# Scan-level drivers, mirroring the Huffman path's interfaces.
+# Scan-level drivers, mirroring the Huffman path's interfaces. Each
+# dispatches to the native port (native/arith.cpp) when available and
+# falls back to the pure-Python models above.
 # ---------------------------------------------------------------------------
+
+_ERR_STREAM = -1000000001
+_ERR_RESTART = -1000000002
+
+
+def _native():
+    from . import native
+    return native.get_lib()
+
+
+def _u8p(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i16p(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+
+def _cond_arrays(dc_sel, ac_sel, dc_cond, ac_cond):
+    """Per-slot conditioning as uint8[4] arrays for the C ABI."""
+    dc_low = np.zeros(4, np.uint8)
+    dc_up = np.ones(4, np.uint8)
+    ac_kx = np.full(4, DEFAULT_AC_COND, np.uint8)
+    for s in set(int(x) for x in dc_sel):
+        low, up = dc_cond.get(s, DEFAULT_DC_COND)
+        dc_low[s & 3], dc_up[s & 3] = low, up
+    for s in set(int(x) for x in ac_sel):
+        ac_kx[s & 3] = ac_cond.get(s, DEFAULT_AC_COND)
+    return dc_low, dc_up, ac_kx
+
+
+def _raise_rc(rc):
+    if rc == _ERR_RESTART:
+        raise ArithError("restart marker missing or out of order")
+    raise ArithError("malformed arithmetic-coded stream")
 
 
 def decode_seq_scan(entropy, blocks, comp_ids, dc_sel, ac_sel,
@@ -465,6 +511,25 @@ def decode_seq_scan(entropy, blocks, comp_ids, dc_sel, ac_sel,
     ((nblocks, 64) int16, zigzag). comp_ids maps each block to its
     scan-component index; dc_sel/ac_sel map scan components to
     conditioning-table slots."""
+    lib = _native()
+    if lib is not None:
+        buf = np.frombuffer(entropy, np.uint8)
+        cids = np.ascontiguousarray(comp_ids, np.uint8)
+        dsel = np.asarray([s & 3 for s in dc_sel], np.uint8)
+        asel = np.asarray([s & 3 for s in ac_sel], np.uint8)
+        dc_low, dc_up, ac_kx = _cond_arrays(dc_sel, ac_sel,
+                                            dc_cond, ac_cond)
+        out = np.ascontiguousarray(blocks)
+        rc = lib.uhdr_arith_decode_seq(
+            _u8p(buf), len(buf), out.shape[0], _u8p(cids),
+            len(dsel), _u8p(dsel), _u8p(asel), _u8p(dc_low),
+            _u8p(dc_up), _u8p(ac_kx), restart, mcu_blocks,
+            _i16p(out))
+        if rc != 0:
+            _raise_rc(rc)
+        if out is not blocks:  # callers rely on in-place mutation
+            blocks[...] = out
+        return blocks
     nblocks = blocks.shape[0]
     ncomp = len(dc_sel)
     dc_stats = {s: bytearray(DC_STAT_BINS) for s in set(dc_sel)}
@@ -504,6 +569,24 @@ def encode_seq_scan(blocks, comp_ids, dc_sel, ac_sel, dc_cond,
                     ac_cond, restart, mcu_blocks) -> bytes:
     """Sequential arithmetic encode of zigzag blocks; emits restart
     markers every `restart` MCUs like the Huffman entropy_encode."""
+    lib = _native()
+    if lib is not None:
+        blk = np.ascontiguousarray(blocks, np.int16)
+        cids = np.ascontiguousarray(comp_ids, np.uint8)
+        dsel = np.asarray([s & 3 for s in dc_sel], np.uint8)
+        asel = np.asarray([s & 3 for s in ac_sel], np.uint8)
+        dc_low, dc_up, ac_kx = _cond_arrays(dc_sel, ac_sel,
+                                            dc_cond, ac_cond)
+        cap = blk.shape[0] * 64 * 6 + 65536
+        out = np.empty(cap, np.uint8)
+        n = lib.uhdr_arith_encode_seq(
+            _i16p(blk), blk.shape[0], _u8p(cids), len(dsel),
+            _u8p(dsel), _u8p(asel), _u8p(dc_low), _u8p(dc_up),
+            _u8p(ac_kx), restart, mcu_blocks, _u8p(out), cap)
+        if n >= 0:
+            return out[:n].tobytes()
+        # overflow / out-of-range: fall through to the unbounded
+        # Python encoder (which raises a precise ArithError instead).
     nblocks = blocks.shape[0]
     ncomp = len(dc_sel)
     out = bytearray()
@@ -538,6 +621,22 @@ def prog_dc_first(entropy, blocks, comp_ids, dc_sel, dc_cond, al,
                   restart, mcu_blocks):
     """Progressive DC first scan (G.2.3: sequential DC model, result
     scaled by 2^Al)."""
+    lib = _native()
+    if lib is not None:
+        buf = np.frombuffer(entropy, np.uint8)
+        cids = np.ascontiguousarray(comp_ids, np.uint8)
+        dsel = np.asarray([s & 3 for s in dc_sel], np.uint8)
+        dc_low, dc_up, _ = _cond_arrays(dc_sel, [], dc_cond, {})
+        out = np.ascontiguousarray(blocks)
+        rc = lib.uhdr_arith_prog_dc_first(
+            _u8p(buf), len(buf), out.shape[0], _u8p(cids), len(dsel),
+            _u8p(dsel), _u8p(dc_low), _u8p(dc_up), al, restart,
+            mcu_blocks, _i16p(out))
+        if rc != 0:
+            _raise_rc(rc)
+        if out is not blocks:
+            blocks[...] = out
+        return 0
     nblocks = blocks.shape[0]
     ncomp = len(dc_sel) if hasattr(dc_sel, "__len__") else 1
     dc_stats = {s: bytearray(DC_STAT_BINS) for s in set(dc_sel)}
@@ -568,6 +667,18 @@ def prog_dc_first(entropy, blocks, comp_ids, dc_sel, dc_cond, al,
 def prog_dc_refine(entropy, blocks, al, restart, mcu_blocks):
     """Progressive DC refinement: one fixed-probability bit per block
     (G.2.3 successive approximation)."""
+    lib = _native()
+    if lib is not None:
+        buf = np.frombuffer(entropy, np.uint8)
+        out = np.ascontiguousarray(blocks)
+        rc = lib.uhdr_arith_prog_dc_refine(
+            _u8p(buf), len(buf), out.shape[0], al, restart,
+            mcu_blocks, _i16p(out))
+        if rc != 0:
+            _raise_rc(rc)
+        if out is not blocks:
+            blocks[...] = out
+        return 0
     nblocks = blocks.shape[0]
     fixed = bytearray([FIXED_STATE])
     dec = Decoder(entropy)
@@ -588,6 +699,18 @@ def prog_dc_refine(entropy, blocks, al, restart, mcu_blocks):
 
 def prog_ac_first(entropy, blocks, ac_cond_kx, ss, se, al, restart):
     """Progressive AC first scan over a single component's blocks."""
+    lib = _native()
+    if lib is not None:
+        buf = np.frombuffer(entropy, np.uint8)
+        out = np.ascontiguousarray(blocks)
+        rc = lib.uhdr_arith_prog_ac_first(
+            _u8p(buf), len(buf), out.shape[0], int(ac_cond_kx), ss,
+            se, al, restart, _i16p(out))
+        if rc != 0:
+            _raise_rc(rc)
+        if out is not blocks:
+            blocks[...] = out
+        return 0
     nblocks = blocks.shape[0]
     ac_stats = bytearray(AC_STAT_BINS)
     fixed = bytearray([FIXED_STATE])
@@ -612,6 +735,18 @@ def prog_ac_refine(entropy, blocks, ss, se, al, restart):
     per block, an EOB decision gates positions beyond the previous
     scan's last nonzero; known-nonzero coefficients take a correction
     bit on the X1 bin; new coefficients appear via S0 + fixed sign."""
+    lib = _native()
+    if lib is not None:
+        buf = np.frombuffer(entropy, np.uint8)
+        out = np.ascontiguousarray(blocks)
+        rc = lib.uhdr_arith_prog_ac_refine(
+            _u8p(buf), len(buf), out.shape[0], ss, se, al, restart,
+            _i16p(out))
+        if rc != 0:
+            _raise_rc(rc)
+        if out is not blocks:
+            blocks[...] = out
+        return 0
     nblocks = blocks.shape[0]
     ac_stats = bytearray(AC_STAT_BINS)
     fixed = bytearray([FIXED_STATE])

@@ -907,7 +907,11 @@ def _run_scan(lib, entropy, scan, comps, grids, grid_dims, mcus_x,
             nblocks = ch_b * cw_b
             buf = np.ascontiguousarray(
                 grids[ci][:ch_b, :cw_b]).reshape(-1, 64)
-            comp_ids = np.zeros(nblocks, np.uint8)
+            # dc_sel below is indexed by FRAME component id, so a
+            # non-interleaved scan must carry its real component index
+            # (a chroma DC scan with comp_ids=0 would decode with the
+            # luma component's table slot / conditioning).
+            comp_ids = np.full(nblocks, ci, np.uint8)
             mcu_blocks = 1
 
         if ah == 0 and arith_cond is not None:

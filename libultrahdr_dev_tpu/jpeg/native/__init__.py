@@ -14,7 +14,8 @@ import subprocess
 import threading
 
 _DIR = os.path.dirname(__file__)
-_SRC = os.path.join(_DIR, "entropy.cpp")
+_SRCS = [os.path.join(_DIR, "entropy.cpp"),
+         os.path.join(_DIR, "arith.cpp")]
 _SO = os.path.join(_DIR, "_entropy.so")
 
 _lock = threading.Lock()
@@ -24,13 +25,13 @@ _tried = False
 
 def _build() -> bool:
     try:
-        src_m = os.path.getmtime(_SRC)
+        src_m = max(os.path.getmtime(s) for s in _SRCS)
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_m:
             return True
         subprocess.run(
             ["g++", "-O3", "-march=native", "-funroll-loops",
              "-std=c++17", "-shared",
-             "-fPIC", _SRC,
+             "-fPIC", *_SRCS,
              "-o", _SO + ".tmp"],
             check=True, capture_output=True)
         os.replace(_SO + ".tmp", _SO)
@@ -80,5 +81,34 @@ def get_lib():
             u8p, ctypes.c_long, ctypes.c_long, u8p, u8p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             i16p]
+        # Arithmetic (QM) codec entry points (arith.cpp).
+        lib.uhdr_arith_decode_seq.restype = ctypes.c_long
+        lib.uhdr_arith_decode_seq.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, u8p, ctypes.c_int,
+            u8p, u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
+            i16p]
+        lib.uhdr_arith_encode_seq.restype = ctypes.c_long
+        lib.uhdr_arith_encode_seq.argtypes = [
+            i16p, ctypes.c_long, u8p, ctypes.c_int,
+            u8p, u8p, u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_long]
+        lib.uhdr_arith_prog_dc_first.restype = ctypes.c_long
+        lib.uhdr_arith_prog_dc_first.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, u8p, ctypes.c_int,
+            u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i16p]
+        lib.uhdr_arith_prog_dc_refine.restype = ctypes.c_long
+        lib.uhdr_arith_prog_dc_refine.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, i16p]
+        lib.uhdr_arith_prog_ac_first.restype = ctypes.c_long
+        lib.uhdr_arith_prog_ac_first.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i16p]
+        lib.uhdr_arith_prog_ac_refine.restype = ctypes.c_long
+        lib.uhdr_arith_prog_ac_refine.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, i16p]
         _lib = lib
         return _lib

@@ -301,25 +301,13 @@ struct FastReader {
   }
 
   inline bool overrun() const { return p > pend + 64; }
-};
 
-inline int fast_decode_huff(FastReader& r, const HuffDecTable& t) {
-  uint32_t look = r.peek(12);
-  uint16_t hit = t.lut12[look];
-  if (__builtin_expect(hit != 0xFFFF, 1)) {
-    r.consume(hit >> 8);
-    return hit & 0xFF;
+  // Exact bits consumed since the last reset: p counts look-ahead
+  // bytes pulled into the register, cnt the bits still unconsumed.
+  inline long consumed_bits(const uint8_t* base) const {
+    return (long)(p - base) * 8 - cnt;
   }
-  int code = (int)r.peek(16);
-  for (int len = 13; len <= 16; ++len) {
-    int c = code >> (16 - len);
-    if (c <= t.maxcode[len]) {
-      r.consume(len);
-      return t.vals[t.valptr[len] + (c - t.mincode[len])];
-    }
-  }
-  return -1;
-}
+};
 
 // Slow-path decode for codes longer than the 12-bit window; does NOT
 // consume — returns the symbol and its length via *len_out so the
@@ -479,6 +467,12 @@ long uhdr_huff_decode(const uint8_t* data, long len, long nblocks,
 
   FastReader r;
   r.reset(flat, flat, flat + flat_len);
+  // A segment's decode must consume no more bits than the segment
+  // holds — the old byte-serial reader errored on reads past the end
+  // of data; the wide reader zero-feeds, so enforce the equivalent
+  // bound explicitly at every segment boundary and at end of scan.
+  const uint8_t* seg_base = flat;
+  long seg_end = nsegs > 1 ? seg_starts[1] : flat_len;
   int pred[4] = {0, 0, 0, 0};
   long mcu_count = 0;
   long rc = 0;
@@ -489,10 +483,18 @@ long uhdr_huff_decode(const uint8_t* data, long len, long nblocks,
     if (mcu_blocks && b % mcu_blocks == 0) {
       if (restart_interval && mcu_count &&
           mcu_count % restart_interval == 0) {
+        {
+          long used = r.consumed_bits(seg_base);
+          long avail = (seg_end - (seg_base - flat)) * 8;
+          // Valid segments leave only the <=7 pad bits unconsumed;
+          // more means garbage decode, less means truncation.
+          if (used > avail || used + 8 <= avail) { rc = -(b + 1); break; }
+        }
         ++seg;
-        const uint8_t* at = seg < nsegs ? flat + seg_starts[seg]
-                                        : flat + flat_len;
-        r.reset(flat, at, flat + flat_len);
+        if (seg >= nsegs) { rc = -(b + 1); break; }  // missing RSTn
+        seg_base = flat + seg_starts[seg];
+        seg_end = seg + 1 < nsegs ? seg_starts[seg + 1] : flat_len;
+        r.reset(flat, seg_base, flat + flat_len);
         pred[0] = pred[1] = pred[2] = pred[3] = 0;
       }
       ++mcu_count;
@@ -556,6 +558,11 @@ long uhdr_huff_decode(const uint8_t* data, long len, long nblocks,
       r.consume(len + s);
       ++k;
     }
+  }
+  if (rc == 0) {
+    long used = r.consumed_bits(seg_base);
+    long avail = (seg_end - (seg_base - flat)) * 8;
+    if (used > avail || used + 8 <= avail) rc = -nblocks;
   }
 done:
   delete[] flat;

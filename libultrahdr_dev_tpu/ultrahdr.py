@@ -170,8 +170,8 @@ class UltraHdr:
         if not lh.available():
             raise err("UHDR_CODEC_UNSUPPORTED_FEATURE",
                       "heif input requires the libheif shared library")
-        planes, depth = lh.decode_primary_depth(data, monochrome=False)
-        heif_exif = lh.extract_exif(data)
+        planes, depth, heif_exif = lh.decode_primary_full(
+            data, monochrome=False)
         if heif_exif is not None:
             self.exif = heif_exif
         y, u, v = planes

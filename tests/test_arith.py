@@ -501,3 +501,90 @@ class TestArithFuzz:
             mut[i + 4: i + 6] = payload[:2]
             with pytest.raises(UhdrError):
                 codec.decode_jpeg_coefs(bytes(mut))
+
+
+class TestNativePythonParity:
+    """The native port (native/arith.cpp) and the pure-Python
+    specification must agree bit-identically: same encoded streams,
+    same decoded coefficients, same acceptance of corrupt input."""
+
+    @pytest.fixture(autouse=True)
+    def _require_native(self):
+        if arith._native() is None:
+            pytest.skip("native arith codec unavailable")
+
+    def _python_only(self, monkeypatch):
+        monkeypatch.setattr(arith, "_native", lambda: None)
+
+    @pytest.mark.parametrize("restart", [0, 2])
+    def test_seq_encode_bitexact(self, restart, monkeypatch):
+        blocks = _rand_blocks(24, seed=21)
+        comp_ids = np.tile(np.array([0, 0, 1, 2], np.uint8), 6)
+        args = (blocks, comp_ids, [0, 1, 1], [0, 1, 1],
+                {0: (0, 1), 1: (1, 2)}, {0: 5, 1: 10}, restart, 4)
+        native_bits = arith.encode_seq_scan(*args)
+        self._python_only(monkeypatch)
+        python_bits = arith.encode_seq_scan(*args)
+        assert native_bits == python_bits
+
+    @pytest.mark.parametrize("restart", [0, 2])
+    def test_seq_decode_bitexact(self, restart, monkeypatch):
+        blocks = _rand_blocks(24, seed=22)
+        comp_ids = np.tile(np.array([0, 0, 1, 2], np.uint8), 6)
+        dc_cond = {0: (0, 1), 1: (2, 3)}
+        ac_cond = {0: 5, 1: 63}
+        bits = arith.encode_seq_scan(blocks, comp_ids, [0, 1, 1],
+                                     [0, 1, 1], dc_cond, ac_cond,
+                                     restart, 4)
+        out_n = np.zeros_like(blocks)
+        arith.decode_seq_scan(bits, out_n, comp_ids, [0, 1, 1],
+                              [0, 1, 1], dc_cond, ac_cond, restart, 4)
+        self._python_only(monkeypatch)
+        out_p = np.zeros_like(blocks)
+        arith.decode_seq_scan(bits, out_p, comp_ids, [0, 1, 1],
+                              [0, 1, 1], dc_cond, ac_cond, restart, 4)
+        np.testing.assert_array_equal(out_n, blocks)
+        np.testing.assert_array_equal(out_n, out_p)
+
+    def test_progressive_decode_bitexact(self, monkeypatch):
+        # Build a progressive arithmetic stream with libjpeg-free
+        # tools: encode DC-first/AC-first/refine scans with the Python
+        # encoder primitives, then decode through both driver paths.
+        from libultrahdr_dev_tpu.jpeg import codec
+        y = _synth_gray(48, 40, seed=23)
+        blob = codec.encode_jpeg({"y": y}, 80, arithmetic=True)
+        ref = codec.decode_jpeg_coefs(blob).comps[0][0]
+        self._python_only(monkeypatch)
+        ref_py = codec.decode_jpeg_coefs(blob).comps[0][0]
+        np.testing.assert_array_equal(np.asarray(ref),
+                                      np.asarray(ref_py))
+
+    def test_corrupt_stream_same_verdict(self, monkeypatch):
+        blocks = _rand_blocks(16, seed=24)
+        comp_ids = np.zeros(16, np.uint8)
+        bits = arith.encode_seq_scan(blocks, comp_ids, [0], [0],
+                                     {0: arith.DEFAULT_DC_COND},
+                                     {0: arith.DEFAULT_AC_COND}, 0, 1)
+        rng = np.random.default_rng(25)
+        for trial in range(40):
+            mut = bytearray(bits)
+            for _ in range(rng.integers(1, 5)):
+                mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+            mut = bytes(mut)
+
+            def run():
+                out = np.zeros_like(blocks)
+                try:
+                    arith.decode_seq_scan(
+                        mut, out, comp_ids, [0], [0],
+                        {0: arith.DEFAULT_DC_COND},
+                        {0: arith.DEFAULT_AC_COND}, 0, 1)
+                    return ("ok", out.tobytes())
+                except arith.ArithError:
+                    return ("err", None)
+
+            native_res = run()
+            with pytest.MonkeyPatch.context() as mp:
+                mp.setattr(arith, "_native", lambda: None)
+                python_res = run()
+            assert native_res == python_res, f"trial {trial}"
