@@ -60,15 +60,21 @@ def synth_p010(h, w, seed=0):
 
 
 def foreign_decode_ms():
-    """Host entropy decode of a foreign (no-restart-marker) 4K JPEG —
-    the path that can't ride the TPU-parallel device decoder and runs
-    the native C++ decoder instead (jpeg/native/entropy.cpp). Pure
-    host work; independent of the link."""
+    """Host-side cost of ingesting a foreign (no-restart-marker) 4K
+    JPEG. Two numbers:
+    - full_ms: complete host entropy decode (jpeg/native/entropy.cpp),
+      the path decode_jpeg_coefs exposes;
+    - scan_ms: the lengths-only scan (uhdr_huff_scan_offsets) that is
+      the ONLY serial host work when the frame rides the TPU-parallel
+      device decoder via synthesized segments
+      (device_decode.scan_foreign_stream) — the decode itself then
+      runs on-device alongside our own RST streams.
+    Pure host work; independent of the link."""
     import io
 
     from PIL import Image
 
-    from libultrahdr_dev_tpu.jpeg import codec
+    from libultrahdr_dev_tpu.jpeg import codec, device_decode as dd
 
     y10, _ = synth_p010(H, W, seed=9)
     img = (y10 >> 8).astype(np.uint8)
@@ -77,12 +83,18 @@ def foreign_decode_ms():
     Image.fromarray(rgb).save(buf, "JPEG", quality=95, subsampling=2)
     blob = buf.getvalue()
     codec.decode_jpeg_coefs(blob)  # warm table/ctypes setup
-    best = float("inf")
+    full = scan = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         codec.decode_jpeg_coefs(blob)
-        best = min(best, (time.perf_counter() - t0) * 1000)
-    return best, len(blob)
+        full = min(full, (time.perf_counter() - t0) * 1000)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ds = dd.parse_device_stream(blob)
+        scan = min(scan, (time.perf_counter() - t0) * 1000)
+    if ds is None or ds.start_bits is None:
+        scan = -1.0  # scan path unavailable (no native lib)
+    return full, scan, len(blob)
 
 
 def main():
@@ -279,7 +291,7 @@ def main():
     np.asarray(d)
     d2h_mbps = 8.0 / max(time.perf_counter() - t0, 1e-9)
 
-    f_ms, f_bytes = foreign_decode_ms()
+    f_ms, f_scan_ms, f_bytes = foreign_decode_ms()
 
     # Roofline context (estimates, not profiler counters): the pixel
     # pipeline is HBM/VPU-bound, not MXU-bound — the only large
@@ -337,6 +349,7 @@ def main():
             "h2d_MBps": round(h2d_mbps, 1),
             "d2h_MBps": round(d2h_mbps, 1),
             "foreign_entropy_decode_ms": round(f_ms, 1),
+            "foreign_scan_to_device_ms": round(f_scan_ms, 1),
             "foreign_jpeg_bytes": f_bytes,
             "roofline_est": roofline,
             "note": "lossless segment-packed transfers both ways "

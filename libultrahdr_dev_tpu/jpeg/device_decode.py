@@ -240,6 +240,84 @@ def split_rst_stream(entropy: bytes, n_chunks: int):
     return out
 
 
+def scan_foreign_stream(entropy: bytes, n_mcus: int, gray: bool,
+                        specs, r_mcus: int):
+    """Synthesize device-decodable segments for a RESTART-LESS
+    baseline stream: a native lengths-only scan (entropy.cpp
+    uhdr_huff_scan_offsets) walks every codeword once and records the
+    exact bit offset of each r_mcus-aligned MCU boundary, so the
+    TPU-parallel decoder can run one lane per boundary (with
+    dc_carry=True fixing up the shared DC-prediction chain on device).
+    This is the single remaining serial host step for foreign JPEGs —
+    the role libjpeg-turbo's entropy decoder plays behind the
+    reference's jpegdecoderhelper.cpp:422, at ~half the work of a full
+    host decode.
+
+    specs: (dc_luma, ac_luma, dc_chroma, ac_chroma) (bits, vals)
+    table definitions (chroma pair None for grayscale).
+    Returns (chunks_u8, start_bits_i32) or None when the scan fails
+    (native codec unavailable, corrupt stream, restart markers).
+    """
+    from . import native, tables as tb
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    if getattr(lib, "uhdr_huff_scan_offsets", None) is None:
+        return None
+    import ctypes
+
+    def u8p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    dcb = np.zeros((4, 17), np.uint8)
+    dcv = np.zeros((4, 256), np.uint8)
+    acb = np.zeros((4, 17), np.uint8)
+    acv = np.zeros((4, 256), np.uint8)
+    dcb[0], dcv[0] = tb.pack_huff_table(*specs[0])
+    acb[0], acv[0] = tb.pack_huff_table(*specs[1])
+    if not gray:
+        dcb[1], dcv[1] = tb.pack_huff_table(*specs[2])
+        acb[1], acv[1] = tb.pack_huff_table(*specs[3])
+    if gray:
+        pattern = np.zeros(1, np.uint8)
+        sel = np.zeros(1, np.uint8)
+    else:
+        pattern = np.array([0, 0, 0, 0, 1, 2], np.uint8)
+        sel = np.array([0, 1, 1], np.uint8)
+    mcu_blocks = len(pattern)
+
+    data = np.frombuffer(entropy, np.uint8)
+    dest = np.empty(data.size + 1024, np.uint8)
+    n_segs = -(-n_mcus // r_mcus)
+    offs = np.zeros(n_segs + 1, np.int64)
+    rc = lib.uhdr_huff_scan_offsets(
+        u8p(data), data.size, n_mcus, u8p(pattern), mcu_blocks,
+        u8p(sel), u8p(sel), u8p(dcb.reshape(-1)), u8p(dcv.reshape(-1)),
+        u8p(acb.reshape(-1)), u8p(acv.reshape(-1)), r_mcus, u8p(dest),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
+    if rc <= 0:
+        return None
+    dlen = int(rc)
+    offs = offs[:n_segs]
+    ends = np.append(offs[1:], dlen * 8)
+    starts_byte = offs // 8
+    start_bits = (offs % 8).astype(np.int32)
+    lens = (ends + 7) // 8 - starts_byte
+    # +8 slack: the nibble window table reads a few bytes of lookahead
+    # past the last consumed bit.
+    L = _bucket_len(int(lens.max()) + 8)
+    if dlen + L >= 2**31:
+        return None
+    padded = np.concatenate([dest[:dlen], np.zeros(L, np.uint8)])
+    idx = (starts_byte.astype(np.int32)[:, None]
+           + np.arange(L, dtype=np.int32)[None, :])
+    # NO per-lane tail masking (unlike split_rst_stream): the stream
+    # is contiguous, so bytes past a lane's boundary are the genuine
+    # continuation its final codewords may legally peek into.
+    return np.take(padded, idx), start_bits
+
+
 # ---------------------------------------------------------------------------
 # Device kernel.
 # ---------------------------------------------------------------------------
@@ -279,7 +357,8 @@ def _signed_extend(extra, nbits):
 
 
 def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
-                      chains=None, min_code_bits: int = 2):
+                      chains=None, min_code_bits: int = 2,
+                      start_bits=None, dc_carry: bool = False):
     """Traceable device decode of restart-interval chunks.
 
     chunks_u8: (NC, L) u8 destuffed interval bytes (zero-padded).
@@ -290,6 +369,13 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
     Annex-K default tables bottom out at 2 bits, but foreign optimized
     tables may carry 1-bit codes — underestimating this truncates
     valid streams mid-decode.
+    start_bits: optional (NC,) i32 per-lane initial bit offset into
+    its chunk window (synthesized segments of a restart-less stream
+    start mid-byte; real RST intervals are byte-aligned, so None).
+    dc_carry: lanes are slices of ONE DC-prediction chain (foreign
+    restart-less stream) rather than prediction-reset intervals; add
+    each lane's carry-in (exclusive prefix over the previous lanes'
+    local DC sums) to its decoded DC coefficients.
     Returns (NC * r_mcus * bpm, 64) i16 MCU-ordered zigzag blocks
     (bpm = 6 for 4:2:0, 1 for grayscale); trailing pad blocks (beyond
     n_mcus) are zero.
@@ -409,11 +495,27 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
         done = done | (nstep >= step_cap)
         return bit, blk, k, dcp, done, out, nstep + 1
 
-    state = (jnp.zeros(nc, jnp.int32), jnp.zeros(nc, jnp.int32),
+    bit0 = (jnp.zeros(nc, jnp.int32) if start_bits is None
+            else start_bits.astype(jnp.int32))
+    state = (bit0, jnp.zeros(nc, jnp.int32),
              jnp.zeros(nc, jnp.int32), jnp.zeros((nc, 3), jnp.int32),
              jnp.zeros(nc, bool), jnp.zeros((nc, cb * 64), jnp.int16),
              jnp.int32(0))
-    out = jax.lax.while_loop(cond, body, state)[5]
+    end = jax.lax.while_loop(cond, body, state)
+    out = end[5]
+    if dc_carry:
+        # Each lane's final dcp (it started from 0) is the sum of its
+        # DC diffs per component; the exclusive prefix across lanes is
+        # each lane's true carry-in. Pad blocks past `target` decoded
+        # nothing, and their (0 + carry) DCs are dropped with the pad.
+        dcp_final = end[3]                               # (NC, 3)
+        carry = jnp.cumsum(dcp_final, axis=0) - dcp_final
+        comp_map = (np.zeros(cb, np.int32) if gray else
+                    np.tile(np.array([0, 0, 0, 0, 1, 2], np.int32),
+                            r_mcus))
+        out = out.reshape(nc, cb, 64)
+        out = out.at[:, :, 0].add(
+            carry[:, comp_map].astype(jnp.int16))
     return out.reshape(nc * r_mcus * bpm, 64)
 
 
@@ -436,13 +538,18 @@ def deinterleave_yuv420_device(blocks, mcus_x: int, mcus_y: int):
 
 
 class DeviceStream:
-    """Host-parsed description of a device-decodable baseline JPEG."""
+    """Host-parsed description of a device-decodable baseline JPEG.
+
+    start_bits is None for real restart-interval streams; for foreign
+    restart-less streams it carries each synthesized lane's initial
+    bit offset, and the decode must run with dc_carry=True."""
 
     __slots__ = ("width", "height", "gray", "restart_interval", "chunks",
                  "qtables", "icc", "exif", "xmp", "mcus_x", "mcus_y",
-                 "tables_key")
+                 "tables_key", "start_bits")
 
     def __init__(self, **kw):
+        self.start_bits = None
         for k, v in kw.items():
             setattr(self, k, v)
 
@@ -537,8 +644,6 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
         mcus_x, mcus_y = -(-w // 16), -(-h // 16)
     else:
         return None
-    if restart <= 0:
-        return None
     if any(c[3] not in qtables for c in comps):
         return None
     # Per-component Huffman selectors -> a table key the kernel cache
@@ -570,32 +675,47 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
     eoi = data.find(b"\xff\xd9", sos_end)
     entropy = data[sos_end:eoi if eoi >= 0 else len(data)]
     n_mcus = mcus_x * mcus_y
-    n_chunks = -(-n_mcus // restart)
-    try:
-        chunks = split_rst_stream(entropy, n_chunks)
-    except ValueError:
-        return None
+    start_bits = None
+    if restart > 0:
+        n_chunks = -(-n_mcus // restart)
+        try:
+            chunks = split_rst_stream(entropy, n_chunks)
+        except ValueError:
+            return None
+    else:
+        # Foreign restart-less stream: a host lengths-only scan
+        # synthesizes one lane per `restart` MCUs (sized for the same
+        # lane count our own encoder's restart intervals give).
+        restart = max(1, -(-n_mcus // 12288))
+        scanned = scan_foreign_stream(entropy, n_mcus, gray, specs,
+                                      restart)
+        if scanned is None:
+            return None
+        chunks, start_bits = scanned
     return DeviceStream(
         width=w, height=h, gray=gray, restart_interval=restart,
         chunks=chunks, qtables=[qtables[c[3]] for c in comps],
         icc=icc, exif=exif, xmp=xmp_b, mcus_x=mcus_x, mcus_y=mcus_y,
-        tables_key=tkey)
+        tables_key=tkey, start_bits=start_bits)
 
 
 @lru_cache(maxsize=None)
 def _decode_to_planes_kernel(nc: int, L: int, r: int, n_mcus: int,
                              mcus_x: int, mcus_y: int, gray: bool,
-                             qkey: bytes, tkey: bytes | None = None):
-    """Jitted chunks -> pixel planes (entropy decode + dequant/IDCT)."""
+                             qkey: bytes, tkey: bytes | None = None,
+                             carry: bool = False):
+    """Jitted chunks -> pixel planes (entropy decode + dequant/IDCT).
+    With carry=True the kernel takes (chunks, start_bits) for foreign
+    synthesized-segment streams."""
     from .dct import dequant_idct
 
     qts = np.frombuffer(qkey, np.int32).reshape(-1, 8, 8)
     chains = chains_from_key(tkey) if tkey else None
     mcb = min_code_len_from_key(tkey)
 
-    @jax.jit
-    def kernel(chunks):
-        blocks = decode_rst_chunks(chunks, r, n_mcus, gray, chains, mcb)
+    def impl(chunks, starts):
+        blocks = decode_rst_chunks(chunks, r, n_mcus, gray, chains, mcb,
+                                   start_bits=starts, dc_carry=carry)
         if gray:
             return (dequant_idct(blocks[: n_mcus], qts[0], mcus_y * 8,
                                  mcus_x * 8),)
@@ -604,6 +724,15 @@ def _decode_to_planes_kernel(nc: int, L: int, r: int, n_mcus: int,
         u = dequant_idct(uz, qts[1], mcus_y * 8, mcus_x * 8)
         v = dequant_idct(vz, qts[2], mcus_y * 8, mcus_x * 8)
         return y, u, v
+
+    if carry:
+        @jax.jit
+        def kernel(chunks, starts):
+            return impl(chunks, starts)
+    else:
+        @jax.jit
+        def kernel(chunks):
+            return impl(chunks, None)
 
     return kernel
 
@@ -616,8 +745,11 @@ def decode_jpeg_device(data: bytes):
     if ds is None:
         return None
     qkey = np.stack(ds.qtables).astype(np.int32).tobytes()
+    carry = ds.start_bits is not None
     kernel = _decode_to_planes_kernel(
         ds.chunks.shape[0], ds.chunks.shape[1], ds.restart_interval,
         ds.mcus_x * ds.mcus_y, ds.mcus_x, ds.mcus_y, ds.gray, qkey,
-        ds.tables_key)
-    return ds, kernel(jnp.asarray(ds.chunks))
+        ds.tables_key, carry)
+    planes = (kernel(jnp.asarray(ds.chunks), jnp.asarray(ds.start_bits))
+              if carry else kernel(jnp.asarray(ds.chunks)))
+    return ds, planes

@@ -81,6 +81,11 @@ def get_lib():
             u8p, ctypes.c_long, ctypes.c_long, u8p, u8p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             i16p]
+        lp = ctypes.POINTER(ctypes.c_long)
+        lib.uhdr_huff_scan_offsets.restype = ctypes.c_long
+        lib.uhdr_huff_scan_offsets.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, u8p, ctypes.c_int,
+            u8p, u8p, u8p, u8p, u8p, u8p, ctypes.c_int, u8p, lp]
         # Arithmetic (QM) codec entry points (arith.cpp).
         lib.uhdr_arith_decode_seq.restype = ctypes.c_long
         lib.uhdr_arith_decode_seq.argtypes = [

@@ -570,6 +570,95 @@ done:
   return rc;
 }
 
+// Lengths-only scan of a restart-less baseline stream: walk every
+// codeword (skipping value bits, storing nothing) and record the bit
+// offset of each r_mcus-aligned MCU boundary in DESTUFFED coordinates.
+// This is the host half of the foreign-JPEG device decode: the
+// offsets synthesize restart-style segments so the TPU-parallel
+// decoder (device_decode.py) can decode any baseline JPEG, with DC
+// carry-ins fixed up on device. Walking lengths is ~2x cheaper than a
+// full decode (no extend/store), and with one host core it is the
+// only serial work left on this path.
+//
+// Outputs: out_destuffed (caller-allocated, len + 1024 bytes),
+// out_bit_offsets[ceil(n_mcus/r_mcus)]. Returns the destuffed length,
+// or a negative error (stream has restart markers / truncated / bad
+// code).
+long uhdr_huff_scan_offsets(const uint8_t* data, long len, long n_mcus,
+                            const uint8_t* pattern, int mcu_blocks,
+                            const uint8_t* dc_sel, const uint8_t* ac_sel,
+                            const uint8_t* dc_bits, const uint8_t* dc_vals,
+                            const uint8_t* ac_bits, const uint8_t* ac_vals,
+                            int r_mcus, uint8_t* out_destuffed,
+                            long* out_bit_offsets) {
+  HuffDecTable dct[4], act[4];
+  for (int i = 0; i < 4; ++i) {
+    build_dec_table(dc_bits + i * 17, dc_vals + i * 256, &dct[i]);
+    build_dec_table(ac_bits + i * 17, ac_vals + i * 256, &act[i]);
+  }
+  long seg_starts[2];
+  long nsegs = 0;
+  long flat_len = destuff(data, len, out_destuffed, seg_starts, 2,
+                          &nsegs);
+  if (nsegs != 1) return -2;  // restart markers present: not this path
+
+  FastReader r;
+  r.reset(out_destuffed, out_destuffed, out_destuffed + flat_len);
+  long nseg_out = 0;
+  for (long m = 0; m < n_mcus; ++m) {
+    if (m % r_mcus == 0)
+      out_bit_offsets[nseg_out++] = r.consumed_bits(out_destuffed);
+    if (r.overrun()) return -1;
+    for (int bi = 0; bi < mcu_blocks; ++bi) {
+      int c = pattern[bi];
+      const HuffDecTable& dt = dct[dc_sel[c]];
+      const HuffDecTable& at = act[ac_sel[c]];
+      r.refill();
+      {
+        uint32_t look = r.peek(12);
+        uint16_t hit = dt.lut12[look];
+        int size, lenb;
+        if (__builtin_expect(hit != 0xFFFF, 1)) {
+          size = hit & 0xFF;
+          lenb = hit >> 8;
+        } else {
+          size = fast_decode_slow(r, dt, &lenb);
+          if (size < 0) return -1;
+        }
+        r.consume(lenb + size);
+      }
+      int k = 1;
+      while (k < 64) {
+        if (r.cnt < 32) r.refill();
+        uint32_t look = r.peek(12);
+        uint16_t hit = at.lut12[look];
+        int sym, lenb;
+        if (__builtin_expect(hit != 0xFFFF, 1)) {
+          sym = hit & 0xFF;
+          lenb = hit >> 8;
+        } else {
+          sym = fast_decode_slow(r, at, &lenb);
+          if (sym < 0) return -1;
+        }
+        int run = sym >> 4, s = sym & 15;
+        if (s == 0) {
+          r.consume(lenb);
+          if (run == 15) { k += 16; continue; }  // ZRL
+          break;                                  // EOB
+        }
+        k += run;
+        if (k > 63) return -1;
+        r.consume(lenb + s);
+        ++k;
+      }
+    }
+  }
+  long used = r.consumed_bits(out_destuffed);
+  long avail = flat_len * 8;
+  if (used > avail || used + 8 <= avail) return -1;
+  return flat_len;
+}
+
 // ---------------------------------------------------------------------------
 // Progressive JPEG scan decoding (T.81 Annex G.2). Each scan refines a
 // persistent coefficient buffer; Python orchestrates the scan sequence

@@ -103,11 +103,19 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
                              gw: int, gh: int, scale: int,
                              use_luts: bool, qkey: bytes,
                              base_tkey: bytes = b"",
-                             gm_tkey: bytes = b""):
+                             gm_tkey: bytes = b"",
+                             base_carry: bool = False,
+                             gm_carry: bool = False):
     """Fully-on-device decode: parallel RST entropy decode of the base
     (and gain map) bitstreams + dequant/IDCT + gain-map apply (or SDR
     conversion), one jit, one ~1.5 MB u8 upload. See
-    jpeg/device_decode.py for the entropy-decode formulation."""
+    jpeg/device_decode.py for the entropy-decode formulation.
+
+    base_carry/gm_carry mark foreign restart-less bitstreams whose
+    lanes were synthesized by the host lengths-only scan; the kernel
+    then takes a third `starts` argument (per-lane initial bit
+    offsets, base lanes then gain-map lanes) and fixes up the shared
+    DC-prediction chain on device."""
     from .jpeg.dct import dequant_idct
     from .jpeg.device_decode import (decode_rst_chunks,
                                      deinterleave_yuv420_device)
@@ -124,13 +132,16 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
     from .jpeg.device_decode import min_code_len_from_key
     base_mcb = min_code_len_from_key(base_tkey or None)
     gm_mcb = min_code_len_from_key(gm_tkey or None)
+    any_carry = base_carry or gm_carry
 
-    @jax.jit
-    def kernel(combined_u8, scalars):
+    def impl(combined_u8, scalars, starts):
         bch = combined_u8[:nb].reshape(base_shape)
+        bstarts = (starts[:base_shape[0]] if base_carry else None)
         blocks = decode_rst_chunks(bch, r_base, n_mcus, gray=False,
                                    chains=base_chains,
-                                   min_code_bits=base_mcb)
+                                   min_code_bits=base_mcb,
+                                   start_bits=bstarts,
+                                   dc_carry=base_carry)
         yz, uz, vz = deinterleave_yuv420_device(blocks, bmx, bmy)
         y8 = dequant_idct(yz, ql, bmy * 16, bmx * 16)[:h, :w]
         u8 = dequant_idct(uz, qc, bmy * 8, bmx * 8)[:(h + 1) // 2,
@@ -140,14 +151,26 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
         if output_format == "sdr":
             return gm.yuv420_to_rgba8888(y8, u8, v8)
         gch = combined_u8[nb:].reshape(gm_shape)
+        gstarts = (starts[base_shape[0]:] if gm_carry else None)
         gblocks = decode_rst_chunks(gch, r_gm, g_mcus, gray=True,
                                     chains=gm_chains,
-                                    min_code_bits=gm_mcb)
+                                    min_code_bits=gm_mcb,
+                                    start_bits=gstarts,
+                                    dc_carry=gm_carry)
         gmap = dequant_idct(gblocks[:g_mcus], qg, gmy * 8,
                             gmx * 8)[:gh, :gw]
         apply_k = gm._apply_kernel(output_format, scale, use_luts)
         return apply_k(y8, u8, v8, gmap, scalars[0], scalars[1],
                        scalars[2], scalars[3])
+
+    if any_carry:
+        @jax.jit
+        def kernel(combined_u8, scalars, starts):
+            return impl(combined_u8, scalars, starts)
+    else:
+        @jax.jit
+        def kernel(combined_u8, scalars):
+            return impl(combined_u8, scalars, None)
 
     return kernel
 
@@ -404,14 +427,26 @@ class JpegR:
                          dsg.qtables[0]]).astype(np.int32).tobytes()
         combined = np.concatenate([ds.chunks.ravel(),
                                    dsg.chunks.ravel()])
+        base_carry = ds.start_bits is not None
+        gm_carry = dsg.start_bits is not None
+        starts = None
+        if base_carry or gm_carry:
+            starts = np.concatenate([
+                ds.start_bits if base_carry
+                else np.zeros(ds.chunks.shape[0], np.int32),
+                dsg.start_bits if gm_carry
+                else np.zeros(dsg.chunks.shape[0], np.int32)])
 
         if output_format == OutputFormat.SDR:
             kernel = _fused_decode_kernel_dev(
                 "sdr", ds.chunks.shape, dsg.chunks.shape,
                 ds.restart_interval, dsg.restart_interval, w, h,
                 ds.mcus_x, ds.mcus_y, dsg.mcus_x, dsg.mcus_y, gw, gh, 1,
-                bool(use_luts), qkey, ds.tables_key, dsg.tables_key)
-            rgba = kernel(combined, np.zeros(4, np.float32))
+                bool(use_luts), qkey, ds.tables_key, dsg.tables_key,
+                base_carry, gm_carry)
+            rgba = (kernel(combined, np.zeros(4, np.float32), starts)
+                    if starts is not None
+                    else kernel(combined, np.zeros(4, np.float32)))
             result.image = RawImage(
                 fmt=PixelFormat.RGBA8888, width=w, height=h,
                 gamut=result.gamut, planes={"rgba": rgba})
@@ -437,12 +472,14 @@ class JpegR:
             output_format.value, ds.chunks.shape, dsg.chunks.shape,
             ds.restart_interval, dsg.restart_interval, w, h,
             ds.mcus_x, ds.mcus_y, dsg.mcus_x, dsg.mcus_y, gw, gh, scale,
-            bool(use_luts), qkey, ds.tables_key, dsg.tables_key)
+            bool(use_luts), qkey, ds.tables_key, dsg.tables_key,
+            base_carry, gm_carry)
         scalars = np.asarray(
             [math.log2(metadata.min_content_boost),
              math.log2(metadata.max_content_boost),
              boost_factor, display_boost], np.float32)
-        out = kernel(combined, scalars)
+        out = (kernel(combined, scalars, starts)
+               if starts is not None else kernel(combined, scalars))
         result._gainmap_parts = ("device", dsg)
         result.image = RawImage(
             fmt=_OUT_PIXEL_FMT[output_format], width=w, height=h,
@@ -593,12 +630,15 @@ class JpegRDecodeResult:
                 dsg = self._gainmap_parts[1]
                 qkey = np.stack([dsg.qtables[0]]).astype(
                     np.int32).tobytes()
+                carry = dsg.start_bits is not None
                 kernel = dd._decode_to_planes_kernel(
                     dsg.chunks.shape[0], dsg.chunks.shape[1],
                     dsg.restart_interval, dsg.mcus_x * dsg.mcus_y,
                     dsg.mcus_x, dsg.mcus_y, True, qkey,
-                    dsg.tables_key)
-                plane = kernel(np.asarray(dsg.chunks))[0]
+                    dsg.tables_key, carry)
+                plane = (kernel(np.asarray(dsg.chunks),
+                                np.asarray(dsg.start_bits))
+                         if carry else kernel(np.asarray(dsg.chunks)))[0]
                 self._gainmap_cache = np.asarray(
                     plane)[:dsg.height, :dsg.width]
             else:

@@ -635,6 +635,11 @@ def _batched_decode_device(blobs, output_format: str,
         if ds is None or ds.gray or dsg is None or not dsg.gray \
                 or dsg.xmp is None:
             return None
+        if ds.start_bits is not None or dsg.start_bits is not None:
+            # Foreign restart-less streams (synthesized segments) are
+            # single-frame only for now; the batched kernel has no
+            # starts plumbing. Fall back to the host batched path.
+            return None
 
     ds0, dsg0 = parsed[0]
 

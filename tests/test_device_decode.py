@@ -67,11 +67,111 @@ def test_full_decode_matches_host_path(blob, fmt):
         assert np.array_equal(res_dev.gainmap, res_host.gainmap)
 
 
-def test_foreign_stream_does_not_qualify():
-    # No restart interval -> host fallback (returns None).
+def test_foreign_stream_qualifies_via_scan():
+    # No restart interval -> the host lengths-only scan synthesizes
+    # segments (start_bits set) instead of falling back.
     gray = np.tile(np.arange(64, dtype=np.uint8), (64, 1))
     jpg = codec.encode_jpeg({"y": gray}, quality=85)
-    assert dd.parse_device_stream(jpg) is None
+    ds = dd.parse_device_stream(jpg)
+    if ds is None:
+        pytest.skip("native scan unavailable")
+    assert ds.start_bits is not None
+
+
+class TestForeignDeviceDecode:
+    """Restart-less (foreign) baseline JPEGs ride the device decoder
+    via the native lengths-only scan: one lane per synthesized segment,
+    start_bits mid-byte offsets, DC carry fixed up on device. Parity
+    oracle is the host decoder (itself PIL/libjpeg cross-validated)."""
+
+    @pytest.fixture(autouse=True)
+    def _require_native(self):
+        from libultrahdr_dev_tpu.jpeg import native
+        if native.get_lib() is None:
+            pytest.skip("native codec unavailable")
+
+    def _foreign_jpeg(self, h, w, seed, gray=False, quality=88):
+        import io
+
+        from PIL import Image
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256,
+                           (h, w) if gray else (h, w, 3), np.uint8)
+        img = ((img.astype(np.float32)
+                + np.roll(img, 1, 0) + np.roll(img, 2, 1)) / 3
+               ).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(img, "L" if gray else None).save(
+            b, "JPEG", quality=quality)
+        blob = b.getvalue()
+        assert not any(bytes([0xFF, 0xD0 + i]) in blob
+                       for i in range(8))
+        return blob
+
+    @pytest.mark.parametrize("h,w,gray", [
+        (256, 384, False), (144, 208, False), (120, 200, True),
+        (104, 88, False),   # odd MCU-count geometry
+    ])
+    def test_bit_exact_vs_host(self, h, w, gray):
+        blob = self._foreign_jpeg(h, w, seed=h + w, gray=gray)
+        res = dd.decode_jpeg_device(blob)
+        assert res is not None
+        ds, planes = res
+        assert ds.start_bits is not None
+        host = codec.decode_jpeg(blob)
+        for p, hp in zip(planes, host.planes):
+            a = np.asarray(p)[: hp.shape[0], : hp.shape[1]]
+            assert np.array_equal(a, hp)
+
+    def test_reference_fixture_jpegr_device_path(self):
+        import os
+        path = "/root/reference/tests/data/sample_jpegr.jpeg"
+        if not os.path.exists(path):
+            pytest.skip("reference fixture unavailable")
+        blob = open(path, "rb").read()
+        primary, gmap = mux.extract_primary_and_gainmap(blob)
+        jr = JpegR()
+        dev = jr._decode_device_path(primary, gmap,
+                                     OutputFormat.HDR_HLG,
+                                     float("inf"), False)
+        assert dev is not None  # foreign streams take the device path
+        orig = JpegR._decode_device_path
+        try:
+            JpegR._decode_device_path = lambda self, *a, **k: None
+            host = jr.decode(blob, OutputFormat.HDR_HLG)
+        finally:
+            JpegR._decode_device_path = orig
+        assert np.array_equal(np.asarray(dev.image.planes["rgba"]),
+                              np.asarray(host.image.planes["rgba"]))
+
+    def test_corrupt_foreign_stream_falls_back(self):
+        blob = bytearray(self._foreign_jpeg(128, 192, seed=3))
+        # chop entropy bytes out of the middle: the scan over-consumes
+        # and fails -> parse returns None -> host decoder raises.
+        cut = len(blob) // 2
+        bad = bytes(blob[:cut - 25] + blob[cut:])
+        assert dd.parse_device_stream(bad) is None
+
+    def test_batched_path_rejects_foreign(self):
+        from libultrahdr_dev_tpu.types import UhdrError
+        blob = self._foreign_jpeg(128, 192, seed=4)
+        # a foreign *primary* inside a JPEG/R batch: device batched
+        # path must return None (host fallback), not mis-decode.
+        import jax as _jax
+        mesh = sharding.default_mesh(_jax.devices()[:1])
+        fake_gm = codec.encode_jpeg(
+            {"y": np.zeros((64, 96), np.uint8)}, 85,
+            restart_interval=2)
+        from libultrahdr_dev_tpu.container import mux as _mux
+        from libultrahdr_dev_tpu.types import GainMapMetadata
+        try:
+            jr_blob = _mux.append_gainmap(blob, fake_gm,
+                                          GainMapMetadata())
+        except (TypeError, UhdrError):
+            pytest.skip("mux signature mismatch for synthetic blob")
+        out = sharding._batched_decode_device(
+            [jr_blob, jr_blob], "hdr_hlg", 5.0, mesh, False)
+        assert out is None
 
 
 def test_batched_decode_device_path(blob):
