@@ -15,7 +15,8 @@ import threading
 
 _DIR = os.path.dirname(__file__)
 _SRCS = [os.path.join(_DIR, "entropy.cpp"),
-         os.path.join(_DIR, "arith.cpp")]
+         os.path.join(_DIR, "arith.cpp"),
+         os.path.join(_DIR, "packio.cpp")]
 _SO = os.path.join(_DIR, "_entropy.so")
 
 _lock = threading.Lock()
@@ -115,5 +116,13 @@ def get_lib():
         lib.uhdr_arith_prog_ac_refine.argtypes = [
             u8p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, i16p]
+        # RCT segment-pack unpack (packio.cpp).
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.uhdr_rctseg_unpack.restype = ctypes.c_long
+        lib.uhdr_rctseg_unpack.argtypes = [
+            u8p, u32p, i64p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, u16p, u32p]
         _lib = lib
         return _lib

@@ -49,11 +49,11 @@ def _words_per_seg(b: int) -> int:
     return -(-L // k)
 
 
-def _pow2_pad(n: int) -> int:
+def _pow2_pad(n: int, floor: int = _POW2_MIN) -> int:
     """Quantize bucket sizes so compiled unpack variants stay few:
     powers of two up to 2048, then multiples of 2048 (bounds padding
     waste at 2047 segments ~ 650 KB in the widest bucket)."""
-    p = _POW2_MIN
+    p = floor
     while p < n and p < 2048:
         p <<= 1
     if n <= p:
@@ -322,3 +322,231 @@ def unpack_plane_host(packed: PackedPlane) -> np.ndarray:
     g = ds.reshape(h // G, G, wp)
     np.cumsum(g, axis=1, out=g)
     return (g.reshape(h, wp) & 1023).astype(np.uint16)[:, :w]
+
+
+# ---------------------------------------------------------------------------
+# RGBA1010102 batch readback: RCT + fine-width segment pack.
+#
+# The decoded-pixel readback is the headline's dominant link cost. The
+# generic {0,2,5,10}/L=256 scheme above barely compresses decoded HDR
+# output (JPEG ringing through the gain-map apply and OETF leaves
+# few-code noise everywhere, and one >31 delta forces 10 bits on 256
+# samples): measured 43.4 of 50 raw MB/frame on bench content. This
+# path fixes both knobs, measured on a real decoded 4K frame:
+#   - reversible channel decorrelation (G, R-G, B-G mod 1024) — the
+#     three 10-bit channels are highly correlated (mean |zigzag delta|
+#     31 -> 4.6 on the difference channels);
+#   - L=64-sample segments with widths {1,2,3,4,5,6,8,10};
+#   -> ~18 MB/frame, near this scheme's floor (order-0 delta entropy
+#      is ~13 MB/frame).
+# It also avoids the gather-index upload entirely (9.4 MB at L=64):
+# pass 2 re-derives the bucket order on device with a deterministic
+# stable sort of (width rank, segment index) keys and slices each
+# bucket at a dynamic offset, so only a 9-word offsets vector crosses
+# h2d. The host builds the identical perm from the width map it
+# already fetched.
+# ---------------------------------------------------------------------------
+
+LF = 64                      # fine-pack samples per segment
+FINE_WIDTHS = (1, 2, 3, 4, 5, 6, 8, 10)
+_IDX_BITS = 22               # segment index field in the sort key
+
+
+def _wps(bw: int, l: int) -> int:
+    return -(-l // (32 // bw))
+
+
+def _rank_of_width():
+    """width code -> bucket rank (0 for the all-zero class)."""
+    return {0: 0, **{bw: i + 1 for i, bw in enumerate(FINE_WIDTHS)}}
+
+
+@lru_cache(maxsize=None)
+def _rct_widths_fn(shape):
+    """Jitted pass 1 for an (n, h, w) u32 RGBA1010102 batch: RCT ->
+    stacked (3nh, wp) plane -> zigzag vertical deltas -> per-LF-segment
+    width codes. Returns (zs (rows, nsegw, LF) u16, bcode u8)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, h, w = shape
+    wp = -(-w // LF) * LF
+    rows = 3 * n * h
+
+    def f(x):
+        xi = x.astype(jnp.int32)
+        r = xi & 1023
+        g = (xi >> 10) & 1023
+        b = (xi >> 20) & 1023
+        big = jnp.concatenate([
+            g.reshape(n * h, w), ((r - g) & 1023).reshape(n * h, w),
+            ((b - g) & 1023).reshape(n * h, w)])
+        if wp != w:
+            big = jnp.pad(big, ((0, 0), (0, wp - w)), mode="edge")
+        prev = jnp.pad(big, ((1, 0), (0, 0)))[:-1]
+        mask = (jnp.arange(rows) % G == 0)[:, None]
+        prev = jnp.where(mask, 0, prev)
+        d = (big - prev) & 1023
+        ds = ((d + 512) & 1023) - 512
+        z = ((ds << 1) ^ (ds >> 31)).astype(jnp.uint16)
+        zs = z.reshape(rows, wp // LF, LF)
+        zmax = zs.max(axis=2).astype(jnp.int32)
+        bc = jnp.zeros(zmax.shape, jnp.uint8)
+        thr = 0
+        for bw in FINE_WIDTHS:
+            bc = jnp.where(zmax > thr, jnp.uint8(bw), bc)
+            thr = (1 << bw) - 1
+        return zs, bc
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _rct_devpack_fn(nseg_total: int, npads: tuple):
+    """Jitted pass 2, keyed only on the (pow2-quantized) bucket
+    paddings: stable-sort segments by (width rank, index), slice each
+    width's run at its dynamic offset, gather + pack to words. Rows
+    past a bucket's true count hold neighboring segments' data; the
+    host perm never references them."""
+    import jax
+    import jax.numpy as jnp
+
+    assert nseg_total < (1 << _IDX_BITS)
+    maxpad = max(npads)
+
+    def f(zs, bc, offs):
+        flat = zs.reshape(-1, LF)
+        rank = bc.reshape(-1).astype(jnp.int32)
+        rank = rank - (rank > 6) - (rank > 8)   # widths 8,10 -> ranks 7,8
+        key = (rank << _IDX_BITS) | jnp.arange(nseg_total,
+                                               dtype=jnp.int32)
+        sidx = jnp.sort(key) & ((1 << _IDX_BITS) - 1)
+        # Static tail pad so dynamic_slice never clamps (which would
+        # shift real rows out of a bucket's window).
+        sidx = jnp.concatenate([sidx, jnp.zeros(maxpad, jnp.int32)])
+        out = []
+        for j, bw in enumerate(FINE_WIDTHS):
+            npad = npads[j]
+            idx = jax.lax.dynamic_slice(sidx, (offs[j],), (npad,))
+            seg = jnp.take(flat, idx, axis=0).astype(jnp.uint32)
+            k = 32 // bw
+            nw = _wps(bw, LF)
+            seg = jnp.pad(seg, ((0, 0), (0, k * nw - LF)))
+            parts = seg.reshape(npad, k, nw)
+            shifts = (jnp.arange(k, dtype=jnp.uint32) * bw)[None, :,
+                                                            None]
+            out.append((parts << shifts).sum(axis=1,
+                                             dtype=jnp.uint32).ravel())
+        return jnp.concatenate(out)
+
+    return jax.jit(f)
+
+
+def fetch_rgba1010102_batch(out_dev, fetch=np.asarray):
+    """Fetch an (n, h, w) device RGBA1010102 batch via the RCT
+    fine-width pack. Returns (host u32 (n, h, w), d2h_bytes) or None
+    when the packed estimate exceeds ~85% of the raw size (caller
+    falls back to a raw fetch). Alpha is re-attached as the packer's
+    constant 0xC0000000."""
+    n, h, w = (int(s) for s in out_dev.shape)
+    if h % G:
+        return None
+    zs, bdev = _rct_widths_fn((n, h, w))(out_dev)
+    bmap = np.asarray(bdev)                      # (rows, nsegw) u8
+    flat_b = bmap.ravel()
+    nseg_total = flat_b.size
+    if nseg_total >= (1 << _IDX_BITS):
+        return None
+    rank_lut = np.zeros(11, np.intp)
+    for bwv, rk in _rank_of_width().items():
+        rank_lut[bwv] = rk
+    counts = np.bincount(rank_lut[flat_b],
+                         minlength=len(FINE_WIDTHS) + 1)
+    # Floor 32 (not 256): 8 fine buckets at the generic floor would
+    # dwarf small images outright; pow2 quantization still bounds the
+    # compiled-variant count.
+    npads = tuple(_pow2_pad(max(int(counts[j + 1]), 1), floor=32)
+                  for j in range(len(FINE_WIDTHS)))
+    est = sum(npads[j] * _wps(bw, LF) * 4
+              for j, bw in enumerate(FINE_WIDTHS)) + nseg_total
+    if est > 0.85 * n * h * w * 4:
+        return None
+    # Bucket start offsets in the sorted order (zeros class first).
+    offs = np.zeros(len(FINE_WIDTHS), np.int32)
+    acc = int(counts[0])
+    for j in range(len(FINE_WIDTHS)):
+        offs[j] = acc
+        acc += int(counts[j + 1])
+    blob = fetch(_rct_devpack_fn(nseg_total, npads)(zs, bdev, offs))
+    d2h_bytes = blob.nbytes + bmap.nbytes
+    out = _host_unpack_rct(blob, bmap, counts, npads, n, h, w)
+    return out, d2h_bytes
+
+
+def _host_unpack_rct(blob, bmap, counts, npads, n, h, w):
+    """Host half of the RCT fine-width pack: native single-pass C++
+    (jpeg/native/packio.cpp) when available, else the vectorized numpy
+    fallback (identical output, ~10x slower on one core)."""
+    from ..jpeg import native
+
+    lib = native.get_lib()
+    if lib is not None and getattr(lib, "uhdr_rctseg_unpack", None):
+        import ctypes
+
+        woffs = np.zeros(len(FINE_WIDTHS), np.int64)
+        acc = 0
+        for j, bw in enumerate(FINE_WIDTHS):
+            woffs[j] = acc
+            acc += npads[j] * _wps(bw, LF)
+        blob = np.ascontiguousarray(blob)
+        scratch = np.empty(n * h * w, np.uint16)
+        out = np.empty((n, h, w), np.uint32)
+        rc = lib.uhdr_rctseg_unpack(
+            bmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            woffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, h, w,
+            scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        if rc == 0:
+            return out
+
+    # Numpy fallback: rebuild perm exactly as the device sort ordered
+    # the buckets (ascending width rank, then segment index). i16
+    # arithmetic throughout (deltas fit: |ds| <= 512, grouped cumsum
+    # <= 32*512) to halve memory traffic on the single host core.
+    flat_b = bmap.ravel()
+    perm = np.zeros(flat_b.size, np.int32)
+    base = 1
+    boff = 0
+    rows_list = [np.zeros((1, LF), np.uint16)]
+    for j, bw in enumerate(FINE_WIDTHS):
+        c = int(counts[j + 1])
+        npad = npads[j]
+        nw = _wps(bw, LF)
+        words = blob[boff:boff + npad * nw].reshape(npad, nw)[:c]
+        boff += npad * nw
+        k = 32 // bw
+        mask = np.uint32((1 << bw) - 1)
+        parts = ((words[None, :, :]
+                  >> (np.arange(k, dtype=np.uint32) * bw)[:, None, None])
+                 & mask).astype(np.uint16)
+        rows_list.append(parts.transpose(1, 0, 2).reshape(
+            c, k * nw)[:, :LF])
+        idx = np.nonzero(flat_b == bw)[0]
+        perm[idx] = base + np.arange(c, dtype=np.int32)
+        base += c
+    allrows = np.concatenate(rows_list, axis=0)
+    wp = -(-w // LF) * LF
+    rows = 3 * n * h
+    z = allrows[perm].reshape(rows, wp).view(np.int16)
+    ds = (z >> 1) ^ -(z & 1)
+    grp = ds.reshape(rows // G, G, wp)
+    np.cumsum(grp, axis=1, out=grp)
+    big = grp.reshape(rows, wp)[:, :w]
+    big &= 1023
+    g = big[:n * h].reshape(n, h, w)
+    r = (big[n * h:2 * n * h].reshape(n, h, w) + g) & 1023
+    b = (big[2 * n * h:].reshape(n, h, w) + g) & 1023
+    return (r.astype(np.uint32) | (g.astype(np.uint32) << 10)
+            | (b.astype(np.uint32) << 20) | np.uint32(0xC0000000))

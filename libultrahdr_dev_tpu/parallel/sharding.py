@@ -138,60 +138,31 @@ def upload_p010_batch(p010_y_batch, p010_uv_batch, stats=None,
     return ydev, uvdev, nbytes
 
 
-@lru_cache(maxsize=None)
-def _extract_1010102_fn(n: int, h: int, w: int):
-    """Jitted channel split of a (n,h,w) RGBA1010102 batch into one
-    tall (3n*h, w) 10-bit plane for the readback pack."""
-
-    @jax.jit
-    def chans(x):
-        r = (x & 0x3FF).astype(jnp.uint16)
-        g = ((x >> 10) & 0x3FF).astype(jnp.uint16)
-        b = ((x >> 20) & 0x3FF).astype(jnp.uint16)
-        return jnp.concatenate([r.reshape(n * h, w),
-                                g.reshape(n * h, w),
-                                b.reshape(n * h, w)])
-
-    return chans
-
-
 def fetch_1010102_packed(out_dev, stats=None):
     """Fetch a device-resident (n,h,w) RGBA1010102 batch to host
-    through the lossless segment pack: ~3-6x fewer bytes than the raw
+    through the lossless RCT + fine-width segment pack
+    (packio.fetch_rgba1010102_batch): ~2.5-3x fewer bytes than the raw
     u32 readback on natural content, two d2h transfers total (width
-    map + fused bucket blob). Alpha is the packer's constant
-    0xC0000000 (ops/color.py pack_rgba1010102)."""
+    map + fused bucket blob) and no index upload. Alpha is the
+    packer's constant 0xC0000000 (ops/color.py pack_rgba1010102)."""
     from . import packio
 
+    res = None
     n, h, w = (int(s) for s in out_dev.shape)
-    if h % 64:
+    if h % packio.G == 0:
+        res = packio.fetch_rgba1010102_batch(out_dev)
+    if res is None:  # incompressible content: raw fetch wins
         arr = np.asarray(out_dev)
         if stats is not None:
             stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + arr.nbytes
             stats["d2h_pack"] = "raw"
         return arr
-    big = _extract_1010102_fn(n, h, w)(out_dev)
-    packed = packio.pack_plane_device(
-        big, max_bytes=int(0.85 * n * h * w * 4))
-    if packed is None:  # incompressible content: raw fetch wins
-        arr = np.asarray(out_dev)
-        if stats is not None:
-            stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + arr.nbytes
-            stats["d2h_pack"] = "raw"
-        return arr
-    planes = packio.unpack_plane_host(packed).reshape(3, n, h, w)
-    out = (planes[0].astype(np.uint32)
-           | (planes[1].astype(np.uint32) << 10)
-           | (planes[2].astype(np.uint32) << 20)
-           | np.uint32(0xC0000000))
+    out, d2h_bytes = res
     if stats is not None:
         # What crossed the link: the fused bucket blob + the pass-1
         # width map (the perm stays host-side).
-        wp = -(-w // packio.L) * packio.L
-        widths_bytes = 3 * n * h * (wp // packio.L)
-        stats["d2h_bytes"] = stats.get("d2h_bytes", 0) \
-            + packed.nbytes() - packed.perm.nbytes + widths_bytes
-        stats["d2h_pack"] = "seg"
+        stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + d2h_bytes
+        stats["d2h_pack"] = "rct-seg"
     return out
 
 
@@ -635,22 +606,19 @@ def _batched_decode_device(blobs, output_format: str,
         if ds is None or ds.gray or dsg is None or not dsg.gray \
                 or dsg.xmp is None:
             return None
-        if ds.start_bits is not None or dsg.start_bits is not None:
-            # Foreign restart-less streams (synthesized segments) are
-            # single-frame only for now; the batched kernel has no
-            # starts plumbing. Fall back to the host batched path.
-            return None
 
     ds0, dsg0 = parsed[0]
 
     def sig(ds, dsg):
         # One compiled kernel serves the batch, so everything baked
-        # into it (geometry AND quant/Huffman tables) must match; a
-        # mixed-quality batch falls back rather than silently
+        # into it (geometry AND quant/Huffman tables, and whether each
+        # stream is a real-RST or a synthesized restart-less one) must
+        # match; a mixed-quality batch falls back rather than silently
         # dequantizing frames 1..N-1 with frame 0's tables.
         return (ds.width, ds.height, ds.chunks.shape[0],
                 dsg.chunks.shape[0], ds.restart_interval,
                 dsg.restart_interval, ds.tables_key, dsg.tables_key,
+                ds.start_bits is not None, dsg.start_bits is not None,
                 tuple(np.asarray(q).tobytes() for q in ds.qtables),
                 np.asarray(dsg.qtables[0]).tobytes())
 
@@ -675,12 +643,14 @@ def _batched_decode_device(blobs, output_format: str,
     gw, gh = dsg0.width, dsg0.height
     qkey = np.stack([ds0.qtables[0], ds0.qtables[1],
                      dsg0.qtables[0]]).astype(np.int32).tobytes()
+    base_carry = ds0.start_bits is not None
+    gm_carry = dsg0.start_bits is not None
     batch_kernel = _batched_decode_kernel_dev(
         mesh, output_format, (ds0.chunks.shape[0], Lb),
         (dsg0.chunks.shape[0], Lg), ds0.restart_interval,
         dsg0.restart_interval, w, h, ds0.mcus_x, ds0.mcus_y,
         dsg0.mcus_x, dsg0.mcus_y, gw, gh, w // gw, bool(use_luts), qkey,
-        ds0.tables_key, dsg0.tables_key)
+        ds0.tables_key, dsg0.tables_key, base_carry, gm_carry)
 
     # Gain-map metadata is per-frame (frames may differ in content
     # boost even at identical geometry/tables).
@@ -689,9 +659,24 @@ def _batched_decode_device(blobs, output_format: str,
                         max_display_boost)
         for _, dsg in parsed])
 
+    starts = None
+    if base_carry or gm_carry:
+        # Per-frame lane start-bit offsets (base lanes then gain-map
+        # lanes), zeros for whichever side is a real-RST stream.
+        starts = np.stack([
+            np.concatenate([
+                ds.start_bits if base_carry
+                else np.zeros(ds.chunks.shape[0], np.int32),
+                dsg.start_bits if gm_carry
+                else np.zeros(dsg.chunks.shape[0], np.int32)])
+            for ds, dsg in parsed])
+
     if stats is not None:
         stats["h2d_bytes"] = stats.get("h2d_bytes", 0) \
-            + combined.nbytes + scalars.nbytes
+            + combined.nbytes + scalars.nbytes \
+            + (starts.nbytes if starts is not None else 0)
+    if starts is not None:
+        return batch_kernel(combined, scalars, starts)
     return batch_kernel(combined, scalars)
 
 
@@ -702,22 +687,34 @@ def _batched_decode_kernel_dev(mesh: Mesh, output_format: str,
                                bmy: int, gmx: int, gmy: int, gw: int,
                                gh: int, scale: int, use_luts: bool,
                                qkey: bytes, base_tkey: bytes,
-                               gm_tkey: bytes):
+                               gm_tkey: bytes, base_carry: bool = False,
+                               gm_carry: bool = False):
     """Cached vmapped+sharded wrapper of the fused device decode
     kernel. MUST be cached: a fresh jax.jit object per batched_decode
     call would re-trace and re-compile the whole batch graph on every
-    invocation (~30 s over the chip relay)."""
+    invocation (~30 s over the chip relay).
+
+    base_carry/gm_carry: the batch's streams are foreign restart-less
+    bitstreams with synthesized lanes; the kernel then takes a third
+    per-frame `starts` argument (see _fused_decode_kernel_dev)."""
     from ..jpegr import _fused_decode_kernel_dev
 
     kernel = _fused_decode_kernel_dev(
         output_format, base_shape, gm_shape, r_base, r_gm, w, h, bmx,
         bmy, gmx, gmy, gw, gh, scale, use_luts, qkey, base_tkey,
-        gm_tkey)
+        gm_tkey, base_carry, gm_carry)
     spec = _batch_sharding(mesh)
 
-    @partial(jax.jit, in_shardings=(spec, spec), out_shardings=spec)
-    def batch_kernel(combined_batch, sc):
-        return jax.vmap(kernel)(combined_batch, sc)
+    if base_carry or gm_carry:
+        @partial(jax.jit, in_shardings=(spec, spec, spec),
+                 out_shardings=spec)
+        def batch_kernel(combined_batch, sc, starts):
+            return jax.vmap(kernel)(combined_batch, sc, starts)
+    else:
+        @partial(jax.jit, in_shardings=(spec, spec),
+                 out_shardings=spec)
+        def batch_kernel(combined_batch, sc):
+            return jax.vmap(kernel)(combined_batch, sc)
 
     return batch_kernel
 

@@ -152,26 +152,42 @@ class TestForeignDeviceDecode:
         bad = bytes(blob[:cut - 25] + blob[cut:])
         assert dd.parse_device_stream(bad) is None
 
-    def test_batched_path_rejects_foreign(self):
-        from libultrahdr_dev_tpu.types import UhdrError
-        blob = self._foreign_jpeg(128, 192, seed=4)
-        # a foreign *primary* inside a JPEG/R batch: device batched
-        # path must return None (host fallback), not mis-decode.
+    def test_batched_foreign_device_decode(self):
+        # Foreign restart-less JPEG/R frames now ride the batched
+        # device path too: per-frame start_bits stack into the third
+        # kernel argument and each frame's DC carry is fixed up
+        # independently. Parity oracle: the (host-validated)
+        # single-frame decode of each blob.
         import jax as _jax
-        mesh = sharding.default_mesh(_jax.devices()[:1])
-        fake_gm = codec.encode_jpeg(
-            {"y": np.zeros((64, 96), np.uint8)}, 85,
-            restart_interval=2)
+
         from libultrahdr_dev_tpu.container import mux as _mux
         from libultrahdr_dev_tpu.types import GainMapMetadata
-        try:
-            jr_blob = _mux.append_gainmap(blob, fake_gm,
-                                          GainMapMetadata())
-        except (TypeError, UhdrError):
-            pytest.skip("mux signature mismatch for synthetic blob")
-        out = sharding._batched_decode_device(
-            [jr_blob, jr_blob], "hdr_hlg", 5.0, mesh, False)
-        assert out is None
+        mesh = sharding.default_mesh(_jax.devices()[:1])
+        blobs = []
+        for seed in (4, 5):
+            base = self._foreign_jpeg(128, 192, seed=seed)
+            gm = self._foreign_jpeg(32, 48, seed=seed + 10, gray=True)
+            blobs.append(_mux.append_gainmap(base, gm,
+                                             GainMapMetadata()))
+        out = sharding._batched_decode_device(blobs, "hdr_hlg", 5.0,
+                                              mesh, False)
+        if out is None:
+            pytest.skip("native scan unavailable")
+        jr = JpegR()
+        for i, b in enumerate(blobs):
+            ref = jr.decode(b, OutputFormat.HDR_HLG,
+                            max_display_boost=5.0)
+            a = np.asarray(out[i])
+            r = np.asarray(ref.image.planes["rgba"])
+            # Same rounding tolerance as test_batched_decode_device_path
+            # (vmapped vs single compilations may fuse floats
+            # differently).
+            for shift in (0, 10, 20):
+                ca = (a >> shift) & 0x3FF
+                cr = (r >> shift) & 0x3FF
+                diff = np.abs(ca.astype(int) - cr.astype(int))
+                assert diff.max() <= 1
+                assert np.mean(diff != 0) < 1e-3
 
 
 def test_batched_decode_device_path(blob):

@@ -105,3 +105,75 @@ class TestTransferPaths:
         packed = sharding.fetch_1010102_packed(out, stats)
         np.testing.assert_array_equal(packed, np.asarray(out))
         assert stats["d2h_bytes"] > 0
+
+
+class TestRctBatchFetch:
+    """RCT + fine-width readback pack (packio.fetch_rgba1010102_batch):
+    exact u32 reconstruction incl. the channel decorrelation inverse
+    and the device-side sorted-bucket layout."""
+
+    def _rgba(self, n, h, w, seed=0, noise=0):
+        rng = np.random.default_rng(seed)
+        r = smooth_plane(h, w, seed).astype(np.uint32)
+        g = smooth_plane(h, w, seed + 1).astype(np.uint32)
+        b = smooth_plane(h, w, seed + 2).astype(np.uint32)
+        if noise:
+            r = (r + rng.integers(0, noise, r.shape,
+                                  dtype=np.uint32)) & 1023
+            g = (g + rng.integers(0, noise, g.shape,
+                                  dtype=np.uint32)) & 1023
+            b = (b + rng.integers(0, noise, b.shape,
+                                  dtype=np.uint32)) & 1023
+        one = r | (g << 10) | (b << 20) | np.uint32(0xC0000000)
+        return np.stack([np.roll(one, i, axis=0) for i in range(n)])
+
+    @pytest.mark.parametrize("n,h,w,noise", [
+        (1, 64, 256, 0),      # wide zero/low-width buckets
+        (2, 160, 328, 7),     # non-multiple-of-64 width (edge pad)
+        (1, 64, 64, 900),     # heavy deltas: top widths exercised
+    ])
+    def test_roundtrip_exact(self, n, h, w, noise):
+        import jax
+        rgba = self._rgba(n, h, w, seed=h + w, noise=noise)
+        res = packio.fetch_rgba1010102_batch(jax.device_put(rgba))
+        if res is None:
+            pytest.skip("content fell back to raw (allowed)")
+        out, nbytes = res
+        np.testing.assert_array_equal(out, rgba)
+        assert nbytes > 0
+
+    def test_correlated_channels_compress(self):
+        import jax
+        # channels = same plane +- small offsets: RCT should make the
+        # difference channels nearly free.
+        base = smooth_plane(256, 512, seed=3).astype(np.uint32)
+        rgba = ((base & 1023) | (((base + 2) & 1023) << 10)
+                | (((base + 5) & 1023) << 20) | np.uint32(0xC0000000))
+        rgba = rgba[None]
+        out, nbytes = packio.fetch_rgba1010102_batch(
+            jax.device_put(rgba))
+        np.testing.assert_array_equal(out, rgba)
+        assert nbytes < 0.25 * rgba.nbytes
+
+    def test_incompressible_returns_none(self):
+        import jax
+        rng = np.random.default_rng(0)
+        rgba = rng.integers(0, 2**32, (1, 64, 256), np.uint64).astype(
+            np.uint32) | np.uint32(0xC0000000)
+        assert packio.fetch_rgba1010102_batch(
+            jax.device_put(rgba)) is None
+
+    def test_native_and_numpy_unpack_agree(self, monkeypatch):
+        import jax
+
+        from libultrahdr_dev_tpu.jpeg import native
+        if native.get_lib() is None:
+            pytest.skip("native codec unavailable")
+        rgba = self._rgba(2, 160, 328, seed=11, noise=5)
+        res = packio.fetch_rgba1010102_batch(jax.device_put(rgba))
+        assert res is not None
+        monkeypatch.setattr(native, "get_lib", lambda: None)
+        res2 = packio.fetch_rgba1010102_batch(jax.device_put(rgba))
+        np.testing.assert_array_equal(res[0], res2[0])
+        assert res[1] == res2[1]
+        np.testing.assert_array_equal(res[0], rgba)
