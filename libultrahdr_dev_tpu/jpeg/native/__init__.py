@@ -124,5 +124,12 @@ def get_lib():
         lib.uhdr_rctseg_unpack.argtypes = [
             u8p, u32p, i64p, ctypes.c_long, ctypes.c_long,
             ctypes.c_long, u16p, u32p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.uhdr_seg_widths.restype = ctypes.c_long
+        lib.uhdr_seg_widths.argtypes = [
+            u16p, ctypes.c_long, ctypes.c_long, u8p, i64p]
+        lib.uhdr_seg_fill.restype = ctypes.c_long
+        lib.uhdr_seg_fill.argtypes = [
+            u16p, ctypes.c_long, ctypes.c_long, u8p, i64p, u32p, i32p]
         _lib = lib
         return _lib

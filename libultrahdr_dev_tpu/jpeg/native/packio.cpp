@@ -108,3 +108,120 @@ long uhdr_rctseg_unpack(const uint8_t* bmap, const uint32_t* blob,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Forward (upload) direction: host pack of a 10-bit plane into the
+// generic {0,2,5,10}/L=256 bucket blob that packio._unpack_fn expands
+// on device. Replaces the multi-pass numpy pack_plane_host hot path
+// (~7 s for a 4-frame 4K P010 batch on this core) with one counting
+// sweep + one filling sweep (~0.4 s).
+//
+// Layout contract (must match packio.pack_plane_host/_unpack_fn):
+//   L = 256 samples/segment, G = 32 rows/group, widths {2,5,10};
+//   blob = [bucket2 words][bucket5][bucket10][perm i32], buckets
+//   pow2-padded by the CALLER-provided npads; perm[seg] = 0 for
+//   all-zero segments else 1-based row in width order.
+
+namespace {
+constexpr int kGenWidths[3] = {2, 5, 10};
+constexpr int LGEN = 256;
+
+inline int gen_words_per_seg(int bw) {
+  int k = 32 / bw;
+  return (LGEN + k - 1) / k;
+}
+}  // namespace
+
+extern "C" {
+
+// Pass 1: per-segment width codes (0/2/5/10) into bmap, and bucket
+// counts into counts[3]. arr is (h, w) u16 10-bit values; w need not
+// be a multiple of LGEN (the tail is edge-padded virtually).
+long uhdr_seg_widths(const uint16_t* arr, int64_t h, int64_t w,
+                     uint8_t* bmap, int64_t* counts) {
+  if (h % GROUP != 0 || h <= 0 || w <= 0) return -1;
+  const int64_t nsegw = (w + LGEN - 1) / LGEN;
+  counts[0] = counts[1] = counts[2] = 0;
+  for (int64_t r = 0; r < h; ++r) {
+    const uint16_t* row = arr + r * w;
+    const uint16_t* prev = (r % GROUP == 0) ? nullptr : row - w;
+    for (int64_t s = 0; s < nsegw; ++s) {
+      const int64_t x0 = s * LGEN;
+      const int64_t x1 = (x0 + LGEN < w) ? x0 + LGEN : w;
+      uint32_t mx = 0;
+      for (int64_t x = x0; x < x1; ++x) {
+        const int32_t p = prev ? prev[x] : 0;
+        const int32_t d = ((row[x] - p) & 1023);
+        const int32_t ds = ((d + 512) & 1023) - 512;
+        const uint32_t z = (uint32_t)((ds << 1) ^ (ds >> 31));
+        if (z > mx) mx = z;
+      }
+      // virtual edge padding: repeated last column -> delta equals the
+      // last real column's delta, already covered by mx.
+      uint8_t bw = 0;
+      if (mx > 31) bw = 10;
+      else if (mx > 3) bw = 5;
+      else if (mx > 0) bw = 2;
+      bmap[r * nsegw + s] = bw;
+      if (bw == 2) ++counts[0];
+      else if (bw == 5) ++counts[1];
+      else if (bw == 10) ++counts[2];
+    }
+  }
+  return 0;
+}
+
+// Pass 2: fill the fused blob (buckets + perm). npads are the pow2-
+// padded bucket sizes the caller computed from counts; the padded
+// rows are zero. blob must be zero-initialized by the caller.
+long uhdr_seg_fill(const uint16_t* arr, int64_t h, int64_t w,
+                   const uint8_t* bmap, const int64_t* npads,
+                   uint32_t* blob, int32_t* perm) {
+  if (h % GROUP != 0 || h <= 0 || w <= 0) return -1;
+  const int64_t nsegw = (w + LGEN - 1) / LGEN;
+  int64_t bucket_off[3];
+  bucket_off[0] = 0;
+  bucket_off[1] = bucket_off[0] + npads[0] * gen_words_per_seg(2);
+  bucket_off[2] = bucket_off[1] + npads[1] * gen_words_per_seg(5);
+  int64_t fill[3] = {0, 0, 0};
+  int64_t perm_base[3];
+  perm_base[0] = 1;
+  perm_base[1] = perm_base[0] + npads[0];
+  perm_base[2] = perm_base[1] + npads[1];
+  uint16_t seg[LGEN];
+  for (int64_t r = 0; r < h; ++r) {
+    const uint16_t* row = arr + r * w;
+    const uint16_t* prev = (r % GROUP == 0) ? nullptr : row - w;
+    for (int64_t s = 0; s < nsegw; ++s) {
+      const uint8_t bw = bmap[r * nsegw + s];
+      if (bw == 0) { perm[r * nsegw + s] = 0; continue; }
+      const int j = (bw == 2) ? 0 : (bw == 5) ? 1 : 2;
+      const int64_t x0 = s * LGEN;
+      const int64_t x1 = (x0 + LGEN < w) ? x0 + LGEN : w;
+      int64_t i = 0;
+      for (int64_t x = x0; x < x1; ++x, ++i) {
+        const int32_t p = prev ? prev[x] : 0;
+        const int32_t d = ((row[x] - p) & 1023);
+        const int32_t ds = ((d + 512) & 1023) - 512;
+        seg[i] = (uint16_t)((ds << 1) ^ (ds >> 31));
+      }
+      for (; i < LGEN; ++i) seg[i] = seg[x1 - x0 - 1 >= 0 ? x1 - x0 - 1 : 0];
+      const int nw = gen_words_per_seg(bw);
+      const int k = 32 / bw;
+      uint32_t* words = blob + bucket_off[j] + fill[j] * nw;
+      for (int wi = 0; wi < nw; ++wi) {
+        uint32_t acc = 0;
+        for (int slot = 0; slot < k; ++slot) {
+          const int64_t idx = (int64_t)slot * nw + wi;
+          if (idx < LGEN) acc |= (uint32_t)seg[idx] << (slot * bw);
+        }
+        words[wi] = acc;
+      }
+      perm[r * nsegw + s] = (int32_t)(perm_base[j] + fill[j]);
+      ++fill[j];
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -107,10 +107,16 @@ def _blob_offsets(plan):
 
 def pack_plane_host(arr: np.ndarray) -> PackedPlane:
     """Pack a (H, W) array of 10-bit values (u16). H must be a
-    multiple of G (pad beforehand if not); W is padded internally."""
+    multiple of G (pad beforehand if not); W is padded internally.
+    Uses the single-pass native packer (jpeg/native/packio.cpp) when
+    available — the numpy path below costs ~7 s for a 4-frame 4K P010
+    batch on one core; bit-identical output either way."""
     h, w = arr.shape
     if h % G:
         raise ValueError(f"H={h} not a multiple of {G}")
+    native_packed = _pack_plane_native(arr, h, w)
+    if native_packed is not None:
+        return native_packed
     wp = -(-w // L) * L
     if wp != w:
         arr = np.pad(arr, ((0, 0), (0, wp - w)), mode="edge")
@@ -143,6 +149,52 @@ def pack_plane_host(arr: np.ndarray) -> PackedPlane:
         base += npad
     plan = (h, w, wp, buckets[2].shape[0], buckets[5].shape[0],
             buckets[10].shape[0])
+    return PackedPlane(plan, buckets, perm)
+
+
+def _pack_plane_native(arr: np.ndarray, h: int, w: int):
+    """Native two-sweep pack (uhdr_seg_widths + uhdr_seg_fill);
+    returns a PackedPlane bit-identical to the numpy path, or None
+    when the native library is unavailable."""
+    from ..jpeg import native
+
+    lib = native.get_lib()
+    if lib is None or getattr(lib, "uhdr_seg_widths", None) is None:
+        return None
+    import ctypes
+
+    a = np.ascontiguousarray(arr, dtype=np.uint16)
+    nsegw = -(-w // L)
+    bmap = np.empty(h * nsegw, np.uint8)
+    counts = np.zeros(3, np.int64)
+    u16p = a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+    if lib.uhdr_seg_widths(
+            u16p, h, w,
+            bmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))) != 0:
+        return None
+    npads = np.asarray([_pow2_pad(max(int(c), 1)) for c in counts],
+                       np.int64)
+    nwords = sum(int(npads[j]) * _words_per_seg(bw)
+                 for j, bw in enumerate(WIDTHS))
+    blob = np.zeros(nwords, np.uint32)
+    perm = np.zeros(h * nsegw, np.int32)
+    if lib.uhdr_seg_fill(
+            u16p, h, w,
+            bmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            npads.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))) != 0:
+        return None
+    buckets = {}
+    off = 0
+    for j, bw in enumerate(WIDTHS):
+        nw = _words_per_seg(bw)
+        buckets[bw] = blob[off:off + int(npads[j]) * nw].reshape(
+            int(npads[j]), nw)
+        off += int(npads[j]) * nw
+    wp = -(-w // L) * L
+    plan = (h, w, wp, int(npads[0]), int(npads[1]), int(npads[2]))
     return PackedPlane(plan, buckets, perm)
 
 
@@ -498,7 +550,11 @@ def _host_unpack_rct(blob, bmap, counts, npads, n, h, w):
         for j, bw in enumerate(FINE_WIDTHS):
             woffs[j] = acc
             acc += npads[j] * _wps(bw, LF)
+        # np.asarray of a device array can come back F-contiguous on
+        # some platforms (the axon relay does this for 2-D fetches);
+        # the C side reads raw row-major memory, so force C order.
         blob = np.ascontiguousarray(blob)
+        bmap = np.ascontiguousarray(bmap)
         scratch = np.empty(n * h * w, np.uint16)
         out = np.empty((n, h, w), np.uint32)
         rc = lib.uhdr_rctseg_unpack(

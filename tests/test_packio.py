@@ -177,3 +177,31 @@ class TestRctBatchFetch:
         np.testing.assert_array_equal(res[0], res2[0])
         assert res[1] == res2[1]
         np.testing.assert_array_equal(res[0], rgba)
+
+
+class TestNativeForwardPack:
+    """pack_plane_host's native path (uhdr_seg_widths/uhdr_seg_fill)
+    must be bit-identical to the numpy path: same plan, buckets and
+    perm (the device unpack is compiled against this exact layout)."""
+
+    @pytest.mark.parametrize("kind", ["smooth", "noise", "mixed"])
+    def test_native_matches_numpy(self, kind, monkeypatch):
+        from libultrahdr_dev_tpu.jpeg import native
+        if native.get_lib() is None:
+            pytest.skip("native codec unavailable")
+        h, w = 96, 520
+        rng = np.random.default_rng(len(kind))
+        if kind == "smooth":
+            arr = smooth_plane(h, w, seed=2)
+        elif kind == "noise":
+            arr = rng.integers(0, 1024, (h, w)).astype(np.uint16)
+        else:
+            arr = (rng.integers(0, 4, (h, w)) * 300).astype(np.uint16)
+        pn = packio.pack_plane_host(arr)
+        monkeypatch.setattr(native, "get_lib", lambda: None)
+        pp = packio.pack_plane_host(arr)
+        assert pn.plan == pp.plan
+        for bw in packio.WIDTHS:
+            np.testing.assert_array_equal(np.asarray(pn.buckets[bw]),
+                                          np.asarray(pp.buckets[bw]))
+        np.testing.assert_array_equal(pn.perm, pp.perm)
