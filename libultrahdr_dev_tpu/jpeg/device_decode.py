@@ -225,19 +225,17 @@ def split_rst_stream(entropy: bytes, n_chunks: int):
     L = _bucket_len(int(lens.max()))
     starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
     if data.size + L >= 2**31:
-        # int32 gather indices below would wrap; no legal 8192^2 image
+        # int32 gather indices would wrap; no legal 8192^2 image
         # needs a 2 GiB entropy segment (only crafted fill-padding).
         raise ValueError("entropy segment too large")
-    # Gather each chunk's L-byte window from the padded destuffed data
-    # (int32 indices + a zero-padded tail keep this a single cheap
-    # np.take; rows read past their own chunk into the zero pad or the
-    # next chunk, then the mask zeroes those tail bytes).
-    padded = np.concatenate([data, np.zeros(L, np.uint8)])
-    idx = (starts.astype(np.int32)[:, None]
-           + np.arange(L, dtype=np.int32)[None, :])
-    out = np.take(padded, idx)
-    out[np.arange(L, dtype=np.int32)[None, :] >= lens[:, None]] = 0
-    return out
+    # The per-lane L-byte windows are gathered ON DEVICE from this
+    # contiguous destuffed buffer (one row-gather inside the fused
+    # decode kernel): uploading dest + starts ships ~2x fewer bytes
+    # than the padded window matrix. Bytes past a lane's own interval
+    # (the next interval's data) are never consumed — each lane stops
+    # after its target MCU count; the reader may prefetch them as
+    # lookahead only.
+    return data, starts.astype(np.int32), L
 
 
 def scan_foreign_stream(entropy: bytes, n_mcus: int, gray: bool,
@@ -309,13 +307,10 @@ def scan_foreign_stream(entropy: bytes, n_mcus: int, gray: bool,
     L = _bucket_len(int(lens.max()) + 8)
     if dlen + L >= 2**31:
         return None
-    padded = np.concatenate([dest[:dlen], np.zeros(L, np.uint8)])
-    idx = (starts_byte.astype(np.int32)[:, None]
-           + np.arange(L, dtype=np.int32)[None, :])
-    # NO per-lane tail masking (unlike split_rst_stream): the stream
-    # is contiguous, so bytes past a lane's boundary are the genuine
-    # continuation its final codewords may legally peek into.
-    return np.take(padded, idx), start_bits
+    # Windows are gathered on device (see split_rst_stream); mid-byte
+    # lane starts are handled by start_bits.
+    return dest[:dlen].copy(), starts_byte.astype(np.int32), \
+        start_bits, L
 
 
 # ---------------------------------------------------------------------------
@@ -540,18 +535,48 @@ def deinterleave_yuv420_device(blocks, mcus_x: int, mcus_y: int):
 class DeviceStream:
     """Host-parsed description of a device-decodable baseline JPEG.
 
-    start_bits is None for real restart-interval streams; for foreign
-    restart-less streams it carries each synthesized lane's initial
-    bit offset, and the decode must run with dc_carry=True."""
+    The entropy payload is carried as `dest` (contiguous destuffed
+    bytes) + `starts_byte` (per-lane byte offsets) + `win_len` (the
+    bucketed per-lane window width); the fused decode kernel gathers
+    each lane's window on device, so only the real stream bytes cross
+    the link. start_bits is None for real restart-interval streams;
+    for foreign restart-less streams it carries each synthesized
+    lane's initial bit offset within its window, and the decode must
+    run with dc_carry=True."""
 
-    __slots__ = ("width", "height", "gray", "restart_interval", "chunks",
-                 "qtables", "icc", "exif", "xmp", "mcus_x", "mcus_y",
-                 "tables_key", "start_bits")
+    __slots__ = ("width", "height", "gray", "restart_interval", "dest",
+                 "starts_byte", "win_len", "qtables", "icc", "exif",
+                 "xmp", "mcus_x", "mcus_y", "tables_key", "start_bits",
+                 "_chunks")
 
     def __init__(self, **kw):
         self.start_bits = None
+        self._chunks = None
         for k, v in kw.items():
             setattr(self, k, v)
+
+    @property
+    def n_lanes(self) -> int:
+        return int(self.starts_byte.shape[0])
+
+    @property
+    def chunks(self) -> np.ndarray:
+        """Host-materialized (n_lanes, win_len) windows — compat view
+        for the kernel-bench and tests; the decode path gathers the
+        same windows on device instead."""
+        if self._chunks is None:
+            padded = np.concatenate(
+                [self.dest, np.zeros(self.win_len, np.uint8)])
+            idx = (self.starts_byte[:, None]
+                   + np.arange(self.win_len, dtype=np.int32)[None, :])
+            self._chunks = np.take(padded, idx)
+        return self._chunks
+
+    def padded_dest(self) -> np.ndarray:
+        """dest padded so every lane's device window gather stays
+        in-bounds, bucketed for compile reuse."""
+        target = _bucket_len(self.dest.size + self.win_len)
+        return np.pad(self.dest, (0, target - self.dest.size))
 
 
 def parse_device_stream(data: bytes) -> DeviceStream | None:
@@ -679,7 +704,8 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
     if restart > 0:
         n_chunks = -(-n_mcus // restart)
         try:
-            chunks = split_rst_stream(entropy, n_chunks)
+            dest, starts_byte, win_len = split_rst_stream(entropy,
+                                                          n_chunks)
         except ValueError:
             return None
     else:
@@ -691,10 +717,11 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
                                       restart)
         if scanned is None:
             return None
-        chunks, start_bits = scanned
+        dest, starts_byte, start_bits, win_len = scanned
     return DeviceStream(
         width=w, height=h, gray=gray, restart_interval=restart,
-        chunks=chunks, qtables=[qtables[c[3]] for c in comps],
+        dest=dest, starts_byte=starts_byte, win_len=win_len,
+        qtables=[qtables[c[3]] for c in comps],
         icc=icc, exif=exif, xmp=xmp_b, mcus_x=mcus_x, mcus_y=mcus_y,
         tables_key=tkey, start_bits=start_bits)
 

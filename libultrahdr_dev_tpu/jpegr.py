@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from functools import lru_cache
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .container import icc as icc_mod
@@ -105,17 +106,21 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
                              base_tkey: bytes = b"",
                              gm_tkey: bytes = b"",
                              base_carry: bool = False,
-                             gm_carry: bool = False):
+                             gm_carry: bool = False,
+                             base_dlen: int = 0, gm_dlen: int = 0):
     """Fully-on-device decode: parallel RST entropy decode of the base
     (and gain map) bitstreams + dequant/IDCT + gain-map apply (or SDR
-    conversion), one jit, one ~1.5 MB u8 upload. See
-    jpeg/device_decode.py for the entropy-decode formulation.
+    conversion), one jit. See jpeg/device_decode.py for the
+    entropy-decode formulation.
 
-    base_carry/gm_carry mark foreign restart-less bitstreams whose
-    lanes were synthesized by the host lengths-only scan; the kernel
-    then takes a third `starts` argument (per-lane initial bit
-    offsets, base lanes then gain-map lanes) and fixes up the shared
-    DC-prediction chain on device."""
+    The upload is the CONTIGUOUS destuffed streams (base then gain
+    map, padded to base_dlen/gm_dlen) plus a (2, lanes) i32 starts
+    array: row 0 per-lane byte offsets (the kernel gathers each lane's
+    window on device — ~2x fewer link bytes than shipping padded
+    window matrices), row 1 per-lane initial bit offsets (nonzero only
+    for foreign restart-less streams; with base_carry/gm_carry the
+    shared DC-prediction chain is fixed up on device).
+    base_shape/gm_shape are the (lanes, window) geometries."""
     from .jpeg.dct import dequant_idct
     from .jpeg.device_decode import (decode_rst_chunks,
                                      deinterleave_yuv420_device)
@@ -124,7 +129,8 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
 
     qts = np.frombuffer(qkey, np.int32).reshape(-1, 8, 8)
     ql, qc, qg = qts[0], qts[1], qts[2]
-    nb = int(np.prod(base_shape))
+    ncb, lb = base_shape
+    ncg, lg = gm_shape
     n_mcus = bmx * bmy
     g_mcus = gmx * gmy
     base_chains = chains_from_key(base_tkey) if base_tkey else None
@@ -132,11 +138,14 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
     from .jpeg.device_decode import min_code_len_from_key
     base_mcb = min_code_len_from_key(base_tkey or None)
     gm_mcb = min_code_len_from_key(gm_tkey or None)
-    any_carry = base_carry or gm_carry
 
-    def impl(combined_u8, scalars, starts):
-        bch = combined_u8[:nb].reshape(base_shape)
-        bstarts = (starts[:base_shape[0]] if base_carry else None)
+    @jax.jit
+    def kernel(combined_u8, scalars, starts2):
+        bdest = combined_u8[:base_dlen]
+        bidx = (starts2[0, :ncb][:, None]
+                + jnp.arange(lb, dtype=jnp.int32)[None, :])
+        bch = jnp.take(bdest, bidx)
+        bstarts = starts2[1, :ncb] if base_carry else None
         blocks = decode_rst_chunks(bch, r_base, n_mcus, gray=False,
                                    chains=base_chains,
                                    min_code_bits=base_mcb,
@@ -150,8 +159,11 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
                                                     :(w + 1) // 2]
         if output_format == "sdr":
             return gm.yuv420_to_rgba8888(y8, u8, v8)
-        gch = combined_u8[nb:].reshape(gm_shape)
-        gstarts = (starts[base_shape[0]:] if gm_carry else None)
+        gdest = combined_u8[base_dlen:]
+        gidx = (starts2[0, ncb:][:, None]
+                + jnp.arange(lg, dtype=jnp.int32)[None, :])
+        gch = jnp.take(gdest, gidx)
+        gstarts = starts2[1, ncb:] if gm_carry else None
         gblocks = decode_rst_chunks(gch, r_gm, g_mcus, gray=True,
                                     chains=gm_chains,
                                     min_code_bits=gm_mcb,
@@ -162,15 +174,6 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
         apply_k = gm._apply_kernel(output_format, scale, use_luts)
         return apply_k(y8, u8, v8, gmap, scalars[0], scalars[1],
                        scalars[2], scalars[3])
-
-    if any_carry:
-        @jax.jit
-        def kernel(combined_u8, scalars, starts):
-            return impl(combined_u8, scalars, starts)
-    else:
-        @jax.jit
-        def kernel(combined_u8, scalars):
-            return impl(combined_u8, scalars, None)
 
     return kernel
 
@@ -425,28 +428,27 @@ class JpegR:
 
         qkey = np.stack([ds.qtables[0], ds.qtables[1],
                          dsg.qtables[0]]).astype(np.int32).tobytes()
-        combined = np.concatenate([ds.chunks.ravel(),
-                                   dsg.chunks.ravel()])
+        bpad, gpad = ds.padded_dest(), dsg.padded_dest()
+        combined = np.concatenate([bpad, gpad])
         base_carry = ds.start_bits is not None
         gm_carry = dsg.start_bits is not None
-        starts = None
-        if base_carry or gm_carry:
-            starts = np.concatenate([
+        starts2 = np.stack([
+            np.concatenate([ds.starts_byte, dsg.starts_byte]),
+            np.concatenate([
                 ds.start_bits if base_carry
-                else np.zeros(ds.chunks.shape[0], np.int32),
+                else np.zeros(ds.n_lanes, np.int32),
                 dsg.start_bits if gm_carry
-                else np.zeros(dsg.chunks.shape[0], np.int32)])
+                else np.zeros(dsg.n_lanes, np.int32)])])
 
         if output_format == OutputFormat.SDR:
             kernel = _fused_decode_kernel_dev(
-                "sdr", ds.chunks.shape, dsg.chunks.shape,
+                "sdr", (ds.n_lanes, ds.win_len),
+                (dsg.n_lanes, dsg.win_len),
                 ds.restart_interval, dsg.restart_interval, w, h,
                 ds.mcus_x, ds.mcus_y, dsg.mcus_x, dsg.mcus_y, gw, gh, 1,
                 bool(use_luts), qkey, ds.tables_key, dsg.tables_key,
-                base_carry, gm_carry)
-            rgba = (kernel(combined, np.zeros(4, np.float32), starts)
-                    if starts is not None
-                    else kernel(combined, np.zeros(4, np.float32)))
+                base_carry, gm_carry, bpad.size, gpad.size)
+            rgba = kernel(combined, np.zeros(4, np.float32), starts2)
             result.image = RawImage(
                 fmt=PixelFormat.RGBA8888, width=w, height=h,
                 gamut=result.gamut, planes={"rgba": rgba})
@@ -469,17 +471,17 @@ class JpegR:
         boost_factor = (display_boost / metadata.max_content_boost
                         if display_boost > 0 else 1.0)
         kernel = _fused_decode_kernel_dev(
-            output_format.value, ds.chunks.shape, dsg.chunks.shape,
+            output_format.value, (ds.n_lanes, ds.win_len),
+            (dsg.n_lanes, dsg.win_len),
             ds.restart_interval, dsg.restart_interval, w, h,
             ds.mcus_x, ds.mcus_y, dsg.mcus_x, dsg.mcus_y, gw, gh, scale,
             bool(use_luts), qkey, ds.tables_key, dsg.tables_key,
-            base_carry, gm_carry)
+            base_carry, gm_carry, bpad.size, gpad.size)
         scalars = np.asarray(
             [math.log2(metadata.min_content_boost),
              math.log2(metadata.max_content_boost),
              boost_factor, display_boost], np.float32)
-        out = (kernel(combined, scalars, starts)
-               if starts is not None else kernel(combined, scalars))
+        out = kernel(combined, scalars, starts2)
         result._gainmap_parts = ("device", dsg)
         result.image = RawImage(
             fmt=_OUT_PIXEL_FMT[output_format], width=w, height=h,

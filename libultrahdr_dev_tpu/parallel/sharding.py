@@ -615,8 +615,8 @@ def _batched_decode_device(blobs, output_format: str,
         # stream is a real-RST or a synthesized restart-less one) must
         # match; a mixed-quality batch falls back rather than silently
         # dequantizing frames 1..N-1 with frame 0's tables.
-        return (ds.width, ds.height, ds.chunks.shape[0],
-                dsg.chunks.shape[0], ds.restart_interval,
+        return (ds.width, ds.height, ds.n_lanes,
+                dsg.n_lanes, ds.restart_interval,
                 dsg.restart_interval, ds.tables_key, dsg.tables_key,
                 ds.start_bits is not None, dsg.start_bits is not None,
                 tuple(np.asarray(q).tobytes() for q in ds.qtables),
@@ -627,16 +627,18 @@ def _batched_decode_device(blobs, output_format: str,
         if sig(ds, dsg) != geom:
             return None
 
-    # Unify the (bucketed) chunk byte widths across the batch.
-    Lb = max(ds.chunks.shape[1] for ds, _ in parsed)
-    Lg = max(dsg.chunks.shape[1] for _, dsg in parsed)
+    # Unify window widths and (bucketed) dest lengths across the batch.
+    from ..jpeg.device_decode import _bucket_len
+    Lb = max(ds.win_len for ds, _ in parsed)
+    Lg = max(dsg.win_len for _, dsg in parsed)
+    Db = _bucket_len(max(ds.dest.size for ds, _ in parsed) + Lb)
+    Dg = _bucket_len(max(dsg.dest.size for _, dsg in parsed) + Lg)
 
-    def padw(m, L):
-        return np.pad(m, ((0, 0), (0, L - m.shape[1])))
+    def padd(d, target):
+        return np.pad(d, (0, target - d.size))
 
     combined = np.stack([
-        np.concatenate([padw(ds.chunks, Lb).ravel(),
-                        padw(dsg.chunks, Lg).ravel()])
+        np.concatenate([padd(ds.dest, Db), padd(dsg.dest, Dg)])
         for ds, dsg in parsed])
 
     w, h = ds0.width, ds0.height
@@ -646,11 +648,11 @@ def _batched_decode_device(blobs, output_format: str,
     base_carry = ds0.start_bits is not None
     gm_carry = dsg0.start_bits is not None
     batch_kernel = _batched_decode_kernel_dev(
-        mesh, output_format, (ds0.chunks.shape[0], Lb),
-        (dsg0.chunks.shape[0], Lg), ds0.restart_interval,
+        mesh, output_format, (ds0.n_lanes, Lb),
+        (dsg0.n_lanes, Lg), ds0.restart_interval,
         dsg0.restart_interval, w, h, ds0.mcus_x, ds0.mcus_y,
         dsg0.mcus_x, dsg0.mcus_y, gw, gh, w // gw, bool(use_luts), qkey,
-        ds0.tables_key, dsg0.tables_key, base_carry, gm_carry)
+        ds0.tables_key, dsg0.tables_key, base_carry, gm_carry, Db, Dg)
 
     # Gain-map metadata is per-frame (frames may differ in content
     # boost even at identical geometry/tables).
@@ -659,25 +661,22 @@ def _batched_decode_device(blobs, output_format: str,
                         max_display_boost)
         for _, dsg in parsed])
 
-    starts = None
-    if base_carry or gm_carry:
-        # Per-frame lane start-bit offsets (base lanes then gain-map
-        # lanes), zeros for whichever side is a real-RST stream.
-        starts = np.stack([
+    # Per-frame (2, lanes) starts: byte offsets for the on-device
+    # window gather, bit offsets for foreign synthesized lanes.
+    starts2 = np.stack([
+        np.stack([
+            np.concatenate([ds.starts_byte, dsg.starts_byte]),
             np.concatenate([
                 ds.start_bits if base_carry
-                else np.zeros(ds.chunks.shape[0], np.int32),
+                else np.zeros(ds.n_lanes, np.int32),
                 dsg.start_bits if gm_carry
-                else np.zeros(dsg.chunks.shape[0], np.int32)])
-            for ds, dsg in parsed])
+                else np.zeros(dsg.n_lanes, np.int32)])])
+        for ds, dsg in parsed])
 
     if stats is not None:
         stats["h2d_bytes"] = stats.get("h2d_bytes", 0) \
-            + combined.nbytes + scalars.nbytes \
-            + (starts.nbytes if starts is not None else 0)
-    if starts is not None:
-        return batch_kernel(combined, scalars, starts)
-    return batch_kernel(combined, scalars)
+            + combined.nbytes + scalars.nbytes + starts2.nbytes
+    return batch_kernel(combined, scalars, starts2)
 
 
 @lru_cache(maxsize=None)
@@ -688,33 +687,26 @@ def _batched_decode_kernel_dev(mesh: Mesh, output_format: str,
                                gh: int, scale: int, use_luts: bool,
                                qkey: bytes, base_tkey: bytes,
                                gm_tkey: bytes, base_carry: bool = False,
-                               gm_carry: bool = False):
+                               gm_carry: bool = False,
+                               base_dlen: int = 0, gm_dlen: int = 0):
     """Cached vmapped+sharded wrapper of the fused device decode
     kernel. MUST be cached: a fresh jax.jit object per batched_decode
     call would re-trace and re-compile the whole batch graph on every
-    invocation (~30 s over the chip relay).
-
-    base_carry/gm_carry: the batch's streams are foreign restart-less
-    bitstreams with synthesized lanes; the kernel then takes a third
-    per-frame `starts` argument (see _fused_decode_kernel_dev)."""
+    invocation (~30 s over the chip relay). Takes per-frame contiguous
+    destuffed streams + (2, lanes) starts (see
+    _fused_decode_kernel_dev)."""
     from ..jpegr import _fused_decode_kernel_dev
 
     kernel = _fused_decode_kernel_dev(
         output_format, base_shape, gm_shape, r_base, r_gm, w, h, bmx,
         bmy, gmx, gmy, gw, gh, scale, use_luts, qkey, base_tkey,
-        gm_tkey, base_carry, gm_carry)
+        gm_tkey, base_carry, gm_carry, base_dlen, gm_dlen)
     spec = _batch_sharding(mesh)
 
-    if base_carry or gm_carry:
-        @partial(jax.jit, in_shardings=(spec, spec, spec),
-                 out_shardings=spec)
-        def batch_kernel(combined_batch, sc, starts):
-            return jax.vmap(kernel)(combined_batch, sc, starts)
-    else:
-        @partial(jax.jit, in_shardings=(spec, spec),
-                 out_shardings=spec)
-        def batch_kernel(combined_batch, sc):
-            return jax.vmap(kernel)(combined_batch, sc)
+    @partial(jax.jit, in_shardings=(spec, spec, spec),
+             out_shardings=spec)
+    def batch_kernel(combined_batch, sc, starts2):
+        return jax.vmap(kernel)(combined_batch, sc, starts2)
 
     return batch_kernel
 
