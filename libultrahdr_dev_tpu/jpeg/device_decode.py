@@ -563,13 +563,23 @@ class DeviceStream:
     def chunks(self) -> np.ndarray:
         """Host-materialized (n_lanes, win_len) windows — compat view
         for the kernel-bench and tests; the decode path gathers the
-        same windows on device instead."""
+        same windows on device instead. For RST streams the bytes past
+        each lane's own interval are zeroed (the old split_rst_stream
+        invariant: deterministic tails even on corrupt input); foreign
+        synthesized lanes keep their genuine continuation bytes."""
         if self._chunks is None:
             padded = np.concatenate(
                 [self.dest, np.zeros(self.win_len, np.uint8)])
             idx = (self.starts_byte[:, None]
                    + np.arange(self.win_len, dtype=np.int32)[None, :])
-            self._chunks = np.take(padded, idx)
+            out = np.take(padded, idx)
+            if self.start_bits is None:
+                lens = np.diff(np.append(self.starts_byte,
+                                         self.dest.size))
+                out[np.arange(self.win_len,
+                              dtype=np.int32)[None, :]
+                    >= lens[:, None]] = 0
+            self._chunks = out
         return self._chunks
 
     def padded_dest(self) -> np.ndarray:

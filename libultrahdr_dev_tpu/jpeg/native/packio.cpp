@@ -51,7 +51,8 @@ long uhdr_rctseg_unpack(const uint8_t* bmap, const uint32_t* blob,
   // Per-bucket fill counters: segments are visited in original order,
   // matching the device sort's within-bucket ordering.
   int64_t fill[8] = {0};
-  int rank_of[11] = {0};
+  int rank_of[11];
+  for (int i = 0; i < 11; ++i) rank_of[i] = -1;
   for (int j = 0; j < 8; ++j) rank_of[kWidths[j]] = j;
 
   int32_t acc[8192 + LF];  // running column sums for one row stripe
@@ -65,6 +66,10 @@ long uhdr_rctseg_unpack(const uint8_t* bmap, const uint32_t* blob,
       for (int64_t s = 0; s < nsegw; ++s, ++bm) {
         const int bw = *bm;
         if (bw == 0) continue;  // all-zero deltas: acc unchanged
+        // The width map crossed an untrusted link: reject any byte
+        // outside {0} + FINE_WIDTHS instead of indexing out of
+        // bounds below.
+        if (bw > 10 || rank_of[bw] < 0) return -3;
         const int j = rank_of[bw];
         const int nw = words_per_seg(bw);
         const uint32_t* words = blob + bucket_word_offs[j] + fill[j]++ * nw;
@@ -205,7 +210,7 @@ long uhdr_seg_fill(const uint16_t* arr, int64_t h, int64_t w,
         const int32_t ds = ((d + 512) & 1023) - 512;
         seg[i] = (uint16_t)((ds << 1) ^ (ds >> 31));
       }
-      for (; i < LGEN; ++i) seg[i] = seg[x1 - x0 - 1 >= 0 ? x1 - x0 - 1 : 0];
+      for (; i < LGEN; ++i) seg[i] = seg[x1 - x0 - 1];
       const int nw = gen_words_per_seg(bw);
       const int k = 32 / bw;
       uint32_t* words = blob + bucket_off[j] + fill[j] * nw;

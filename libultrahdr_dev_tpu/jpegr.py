@@ -107,7 +107,7 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
                              gm_tkey: bytes = b"",
                              base_carry: bool = False,
                              gm_carry: bool = False,
-                             base_dlen: int = 0, gm_dlen: int = 0):
+                             *, base_dlen: int, gm_dlen: int):
     """Fully-on-device decode: parallel RST entropy decode of the base
     (and gain map) bitstreams + dequant/IDCT + gain-map apply (or SDR
     conversion), one jit. See jpeg/device_decode.py for the
@@ -447,7 +447,8 @@ class JpegR:
                 ds.restart_interval, dsg.restart_interval, w, h,
                 ds.mcus_x, ds.mcus_y, dsg.mcus_x, dsg.mcus_y, gw, gh, 1,
                 bool(use_luts), qkey, ds.tables_key, dsg.tables_key,
-                base_carry, gm_carry, bpad.size, gpad.size)
+                base_carry, gm_carry, base_dlen=bpad.size,
+                gm_dlen=gpad.size)
             rgba = kernel(combined, np.zeros(4, np.float32), starts2)
             result.image = RawImage(
                 fmt=PixelFormat.RGBA8888, width=w, height=h,
@@ -476,7 +477,8 @@ class JpegR:
             ds.restart_interval, dsg.restart_interval, w, h,
             ds.mcus_x, ds.mcus_y, dsg.mcus_x, dsg.mcus_y, gw, gh, scale,
             bool(use_luts), qkey, ds.tables_key, dsg.tables_key,
-            base_carry, gm_carry, bpad.size, gpad.size)
+            base_carry, gm_carry, base_dlen=bpad.size,
+            gm_dlen=gpad.size)
         scalars = np.asarray(
             [math.log2(metadata.min_content_boost),
              math.log2(metadata.max_content_boost),

@@ -44,9 +44,13 @@ def _slots(b: int) -> int:
     return 32 // b           # samples per u32 word (2->16, 5->6, 10->3)
 
 
+def _wps(bw: int, l: int) -> int:
+    """u32 words for l samples at bit width bw."""
+    return -(-l // (32 // bw))
+
+
 def _words_per_seg(b: int) -> int:
-    k = _slots(b)
-    return -(-L // k)
+    return _wps(b, L)
 
 
 def _pow2_pad(n: int, floor: int = _POW2_MIN) -> int:
@@ -404,10 +408,6 @@ FINE_WIDTHS = (1, 2, 3, 4, 5, 6, 8, 10)
 _IDX_BITS = 22               # segment index field in the sort key
 
 
-def _wps(bw: int, l: int) -> int:
-    return -(-l // (32 // bw))
-
-
 def _rank_of_width():
     """width code -> bucket rank (0 for the all-zero class)."""
     return {0: 0, **{bw: i + 1 for i, bw in enumerate(FINE_WIDTHS)}}
@@ -496,19 +496,20 @@ def _rct_devpack_fn(nseg_total: int, npads: tuple):
 
 def fetch_rgba1010102_batch(out_dev, fetch=np.asarray):
     """Fetch an (n, h, w) device RGBA1010102 batch via the RCT
-    fine-width pack. Returns (host u32 (n, h, w), d2h_bytes) or None
-    when the packed estimate exceeds ~85% of the raw size (caller
-    falls back to a raw fetch). Alpha is re-attached as the packer's
-    constant 0xC0000000."""
+    fine-width pack. Returns (host u32 (n, h, w), d2h_bytes), or
+    (None, wasted_d2h_bytes) when the packed estimate exceeds ~85% of
+    the raw size (caller falls back to a raw fetch; the width map that
+    already crossed the link still counts toward its accounting).
+    Alpha is re-attached as the packer's constant 0xC0000000."""
     n, h, w = (int(s) for s in out_dev.shape)
     if h % G:
-        return None
+        return None, 0
     zs, bdev = _rct_widths_fn((n, h, w))(out_dev)
     bmap = np.asarray(bdev)                      # (rows, nsegw) u8
     flat_b = bmap.ravel()
     nseg_total = flat_b.size
     if nseg_total >= (1 << _IDX_BITS):
-        return None
+        return None, bmap.nbytes
     rank_lut = np.zeros(11, np.intp)
     for bwv, rk in _rank_of_width().items():
         rank_lut[bwv] = rk
@@ -522,7 +523,7 @@ def fetch_rgba1010102_batch(out_dev, fetch=np.asarray):
     est = sum(npads[j] * _wps(bw, LF) * 4
               for j, bw in enumerate(FINE_WIDTHS)) + nseg_total
     if est > 0.85 * n * h * w * 4:
-        return None
+        return None, bmap.nbytes
     # Bucket start offsets in the sorted order (zeros class first).
     offs = np.zeros(len(FINE_WIDTHS), np.int32)
     acc = int(counts[0])

@@ -147,17 +147,16 @@ def fetch_1010102_packed(out_dev, stats=None):
     packer's constant 0xC0000000 (ops/color.py pack_rgba1010102)."""
     from . import packio
 
-    res = None
-    n, h, w = (int(s) for s in out_dev.shape)
-    if h % packio.G == 0:
-        res = packio.fetch_rgba1010102_batch(out_dev)
-    if res is None:  # incompressible content: raw fetch wins
+    out, d2h_bytes = packio.fetch_rgba1010102_batch(out_dev)
+    if out is None:  # incompressible content: raw fetch wins
         arr = np.asarray(out_dev)
         if stats is not None:
-            stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + arr.nbytes
+            # d2h_bytes carries the width map that already crossed
+            # the link before the bailout — keep the JSON auditable.
+            stats["d2h_bytes"] = stats.get("d2h_bytes", 0) \
+                + arr.nbytes + d2h_bytes
             stats["d2h_pack"] = "raw"
         return arr
-    out, d2h_bytes = res
     if stats is not None:
         # What crossed the link: the fused bucket blob + the pass-1
         # width map (the perm stays host-side).
@@ -652,7 +651,8 @@ def _batched_decode_device(blobs, output_format: str,
         (dsg0.n_lanes, Lg), ds0.restart_interval,
         dsg0.restart_interval, w, h, ds0.mcus_x, ds0.mcus_y,
         dsg0.mcus_x, dsg0.mcus_y, gw, gh, w // gw, bool(use_luts), qkey,
-        ds0.tables_key, dsg0.tables_key, base_carry, gm_carry, Db, Dg)
+        ds0.tables_key, dsg0.tables_key, base_carry, gm_carry,
+        base_dlen=Db, gm_dlen=Dg)
 
     # Gain-map metadata is per-frame (frames may differ in content
     # boost even at identical geometry/tables).
@@ -687,8 +687,8 @@ def _batched_decode_kernel_dev(mesh: Mesh, output_format: str,
                                gh: int, scale: int, use_luts: bool,
                                qkey: bytes, base_tkey: bytes,
                                gm_tkey: bytes, base_carry: bool = False,
-                               gm_carry: bool = False,
-                               base_dlen: int = 0, gm_dlen: int = 0):
+                               gm_carry: bool = False, *,
+                               base_dlen: int, gm_dlen: int):
     """Cached vmapped+sharded wrapper of the fused device decode
     kernel. MUST be cached: a fresh jax.jit object per batched_decode
     call would re-trace and re-compile the whole batch graph on every
@@ -700,7 +700,8 @@ def _batched_decode_kernel_dev(mesh: Mesh, output_format: str,
     kernel = _fused_decode_kernel_dev(
         output_format, base_shape, gm_shape, r_base, r_gm, w, h, bmx,
         bmy, gmx, gmy, gw, gh, scale, use_luts, qkey, base_tkey,
-        gm_tkey, base_carry, gm_carry, base_dlen, gm_dlen)
+        gm_tkey, base_carry, gm_carry, base_dlen=base_dlen,
+        gm_dlen=gm_dlen)
     spec = _batch_sharding(mesh)
 
     @partial(jax.jit, in_shardings=(spec, spec, spec),
