@@ -387,3 +387,89 @@ class TestExifGridFuzz:
                 2, "big")
         big = iso.grid_payload(2, 2, 70000, 50)
         assert big[1] == 1 and len(big) == 12
+
+
+class TestPackioNativeFuzz:
+    """The native pack-layer entry points (jpeg/native/packio.cpp)
+    consume buffers that crossed the relay link: they must reject or
+    deterministically survive arbitrary bytes, never crash."""
+
+    @pytest.fixture(autouse=True)
+    def _require_native(self):
+        from libultrahdr_dev_tpu.jpeg import native
+        if native.get_lib() is None:
+            pytest.skip("native codec unavailable")
+
+    def _call_unpack(self, bmap, blob, npads, n, h, w):
+        import ctypes
+
+        from libultrahdr_dev_tpu.jpeg import native
+        from libultrahdr_dev_tpu.parallel import packio
+        lib = native.get_lib()
+        woffs = np.zeros(8, np.int64)
+        acc = 0
+        for j, bw in enumerate(packio.FINE_WIDTHS):
+            woffs[j] = acc
+            acc += npads[j] * packio._wps(bw, packio.LF)
+        blob = np.ascontiguousarray(blob, np.uint32)
+        if blob.size < acc:
+            blob = np.pad(blob, (0, acc - blob.size))
+        scratch = np.empty(n * h * w, np.uint16)
+        out = np.empty(n * h * w, np.uint32)
+        return lib.uhdr_rctseg_unpack(
+            np.ascontiguousarray(bmap).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)),
+            blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            woffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, h, w,
+            scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+
+    def test_invalid_width_codes_rejected(self):
+        # every byte outside {0} + FINE_WIDTHS must return -3, not
+        # index out of the rank table (stack corruption pre-fix).
+        from libultrahdr_dev_tpu.parallel import packio
+        n, h, w = 1, 32, 128
+        nseg = 3 * n * h * ((w + 63) // 64)
+        npads = tuple(32 for _ in range(8))
+        valid = {0, *packio.FINE_WIDTHS}
+        for bad in [7, 9, 11, 42, 255]:
+            bmap = np.zeros(nseg, np.uint8)
+            bmap[nseg // 2] = bad
+            rc = self._call_unpack(bmap, np.zeros(8, np.uint32),
+                                   npads, n, h, w)
+            assert rc == -3, (bad, rc)
+        assert all(v in valid for v in (0, 1, 2, 3, 4, 5, 6, 8, 10))
+
+    def test_random_valid_widths_survive(self):
+        # random VALID width codes with a random blob: garbage in,
+        # deterministic garbage out, no crash, rc == 0.
+        from libultrahdr_dev_tpu.parallel import packio
+        rng = np.random.default_rng(7)
+        n, h, w = 1, 64, 200
+        nseg = 3 * n * h * ((w + 63) // 64)
+        codes = np.array([0, *packio.FINE_WIDTHS], np.uint8)
+        bmap = codes[rng.integers(0, codes.size, nseg)]
+        counts = {bw: int((bmap == bw).sum())
+                  for bw in packio.FINE_WIDTHS}
+        npads = tuple(packio._pow2_pad(max(counts[bw], 1), floor=32)
+                      for bw in packio.FINE_WIDTHS)
+        nwords = sum(npads[j] * packio._wps(bw, packio.LF)
+                     for j, bw in enumerate(packio.FINE_WIDTHS))
+        blob = rng.integers(0, 2**32, nwords, np.uint64).astype(
+            np.uint32)
+        rc = self._call_unpack(bmap, blob, npads, n, h, w)
+        assert rc == 0
+
+    def test_seg_widths_fill_roundtrip_random(self):
+        # native forward pack of random 10-bit noise agrees with the
+        # numpy packer and unpacks exactly on device.
+        import jax
+
+        from libultrahdr_dev_tpu.parallel import packio
+        rng = np.random.default_rng(11)
+        arr = rng.integers(0, 1024, (64, 300)).astype(np.uint16)
+        p = packio._pack_plane_native(arr, 64, 300)
+        assert p is not None
+        out = np.asarray(packio.unpack_plane_device(p))
+        np.testing.assert_array_equal(out, arr)
