@@ -430,7 +430,12 @@ def _merge_level(buf, lens):
     return merged, l_left + l_right
 
 
-DEFAULT_CHUNK_CAP = 6  # sort-input cap: words per block (192 bits/block)
+# Sort-input cap: words per block (224 bits/block). 6 was enough for
+# most natural content but a single busy 4K frame (bench seed 0)
+# overflowed it, forcing the production ladder's FULL-WIDTH retry —
+# i.e. the whole batch encoded twice. One extra word (~17% more sort
+# input, ~1 ms/4K frame) keeps that content on the first attempt.
+DEFAULT_CHUNK_CAP = 7
 
 
 def _rst_assemble(words, blen, cb: int, cap_per_block: int | None):
