@@ -97,6 +97,37 @@ def foreign_decode_ms():
     return full, scan, len(blob)
 
 
+def _devices_or_die(timeout_s: float = 600.0):
+    """jax.devices() with a hard timeout: when the chip relay is down,
+    backend init retries internally for ~25 minutes before raising.
+    Fail fast with an explicit error JSON instead of hanging the
+    harness that far past its patience."""
+    import threading
+
+    import jax
+
+    box = {}
+
+    def probe():
+        try:
+            box["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 - reported verbatim
+            box["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in box:
+        return box["devices"]
+    msg = box.get("error", f"backend init still hung after {timeout_s:.0f}s")
+    print(json.dumps({
+        "metric": "4k_jpegr_encode_decode", "value": None, "unit": "ms",
+        "vs_baseline": None,
+        "error": f"TPU backend unavailable: {msg}"}))
+    sys.stdout.flush()
+    os._exit(1)
+
+
 def main():
     from concurrent.futures import ThreadPoolExecutor
 
@@ -104,7 +135,7 @@ def main():
 
     from libultrahdr_dev_tpu.parallel import sharding
 
-    dev = jax.devices()[0]
+    dev = _devices_or_die()[0]
     mesh = sharding.default_mesh(jax.devices()[:1])
     boost = 1000 / 203
 

@@ -219,6 +219,23 @@ def _batched_encode_to_streams(mesh: Mesh, gamut: str, hdr_tf: str,
 
 RST_INTERVAL = 4  # MCUs per restart marker in the batched encoder
 
+_COMPACT_ALIGN = 64  # words; base-stream placement granularity
+
+
+def _compact_streams(gsw, gtotal, sw):
+    """[gainmap | base] fetch buffer with the base stream placed just
+    past the gain map's USED prefix (64-word aligned) instead of at
+    its static worst-case capacity: the single d2h fetch then carries
+    no dead gain-map region (~0.5-0.8 MB/4K frame on the relay). A
+    dynamic_update_slice (one HBM copy) does the dynamic placement —
+    cheaper than any gather. The host re-derives the per-frame base
+    offset from gtotal (_assemble_rst_outputs)."""
+    ws = sw.shape[0]
+    gmt_pad = (gtotal.astype(jnp.int32) + (_COMPACT_ALIGN - 1)) \
+        & ~jnp.int32(_COMPACT_ALIGN - 1)
+    dst = jnp.pad(gsw, (0, ws + _COMPACT_ALIGN))
+    return jax.lax.dynamic_update_slice(dst, sw, (gmt_pad,))
+
 
 @lru_cache(maxsize=None)
 def _batched_encode_to_streams_rst(mesh: Mesh, gamut: str, hdr_tf: str,
@@ -252,8 +269,7 @@ def _batched_encode_to_streams_rst(mesh: Mesh, gamut: str, hdr_tf: str,
                        jnp.int32(gsw.shape[0])]),
             gcbits.astype(jnp.int32),
             cbits.astype(jnp.int32)])
-        combined = jnp.concatenate([gsw, sw])
-        return combined, meta
+        return _compact_streams(gsw, gtotal, sw), meta
 
     @partial(jax.jit, in_shardings=(spec,) * 4,
              out_shardings=(spec,) * 2)
@@ -374,7 +390,7 @@ def _batched_encode_api1_kernel(mesh: Mesh, sdr_gamut: str, hdr_gamut: str,
                        jnp.int32(gsw.shape[0])]),
             gcbits.astype(jnp.int32),
             cbits.astype(jnp.int32)])
-        return jnp.concatenate([gsw, sw]), meta
+        return _compact_streams(gsw, gtotal, sw), meta
 
     @partial(jax.jit, in_shardings=(spec,) * 7, out_shardings=(spec,) * 2)
     def kernel(yh, yl, uh, ul, y8, u8, v8):
@@ -436,7 +452,12 @@ def _assemble_rst_outputs(combined, meta, n, h, w, quality, gamut,
         raise OverflowError("dense-content overflow")  # caller fallback
     totals = meta[:, 1]
     gm_totals = meta[:, 2]
-    gm_region = int(meta[0, 3])
+    # Per-frame base-stream offset: the compacted layout
+    # (_compact_streams) parks the base right past the gain map's used
+    # prefix, 64-word aligned (meta[0, 3] keeps the static gain-map
+    # capacity for reference/debug only).
+    base_off = (gm_totals + _COMPACT_ALIGN - 1) \
+        // _COMPACT_ALIGN * _COMPACT_ALIGN
     gm_cbits = meta[:, 4:4 + ncg]
     base_cbits = meta[:, 4 + ncg:4 + ncg + nc]
 
@@ -446,8 +467,12 @@ def _assemble_rst_outputs(combined, meta, n, h, w, quality, gamut,
     gm_hdr = codec.gray_jpeg_headers(w // 4, h // 4,
                                      MAP_COMPRESS_QUALITY,
                                      restart_interval=RST_INTERVAL)
-    gran = 64 * 1024
-    k = -(-int(max(gm_region + totals)) // gran) * gran
+    # 16Ki-word (64 KiB) fetch granularity: coarse enough to bound the
+    # compiled slice-variant count, fine enough that rounding waste is
+    # ~32 KiB/frame (it was 256 KiB granularity over a worst-case
+    # layout before the compaction above).
+    gran = 16 * 1024
+    k = -(-int(max(base_off + totals)) // gran) * gran
     k = min(k, combined.shape[1])
     rows = {}
     for shard in combined.addressable_shards:
@@ -462,7 +487,7 @@ def _assemble_rst_outputs(combined, meta, n, h, w, quality, gamut,
         gs = de.finalize_rst_stream(rows[i][:int(gm_totals[i])],
                                     gm_cbits[i], RST_INTERVAL)
         bs = de.finalize_rst_stream(
-            rows[i][gm_region:gm_region + int(totals[i])],
+            rows[i][int(base_off[i]):int(base_off[i]) + int(totals[i])],
             base_cbits[i], RST_INTERVAL)
         out.append(mux.append_gainmap(base_hdr + bs + b"\xff\xd9",
                                       gm_hdr + gs + b"\xff\xd9",
