@@ -124,6 +124,10 @@ def get_lib():
         lib.uhdr_rctseg_unpack.argtypes = [
             u8p, u32p, i64p, ctypes.c_long, ctypes.c_long,
             ctypes.c_long, u16p, u32p]
+        lib.uhdr_rice_unpack.restype = ctypes.c_long
+        lib.uhdr_rice_unpack.argtypes = [
+            u8p, u8p, u32p, i64p, i64p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, u16p, u32p]
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.uhdr_seg_widths.restype = ctypes.c_long
         lib.uhdr_seg_widths.argtypes = [

@@ -112,6 +112,111 @@ long uhdr_rctseg_unpack(const uint8_t* bmap, const uint32_t* blob,
   return 0;
 }
 
+// Host half of the RCT + Rice(k) readback pack
+// (parallel/packio.py fetch_rgba1010102_rice). Same delta/RCT tail as
+// uhdr_rctseg_unpack, but each 256-sample segment stores q = z >> k as
+// a terminator-position bitmap (sum(q)+256 bits, LSB-first u32 words,
+// bucketed by word-count class) plus k-bit remainders in the slot
+// layout. Walking segments in original order with per-bucket fill
+// counters reproduces the device's stable (rank, index) sort for BOTH
+// bucket families at once.
+//
+// Layout contract (must match packio.py): RL = 256, k in 0..9
+// (k-code 15 = all-zero segment), unary classes {8,10,12,14,16,20,24}
+// words; rem_word_offs[10] / un_word_offs[7] are the bucket start
+// words inside the fused blob.
+long uhdr_rice_unpack(const uint8_t* kmap, const uint8_t* uwmap,
+                      const uint32_t* blob,
+                      const int64_t* rem_word_offs,
+                      const int64_t* un_word_offs,
+                      int64_t n, int64_t h, int64_t w,
+                      uint16_t* scratch, uint32_t* out) {
+  constexpr int RL = 256;
+  constexpr int kUcls[7] = {8, 10, 12, 14, 16, 20, 24};
+  if (n <= 0 || h <= 0 || w <= 0 || (3 * n * h) % GROUP != 0)
+    return -1;
+  if (w > 8192) return -2;
+  const int64_t nsegw = (w + RL - 1) / RL;
+  const int64_t plane_rows = n * h;
+  int64_t fill_rem[10] = {0};
+  int64_t fill_un[7] = {0};
+  int32_t acc[8192 + RL];
+  uint16_t rem[RL];
+  const uint8_t* km = kmap;
+  const uint8_t* um = uwmap;
+
+  for (int plane = 0; plane < 3; ++plane) {
+    for (int64_t r = 0; r < plane_rows; ++r) {
+      const int64_t grow = plane * plane_rows + r;
+      if (grow % GROUP == 0)
+        std::memset(acc, 0, sizeof(int32_t) * (nsegw * RL));
+      for (int64_t s = 0; s < nsegw; ++s, ++km, ++um) {
+        const int k = *km;
+        if (k == 15) continue;  // all-zero segment
+        if (k > 9) return -3;   // map crossed an untrusted link
+        if (k > 0) {
+          const int ks = 32 / k;
+          const int nw = (RL + ks - 1) / ks;
+          const uint32_t* words =
+              blob + rem_word_offs[k] + fill_rem[k]++ * nw;
+          const uint32_t mask = (1u << k) - 1;
+          int idx = 0;
+          for (int slot = 0; slot < ks && idx < RL; ++slot) {
+            const int shift = slot * k;
+            for (int wi = 0; wi < nw && idx < RL; ++wi, ++idx)
+              rem[idx] = (uint16_t)((words[wi] >> shift) & mask);
+          }
+        } else {
+          std::memset(rem, 0, sizeof(rem));
+        }
+        const int uw = *um;
+        int c = 0;
+        while (c < 7 && kUcls[c] < uw) ++c;
+        if (c >= 7) return -4;
+        const int wc = kUcls[c];
+        const uint32_t* uwords =
+            blob + un_word_offs[c] + fill_un[c]++ * (int64_t)wc;
+        int32_t* a = acc + s * RL;
+        int idx = 0, prevp = -1;
+        for (int wi = 0; wi < wc && idx < RL; ++wi) {
+          uint32_t bits = uwords[wi];
+          while (bits && idx < RL) {
+            const int p = wi * 32 + __builtin_ctz(bits);
+            bits &= bits - 1;
+            const uint32_t z =
+                ((uint32_t)(p - prevp - 1) << k) | rem[idx];
+            prevp = p;
+            a[idx] += (int32_t)(z >> 1) ^ -(int32_t)(z & 1);
+            ++idx;
+          }
+        }
+        if (idx != RL) return -5;  // corrupt unary bitmap
+      }
+      const int64_t rowbase = r * w;
+      if (plane == 0) {
+        uint32_t* o = out + rowbase;
+        uint16_t* gb = scratch + rowbase;
+        for (int64_t x = 0; x < w; ++x) {
+          const uint16_t g = (uint16_t)(acc[x] & 1023);
+          gb[x] = g;
+          o[x] = ((uint32_t)g << 10) | 0xC0000000u;
+        }
+      } else if (plane == 1) {
+        uint32_t* o = out + rowbase;
+        const uint16_t* gb = scratch + rowbase;
+        for (int64_t x = 0; x < w; ++x)
+          o[x] |= (uint32_t)((acc[x] + gb[x]) & 1023);
+      } else {
+        uint32_t* o = out + rowbase;
+        const uint16_t* gb = scratch + rowbase;
+        for (int64_t x = 0; x < w; ++x)
+          o[x] |= (uint32_t)((acc[x] + gb[x]) & 1023) << 20;
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -536,6 +536,348 @@ def fetch_rgba1010102_batch(out_dev, fetch=np.asarray):
     return out, d2h_bytes
 
 
+# ---------------------------------------------------------------------------
+# Rice-coded readback: RCT + per-256-sample-segment Rice(k).
+#
+# The fine-width scheme above spends max-of-64 bits on every sample of
+# a segment; Rice coding adapts to the MEAN instead (measured on
+# decoded bench content: 3.66 -> 2.62 bits/sample, ~29% fewer readback
+# bytes). Each zigzag delta z is coded as q = z >> k unary (q zero
+# bits then a one, LSB-first in u32 words) plus k low bits. The two
+# component streams keep fixed per-segment shapes the TPU packs
+# without any per-sample variable-length assembly:
+#   - remainders: the existing k-bit slot layout (k = 0..9 buckets);
+#   - unary: a per-segment BITMAP of the terminator positions
+#     (sum(q) + 256 bits), grouped into word-count classes.
+# Per-segment k is chosen on device by evaluating all ten candidate
+# costs; k is constrained so the unary part fits _RICE_UCAP words
+# (k = 9 always fits: q <= 1). All-zero segments store nothing
+# (k code 15). The host fetches a 2-byte/segment map, builds the
+# bucket plan, and the device's pass 2 re-derives the identical order
+# with a (rank, index) key sort, like the fine-width path above.
+# ---------------------------------------------------------------------------
+
+RL = 256                     # Rice samples per segment
+_RICE_KS = tuple(range(10))  # remainder widths
+_RICE_UCAP = 24              # unary words cap per segment (768 bits)
+_RICE_UCLS = (8, 10, 12, 14, 16, 20, 24)   # unary word classes
+_RICE_ZERO = 15              # k-code sentinel: all-zero segment
+
+
+def _uclass_of(uw: int) -> int:
+    for c, lim in enumerate(_RICE_UCLS):
+        if uw <= lim:
+            return c
+    raise AssertionError(f"unary words {uw} above cap")
+
+
+@lru_cache(maxsize=None)
+def _rice_widths_fn(shape):
+    """Jitted Rice pass 1 for an (n, h, w) u32 RGBA1010102 batch:
+    RCT -> zigzag vertical deltas -> per-RL-segment optimal k and
+    unary word count. Returns (zs (nseg, RL) u16, kcode (nseg,) u8,
+    uw (nseg,) u8) — all device-resident."""
+    import jax
+    import jax.numpy as jnp
+
+    n, h, w = shape
+    wp = -(-w // RL) * RL
+    rows = 3 * n * h
+
+    def f(x):
+        xi = x.astype(jnp.int32)
+        r = xi & 1023
+        g = (xi >> 10) & 1023
+        b = (xi >> 20) & 1023
+        big = jnp.concatenate([
+            g.reshape(n * h, w), ((r - g) & 1023).reshape(n * h, w),
+            ((b - g) & 1023).reshape(n * h, w)])
+        if wp != w:
+            big = jnp.pad(big, ((0, 0), (0, wp - w)), mode="edge")
+        prev = jnp.pad(big, ((1, 0), (0, 0)))[:-1]
+        mask = (jnp.arange(rows) % G == 0)[:, None]
+        prev = jnp.where(mask, 0, prev)
+        d = (big - prev) & 1023
+        ds = ((d + 512) & 1023) - 512
+        z = ((ds << 1) ^ (ds >> 31)).astype(jnp.uint16)
+        zs = z.reshape(rows * (wp // RL), RL)
+        zi = zs.astype(jnp.int32)
+        zero = jnp.all(zi == 0, axis=1)
+        best_bits = jnp.full(zs.shape[0], 2**30, jnp.int32)
+        best_k = jnp.zeros(zs.shape[0], jnp.int32)
+        best_uw = jnp.zeros(zs.shape[0], jnp.int32)
+        for k in _RICE_KS:
+            sq = jnp.sum(zi >> k, axis=1)
+            uwk = (sq + RL + 31) >> 5
+            bits = sq + RL * (1 + k)
+            ok = uwk <= _RICE_UCAP
+            better = ok & (bits < best_bits)
+            best_bits = jnp.where(better, bits, best_bits)
+            best_k = jnp.where(better, k, best_k)
+            best_uw = jnp.where(better, uwk, best_uw)
+        kcode = jnp.where(zero, _RICE_ZERO, best_k).astype(jnp.uint8)
+        uw = jnp.where(zero, 0, best_uw).astype(jnp.uint8)
+        # One stacked map -> ONE d2h fetch for both planes.
+        return zs, jnp.stack([kcode, uw])
+
+    return jax.jit(f)
+
+
+def _cumsum_lanes_i32(x):
+    """Inclusive cumsum along the last (lane) axis via log-doubling
+    pad-shift-add — jnp.cumsum on the lane dim lowers to an O(n^2)
+    reduce_window on TPU."""
+    import jax.numpy as jnp
+
+    n = x.shape[-1]
+    s = 1
+    while s < n:
+        x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :-s]
+        s <<= 1
+    return x
+
+
+@lru_cache(maxsize=None)
+def _rice_devpack_fn(nseg_total: int, rem_npads: tuple, un_npads: tuple):
+    """Jitted Rice pass 2: stable-sort segments by (k rank, index) and
+    by (unary class rank, index), then pack each remainder bucket in
+    the k-bit slot layout and each unary bucket as terminator-position
+    bitmaps. Rows past a bucket's true count hold other segments'
+    data; the host never reads them."""
+    import jax
+    import jax.numpy as jnp
+
+    assert nseg_total < (1 << _IDX_BITS)
+    maxpad = max(max(rem_npads), max(un_npads))
+    ncls = len(_RICE_UCLS)
+    ucls_arr = np.asarray(_RICE_UCLS, np.int32)
+
+    def f(zs, kuw, offs):
+        flat = zs.astype(jnp.int32)
+        kc = kuw[0].astype(jnp.int32)
+        uw = kuw[1]
+        rem_offs = offs[:len(_RICE_KS)]
+        un_offs = offs[len(_RICE_KS):]
+        idxv = jnp.arange(nseg_total, dtype=jnp.int32)
+
+        # Remainder order: rank = k (zero segments sort last).
+        rrank = jnp.where(kc == _RICE_ZERO, len(_RICE_KS), kc)
+        rkey = (rrank << _IDX_BITS) | idxv
+        sidx_rem = jnp.sort(rkey) & ((1 << _IDX_BITS) - 1)
+        sidx_rem = jnp.concatenate([sidx_rem,
+                                    jnp.zeros(maxpad, jnp.int32)])
+
+        # Unary order: rank = word-count class (zero segments last).
+        uws = uw.astype(jnp.int32)
+        urank = jnp.searchsorted(jnp.asarray(ucls_arr), uws)
+        urank = jnp.where(kc == _RICE_ZERO, ncls, urank)
+        ukey = (urank << _IDX_BITS) | idxv
+        sidx_un = jnp.sort(ukey) & ((1 << _IDX_BITS) - 1)
+        sidx_un = jnp.concatenate([sidx_un,
+                                   jnp.zeros(maxpad, jnp.int32)])
+
+        # Unary terminator positions (shared by every class bucket):
+        # pos_i = cumsum(q + 1) - 1, strictly increasing, < 32*UCAP.
+        q = flat >> jnp.minimum(kc, 9)[:, None]
+        pos = _cumsum_lanes_i32(q + 1) - 1
+
+        out = []
+        for j, k in enumerate(_RICE_KS):
+            npad = rem_npads[j]
+            if k == 0:
+                continue                  # no remainder bits
+            idx = jax.lax.dynamic_slice(sidx_rem, (rem_offs[j],),
+                                        (npad,))
+            seg = jnp.take(flat, idx, axis=0).astype(jnp.uint32) \
+                & jnp.uint32((1 << k) - 1)
+            ks = 32 // k
+            nw = _wps(k, RL)
+            seg = jnp.pad(seg, ((0, 0), (0, ks * nw - RL)))
+            parts = seg.reshape(npad, ks, nw)
+            shifts = (jnp.arange(ks, dtype=jnp.uint32) * k)[None, :,
+                                                            None]
+            out.append((parts << shifts).sum(axis=1,
+                                             dtype=jnp.uint32).ravel())
+        for c in range(ncls):
+            npad = un_npads[c]
+            wc = _RICE_UCLS[c]
+            idx = jax.lax.dynamic_slice(sidx_un, (un_offs[c],), (npad,))
+            p = jnp.take(pos, idx, axis=0)
+            pw = p >> 5
+            pb = (jnp.uint32(1) << (p & 31).astype(jnp.uint32))
+            words = []
+            for wi in range(wc):
+                words.append(jnp.sum(
+                    jnp.where(pw == wi, pb, jnp.uint32(0)), axis=1,
+                    dtype=jnp.uint32))
+            out.append(jnp.stack(words, axis=1).ravel())
+        return jnp.concatenate(out)
+
+    return jax.jit(f)
+
+
+def fetch_rgba1010102_rice(out_dev, fetch=np.asarray):
+    """Fetch an (n, h, w) device RGBA1010102 batch via the RCT + Rice
+    segment pack (two device passes, one map fetch + one blob fetch).
+    Returns (host u32 (n, h, w), d2h_bytes), or (None, wasted_bytes)
+    when the content is incompressible or too large for the sort-key
+    index field (caller falls back)."""
+    n, h, w = (int(s) for s in out_dev.shape)
+    if h % G:
+        return None, 0
+    zs, kuw_dev = _rice_widths_fn((n, h, w))(out_dev)
+    maps = np.asarray(kuw_dev)
+    kmap, uwmap = maps[0], maps[1]
+    nseg_total = kmap.size
+    if nseg_total >= (1 << _IDX_BITS):
+        return None, maps.nbytes
+    nonzero = kmap != _RICE_ZERO
+    rem_counts = np.bincount(np.where(nonzero, kmap, len(_RICE_KS)),
+                             minlength=len(_RICE_KS) + 1)
+    ucls_lim = np.asarray(_RICE_UCLS, np.int64)
+    ucls = np.searchsorted(ucls_lim, uwmap.astype(np.int64))
+    un_counts = np.bincount(np.where(nonzero, ucls, len(_RICE_UCLS)),
+                            minlength=len(_RICE_UCLS) + 1)
+
+    rem_npads = tuple(_pow2_pad(max(int(rem_counts[j]), 1), floor=32)
+                      for j in range(len(_RICE_KS)))
+    un_npads = tuple(_pow2_pad(max(int(un_counts[c]), 1), floor=32)
+                     for c in range(len(_RICE_UCLS)))
+    est = (sum(rem_npads[j] * _wps(k, RL) * 4
+               for j, k in enumerate(_RICE_KS) if k)
+           + sum(un_npads[c] * _RICE_UCLS[c] * 4
+                 for c in range(len(_RICE_UCLS)))
+           + maps.nbytes)
+    if est > 0.85 * n * h * w * 4:
+        return None, maps.nbytes
+
+    rem_offs = np.zeros(len(_RICE_KS), np.int32)
+    acc = 0
+    for j in range(len(_RICE_KS)):
+        rem_offs[j] = acc
+        acc += int(rem_counts[j])
+    un_offs = np.zeros(len(_RICE_UCLS), np.int32)
+    acc = 0
+    for c in range(len(_RICE_UCLS)):
+        un_offs[c] = acc
+        acc += int(un_counts[c])
+
+    blob = fetch(_rice_devpack_fn(nseg_total, rem_npads, un_npads)(
+        zs, kuw_dev, np.concatenate([rem_offs, un_offs])))
+    d2h_bytes = blob.nbytes + maps.nbytes
+    out = _host_unpack_rice(blob, kmap, uwmap, rem_counts, un_counts,
+                            rem_npads, un_npads, n, h, w)
+    return out, d2h_bytes
+
+
+def _rice_word_offs(rem_npads, un_npads):
+    """Word offsets of each bucket inside the fused Rice blob."""
+    rem_word_offs = np.zeros(len(_RICE_KS), np.int64)
+    acc = 0
+    for j, k in enumerate(_RICE_KS):
+        rem_word_offs[j] = acc
+        if k:
+            acc += rem_npads[j] * _wps(k, RL)
+    un_word_offs = np.zeros(len(_RICE_UCLS), np.int64)
+    for c in range(len(_RICE_UCLS)):
+        un_word_offs[c] = acc
+        acc += un_npads[c] * _RICE_UCLS[c]
+    return rem_word_offs, un_word_offs
+
+
+def _host_unpack_rice(blob, kmap, uwmap, rem_counts, un_counts,
+                      rem_npads, un_npads, n, h, w):
+    """Host half of the Rice pack: native single-pass C++ when
+    available, else a vectorized numpy fallback (identical output)."""
+    from ..jpeg import native
+
+    rem_word_offs, un_word_offs = _rice_word_offs(rem_npads, un_npads)
+    lib = native.get_lib()
+    if lib is not None and getattr(lib, "uhdr_rice_unpack", None):
+        import ctypes
+
+        blob = np.ascontiguousarray(blob)
+        kmap_c = np.ascontiguousarray(kmap)
+        uw_c = np.ascontiguousarray(uwmap)
+        scratch = np.empty(n * h * w, np.uint16)
+        out = np.empty((n, h, w), np.uint32)
+        rc = lib.uhdr_rice_unpack(
+            kmap_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            uw_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            rem_word_offs.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)),
+            un_word_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, h, w,
+            scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        if rc == 0:
+            return out
+
+    # Numpy fallback: reconstruct z per bucket, then the shared
+    # delta/RCT tail.
+    nseg = kmap.size
+    z = np.zeros((nseg, RL), np.uint16)
+    # Remainders.
+    for j, k in enumerate(_RICE_KS):
+        c = int(rem_counts[j])
+        if k == 0 or c == 0:
+            continue
+        nw = _wps(k, RL)
+        words = blob[rem_word_offs[j]:rem_word_offs[j] + c * nw] \
+            .reshape(c, nw)
+        ks = 32 // k
+        maskv = np.uint32((1 << k) - 1)
+        parts = ((words[None, :, :]
+                  >> (np.arange(ks, dtype=np.uint32) * k)[:, None, None])
+                 & maskv).astype(np.uint16)
+        segs = parts.transpose(1, 0, 2).reshape(c, ks * nw)[:, :RL]
+        idx = np.flatnonzero(kmap == k)
+        z[idx] = segs
+    # Unary quotients.
+    ucls_lim = np.asarray(_RICE_UCLS, np.int64)
+    ucls = np.searchsorted(ucls_lim, uwmap.astype(np.int64))
+    nonzero = kmap != _RICE_ZERO
+    for c in range(len(_RICE_UCLS)):
+        cnt = int(un_counts[c])
+        if cnt == 0:
+            continue
+        wc = _RICE_UCLS[c]
+        words = blob[un_word_offs[c]:un_word_offs[c] + cnt * wc] \
+            .reshape(cnt, wc)
+        bits = ((words[:, :, None]
+                 >> np.arange(32, dtype=np.uint32)[None, None, :]) & 1) \
+            .reshape(cnt, wc * 32)
+        rows_i, cols = np.nonzero(bits)
+        assert rows_i.size == cnt * RL, "corrupt unary bitmap"
+        cols = cols.reshape(cnt, RL).astype(np.int64)
+        q = np.empty((cnt, RL), np.int64)
+        q[:, 0] = cols[:, 0]
+        q[:, 1:] = np.diff(cols, axis=1) - 1
+        idx = np.flatnonzero(nonzero & (ucls == c))
+        ksel = kmap[idx].astype(np.uint16)
+        z[idx] = ((q.astype(np.uint16) << ksel[:, None]) | z[idx])
+    return _rct_tail_numpy(z, n, h, w)
+
+
+def _rct_tail_numpy(z, n, h, w):
+    """Shared numpy tail: un-zigzag, grouped cumsum, RCT recorrelate,
+    RGBA1010102 pack. z: (nseg, RL) u16 in original segment order."""
+    wp = -(-w // RL) * RL
+    rows = 3 * n * h
+    zz = z.reshape(rows, wp).view(np.int16)
+    ds = (zz >> 1) ^ -(zz & 1)
+    grp = ds.astype(np.int32).reshape(rows // G, G, wp)
+    np.cumsum(grp, axis=1, out=grp)
+    big = grp.reshape(rows, wp)[:, :w]
+    big &= 1023
+    gpl = big[:n * h].reshape(n, h, w)
+    rpl = (big[n * h:2 * n * h].reshape(n, h, w) + gpl) & 1023
+    bpl = (big[2 * n * h:].reshape(n, h, w) + gpl) & 1023
+    return (rpl.astype(np.uint32) | (gpl.astype(np.uint32) << 10)
+            | (bpl.astype(np.uint32) << 20) | np.uint32(0xC0000000))
+
+
 def _host_unpack_rct(blob, bmap, counts, npads, n, h, w):
     """Host half of the RCT fine-width pack: native single-pass C++
     (jpeg/native/packio.cpp) when available, else the vectorized numpy

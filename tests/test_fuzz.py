@@ -461,6 +461,76 @@ class TestPackioNativeFuzz:
         rc = self._call_unpack(bmap, blob, npads, n, h, w)
         assert rc == 0
 
+    def _call_rice(self, kmap, uwmap, blob, n, h, w):
+        import ctypes
+
+        from libultrahdr_dev_tpu.jpeg import native
+        from libultrahdr_dev_tpu.parallel import packio
+        lib = native.get_lib()
+        if getattr(lib, "uhdr_rice_unpack", None) is None:
+            pytest.skip("native rice unpack unavailable")
+        nonzero = kmap != packio._RICE_ZERO
+        rem_counts = np.bincount(np.where(nonzero, kmap, 10),
+                                 minlength=11)
+        ucls = np.searchsorted(np.asarray(packio._RICE_UCLS, np.int64),
+                               uwmap.astype(np.int64))
+        un_counts = np.bincount(
+            np.where(nonzero, np.minimum(ucls, 7), 7), minlength=8)
+        rem_npads = tuple(int(rem_counts[j]) for j in range(10))
+        un_npads = tuple(int(un_counts[c]) for c in range(7))
+        rem_offs, un_offs = packio._rice_word_offs(rem_npads, un_npads)
+        need = int(un_offs[-1] + un_npads[-1] * packio._RICE_UCLS[-1])
+        blob = np.ascontiguousarray(blob, np.uint32)
+        if blob.size < need:
+            blob = np.pad(blob, (0, need - blob.size))
+        scratch = np.empty(n * h * w, np.uint16)
+        out = np.empty(n * h * w, np.uint32)
+        return lib.uhdr_rice_unpack(
+            np.ascontiguousarray(kmap).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)),
+            np.ascontiguousarray(uwmap).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)),
+            blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            rem_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            un_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, h, w,
+            scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+
+    def test_rice_random_maps_survive(self):
+        # random valid-range k/uw maps with a random blob: the unary
+        # bitmaps rarely carry exactly 256 terminators, so -5 (fail
+        # closed) is the common outcome; 0 is fine; crashes are not.
+        from libultrahdr_dev_tpu.parallel import packio
+        n, h, w = 1, 32, 512
+        nseg = 3 * n * h * ((w + 255) // 256)
+        for seed in range(5):
+            rng = np.random.default_rng(seed)
+            kmap = rng.choice(
+                np.array([*range(10), packio._RICE_ZERO], np.uint8),
+                nseg)
+            uwmap = rng.integers(0, 25, nseg).astype(np.uint8)
+            uwmap[kmap == packio._RICE_ZERO] = 0
+            blob = rng.integers(0, 2**32, 1 << 16, np.uint64).astype(
+                np.uint32)
+            rc = self._call_rice(kmap, uwmap, blob, n, h, w)
+            assert rc in (0, -5), (seed, rc)
+
+    def test_rice_invalid_codes_rejected(self):
+        from libultrahdr_dev_tpu.parallel import packio
+        n, h, w = 1, 32, 256
+        nseg = 3 * n * h
+        kmap = np.zeros(nseg, np.uint8)
+        uwmap = np.full(nseg, 8, np.uint8)
+        # at segment 0, before any bitmap decode can fail with -5
+        kmap[0] = 11                          # invalid k code
+        assert self._call_rice(kmap, uwmap, np.zeros(4, np.uint32),
+                               n, h, w) == -3
+        kmap[0] = 0
+        uwmap[0] = 30                         # above the widest class
+        assert self._call_rice(kmap, uwmap, np.zeros(4, np.uint32),
+                               n, h, w) == -4
+
     def test_seg_widths_fill_roundtrip_random(self):
         # native forward pack of random 10-bit noise agrees with the
         # numpy packer and unpacks exactly on device.

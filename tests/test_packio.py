@@ -183,6 +183,98 @@ class TestRctBatchFetch:
         np.testing.assert_array_equal(res[0], rgba)
 
 
+class TestRiceBatchFetch:
+    """RCT + Rice(k) readback pack (packio.fetch_rgba1010102_rice):
+    exact u32 reconstruction through the unary-bitmap + remainder-slot
+    layout, native/numpy host-unpack agreement, and the corrupt-map
+    guards of the native decoder."""
+
+    _rgba = TestRctBatchFetch._rgba
+
+    @pytest.mark.parametrize("n,h,w,noise", [
+        (1, 96, 512, 0),       # low-k segments + all-zero class
+        (2, 160, 840, 7),      # non-multiple-of-256 width (edge pad)
+        (1, 96, 768, 300),     # heavy deltas: high k + wide unary
+    ])
+    def test_roundtrip_exact(self, n, h, w, noise):
+        import jax
+        rgba = self._rgba(n, h, w, seed=h + w, noise=noise)
+        out, nbytes = packio.fetch_rgba1010102_rice(
+            jax.device_put(rgba))
+        if out is None:
+            pytest.skip("content fell back (allowed)")
+        np.testing.assert_array_equal(out, rgba)
+        assert nbytes > 0
+
+    def test_incompressible_returns_none(self):
+        import jax
+        rng = np.random.default_rng(0)
+        rgba = rng.integers(0, 2**32, (1, 64, 256), np.uint64).astype(
+            np.uint32) | np.uint32(0xC0000000)
+        out, wasted = packio.fetch_rgba1010102_rice(
+            jax.device_put(rgba))
+        assert out is None
+        # The stacked (kcode, uw) map crossed the link first: 2 bytes
+        # per segment.
+        assert wasted == 3 * 64 * 1 * 2
+
+    def test_native_and_numpy_unpack_agree(self, monkeypatch):
+        import jax
+
+        from libultrahdr_dev_tpu.jpeg import native
+        lib = native.get_lib()
+        if lib is None or getattr(lib, "uhdr_rice_unpack", None) is None:
+            pytest.skip("native rice unpack unavailable")
+        rgba = self._rgba(2, 160, 840, seed=11, noise=5)
+        res = packio.fetch_rgba1010102_rice(jax.device_put(rgba))
+        assert res[0] is not None
+        monkeypatch.setattr(native, "get_lib", lambda: None)
+        res2 = packio.fetch_rgba1010102_rice(jax.device_put(rgba))
+        np.testing.assert_array_equal(res[0], res2[0])
+        assert res[1] == res2[1]
+        np.testing.assert_array_equal(res[0], rgba)
+
+    def test_native_rejects_corrupt_maps(self):
+        """The per-segment maps cross an untrusted link; the native
+        decoder must fail closed (nonzero rc) instead of reading out
+        of bucket bounds."""
+        import ctypes
+
+        from libultrahdr_dev_tpu.jpeg import native
+        lib = native.get_lib()
+        if lib is None or getattr(lib, "uhdr_rice_unpack", None) is None:
+            pytest.skip("native rice unpack unavailable")
+        n, h, w = 1, 32, 256
+        nseg = 3 * n * h
+        blob = np.zeros(8192, np.uint32)
+        rem_offs = np.zeros(10, np.int64)
+        un_offs = np.zeros(7, np.int64)
+        scratch = np.empty(n * h * w, np.uint16)
+        out = np.empty(n * h * w, np.uint32)
+
+        def call(kmap, uwmap):
+            return lib.uhdr_rice_unpack(
+                kmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                uwmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                rem_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                un_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                n, h, w,
+                scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+
+        kmap = np.full(nseg, 12, np.uint8)      # invalid k code
+        assert call(kmap, np.zeros(nseg, np.uint8)) == -3
+        kmap = np.zeros(nseg, np.uint8)          # k=0, uw > max class
+        assert call(kmap, np.full(nseg, 25, np.uint8)) == -4
+        # k=0, uw=8 but an all-zero bitmap: too few terminators.
+        assert call(kmap, np.full(nseg, 8, np.uint8)) == -5
+        # all-zero sentinel everywhere decodes to mid-gray-free zeros
+        kmap = np.full(nseg, 15, np.uint8)
+        assert call(kmap, np.zeros(nseg, np.uint8)) == 0
+        assert np.all(out == ((0 << 10) | 0xC0000000))
+
+
 class TestNativeForwardPack:
     """pack_plane_host's native path (uhdr_seg_widths/uhdr_seg_fill)
     must be bit-identical to the numpy path: same plan, buckets and
