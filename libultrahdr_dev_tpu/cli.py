@@ -15,10 +15,20 @@ Mirrors the reference demo app's flag surface
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# Honor an explicit JAX_PLATFORMS request. Some deployments pin jax to
+# a remote accelerator in sitecustomize via jax.config.update, which
+# silently outranks the standard env var; a user (or test harness)
+# that sets the var for this tool means it.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from .api import UhdrDecoder, UhdrEncoder, HDR_IMG, SDR_IMG, BASE_IMG
 from .types import (ColorGamut, ColorTransfer, CompressedImage,

@@ -46,7 +46,11 @@ def _pad_plane(plane: np.ndarray, mult) -> np.ndarray:
 
 
 def _np(x) -> np.ndarray:
-    return np.asarray(x)
+    # ascontiguousarray, not asarray: fetching a 2-D device array over
+    # the axon relay can return F-contiguous memory, and decoded
+    # planes feed ctypes consumers (libheif/libavif) that read raw
+    # row-major bytes. No copy when already C-ordered.
+    return np.ascontiguousarray(x)
 
 
 def _huff_arrays(selections):
@@ -1091,10 +1095,68 @@ def _run_baseline_scan(entropy: bytes, scan, comps, grids, mcus_x,
         off += nb
 
 
+# Below this pixel count the host entropy decode costs single-digit
+# ms and the device dispatch + per-shape compile would dominate; the
+# TPU path only pays off on large frames.
+_DEVICE_DECODE_MIN_PIXELS = 1 << 20
+
+
+def _decode_jpeg_device_path(data: bytes) -> DecodedJpeg | None:
+    """TPU-parallel decode for qualifying baseline streams (any of the
+    three wild samplings, restart markers or not): entropy decode +
+    dequant/IDCT fully on device, only the ~stream-sized destuffed
+    bytes cross the link. Returns None when the stream doesn't qualify
+    or is too small to win (the host path is the universal
+    fallback)."""
+    from . import device_decode as dd
+
+    try:
+        res = dd.decode_jpeg_device(data)
+    except Exception:
+        return None
+    if res is None:
+        return None
+    ds, planes = res
+    w, h = ds.width, ds.height
+    result = DecodedJpeg(w, h, 1 if ds.gray else 3,
+                         icc=ds.icc, exif=ds.exif, xmp=ds.xmp)
+    if ds.gray:
+        result.planes.append(_np(planes[0])[:h, :w])
+        result.sampling.append((1, 1))
+        return result
+    hs, vs = ds.sampling
+    ch, cw = -(-h // vs), -(-w // hs)
+    for plane, (ph, pw), samp in zip(
+            planes, ((h, w), (ch, cw), (ch, cw)),
+            (ds.sampling, (1, 1), (1, 1))):
+        result.planes.append(_np(plane)[:ph, :pw])
+        result.sampling.append(samp)
+    return result
+
+
 def decode_jpeg(data: bytes) -> DecodedJpeg:
     """Decode a baseline or progressive JPEG to per-component planes
     (no chroma upsampling — JPEG/R consumes 4:2:0 planes directly,
-    matching the reference's jpeg_read_raw_data path)."""
+    matching the reference's jpeg_read_raw_data path).
+
+    Large qualifying baseline streams take the TPU-parallel path
+    (bit-identical to the host decode, tested); everything else —
+    progressive, arithmetic, exotic sampling, corrupt or tiny streams
+    — goes through the host entropy decoder."""
+    # Cheap size probe (marker walk only): the device path re-parses,
+    # so gate just on the SOF dims it would accept.
+    from ..container import jfif
+
+    dev = None
+    try:
+        hdr = jfif.parse_jpeg_info(data)
+        big = hdr.width * hdr.height >= _DEVICE_DECODE_MIN_PIXELS
+    except Exception:
+        big = False
+    if big:
+        dev = _decode_jpeg_device_path(data)
+    if dev is not None:
+        return dev
     coefs = decode_jpeg_coefs(data)
     result = DecodedJpeg(coefs.width, coefs.height, coefs.ncomp,
                          icc=coefs.icc, exif=coefs.exif, xmp=coefs.xmp)

@@ -239,7 +239,8 @@ def split_rst_stream(entropy: bytes, n_chunks: int):
 
 
 def scan_foreign_stream(entropy: bytes, n_mcus: int, gray: bool,
-                        specs, r_mcus: int):
+                        specs, r_mcus: int,
+                        sampling: tuple = (2, 2)):
     """Synthesize device-decodable segments for a RESTART-LESS
     baseline stream: a native lengths-only scan (entropy.cpp
     uhdr_huff_scan_offsets) walks every codeword once and records the
@@ -281,7 +282,8 @@ def scan_foreign_stream(entropy: bytes, n_mcus: int, gray: bool,
         pattern = np.zeros(1, np.uint8)
         sel = np.zeros(1, np.uint8)
     else:
-        pattern = np.array([0, 0, 0, 0, 1, 2], np.uint8)
+        ypm = sampling[0] * sampling[1]
+        pattern = np.array([0] * ypm + [1, 2], np.uint8)
         sel = np.array([0, 1, 1], np.uint8)
     mcu_blocks = len(pattern)
 
@@ -353,7 +355,8 @@ def _signed_extend(extra, nbits):
 
 def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
                       chains=None, min_code_bits: int = 2,
-                      start_bits=None, dc_carry: bool = False):
+                      start_bits=None, dc_carry: bool = False,
+                      ypm: int = 4):
     """Traceable device decode of restart-interval chunks.
 
     chunks_u8: (NC, L) u8 destuffed interval bytes (zero-padded).
@@ -371,13 +374,15 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
     restart-less stream) rather than prediction-reset intervals; add
     each lane's carry-in (exclusive prefix over the previous lanes'
     local DC sums) to its decoded DC coefficients.
+    ypm: luma blocks per MCU for color streams (4 = 4:2:0, 2 = 4:2:2,
+    1 = 4:4:4); the interleave pattern is [Y*ypm, U, V].
     Returns (NC * r_mcus * bpm, 64) i16 MCU-ordered zigzag blocks
-    (bpm = 6 for 4:2:0, 1 for grayscale); trailing pad blocks (beyond
-    n_mcus) are zero.
+    (bpm = ypm + 2 for color, 1 for grayscale); trailing pad blocks
+    (beyond n_mcus) are zero.
     """
     dc_l, ac_l, dc_c, ac_c = chains or _ANNEX_K_CHAINS
     nc, L = chunks_u8.shape
-    bpm = 1 if gray else 6
+    bpm = 1 if gray else ypm + 2
     cb = bpm * r_mcus
     W = _window_table(chunks_u8)
     lane = jnp.arange(nc, dtype=jnp.int32)
@@ -396,8 +401,8 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
         valid bits) window; returns the advanced lane state plus the
         emission for the dense out-buffer write."""
         peek = win >> 16
-        slot = blk % 6
-        is_luma = True if gray else slot < 4
+        slot = blk % bpm
+        is_luma = True if gray else slot < ypm
         is_dc = k == 0
         if gray:
             dc_pk = _eval_chain(peek, dc_l)
@@ -421,9 +426,9 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
             comp = jnp.zeros_like(blk)
             dc_pred = dcp[:, 0]
         else:
-            comp = jnp.where(slot < 4, 0, slot - 3)
-            dc_pred = jnp.where(slot < 4, dcp[:, 0],
-                                jnp.where(slot == 4, dcp[:, 1],
+            comp = jnp.where(slot < ypm, 0, slot - (ypm - 1))
+            dc_pred = jnp.where(slot < ypm, dcp[:, 0],
+                                jnp.where(slot == ypm, dcp[:, 1],
                                           dcp[:, 2]))
         new_dc = dc_pred + val
 
@@ -506,7 +511,7 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
         dcp_final = end[3]                               # (NC, 3)
         carry = jnp.cumsum(dcp_final, axis=0) - dcp_final
         comp_map = (np.zeros(cb, np.int32) if gray else
-                    np.tile(np.array([0, 0, 0, 0, 1, 2], np.int32),
+                    np.tile(np.array([0] * ypm + [1, 2], np.int32),
                             r_mcus))
         out = out.reshape(nc, cb, 64)
         out = out.at[:, :, 0].add(
@@ -514,17 +519,27 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
     return out.reshape(nc * r_mcus * bpm, 64)
 
 
-def deinterleave_yuv420_device(blocks, mcus_x: int, mcus_y: int):
-    """Inverse of device_entropy.interleave_blocks_device: MCU-ordered
-    [4Y, U, V] blocks -> per-component block grids (flattened row-major,
-    ready for dequant_idct). blocks may carry trailing pad MCUs."""
+def deinterleave_ycbcr_device(blocks, mcus_x: int, mcus_y: int,
+                              hs: int = 2, vs: int = 2):
+    """Inverse of the [Y*hs*vs, U, V] MCU interleave for luma sampling
+    (hs, vs) with 1x1 chroma: MCU-ordered blocks -> per-component
+    block grids (flattened row-major, ready for dequant_idct). blocks
+    may carry trailing pad MCUs."""
     n = mcus_x * mcus_y
-    bm = blocks[: n * 6].reshape(n, 6, 64)
-    yb = bm[:, :4].reshape(mcus_y, mcus_x, 2, 2, 64)
-    yz = yb.transpose(0, 2, 1, 3, 4).reshape(mcus_y * 2 * mcus_x * 2, 64)
-    uz = bm[:, 4].reshape(mcus_y * mcus_x, 64)
-    vz = bm[:, 5].reshape(mcus_y * mcus_x, 64)
+    bpm = hs * vs + 2
+    bm = blocks[: n * bpm].reshape(n, bpm, 64)
+    yb = bm[:, :hs * vs].reshape(mcus_y, mcus_x, vs, hs, 64)
+    yz = yb.transpose(0, 2, 1, 3, 4).reshape(
+        mcus_y * vs * mcus_x * hs, 64)
+    uz = bm[:, hs * vs].reshape(mcus_y * mcus_x, 64)
+    vz = bm[:, hs * vs + 1].reshape(mcus_y * mcus_x, 64)
     return yz, uz, vz
+
+
+def deinterleave_yuv420_device(blocks, mcus_x: int, mcus_y: int):
+    """4:2:0 compat wrapper (the JPEG/R fused decode path is pinned to
+    2x2/1x1/1x1 sampling, matching the reference's decoder)."""
+    return deinterleave_ycbcr_device(blocks, mcus_x, mcus_y, 2, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -547,10 +562,11 @@ class DeviceStream:
     __slots__ = ("width", "height", "gray", "restart_interval", "dest",
                  "starts_byte", "win_len", "qtables", "icc", "exif",
                  "xmp", "mcus_x", "mcus_y", "tables_key", "start_bits",
-                 "_chunks")
+                 "sampling", "_chunks")
 
     def __init__(self, **kw):
         self.start_bits = None
+        self.sampling = (2, 2)   # luma (h, v); (1, 1) for grayscale
         self._chunks = None
         for k, v in kw.items():
             setattr(self, k, v)
@@ -669,14 +685,21 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
         return None
     if len(comps) == 1:
         gray = True
+        hs = vs = 1
         if comps[0][1:3] != (1, 1):
             return None
         mcus_x, mcus_y = -(-w // 8), -(-h // 8)
     elif len(comps) == 3:
         gray = False
-        if [c[1:3] for c in comps] != [(2, 2), (1, 1), (1, 1)]:
+        samp = [c[1:3] for c in comps]
+        if samp[1:] != [(1, 1), (1, 1)]:
             return None
-        mcus_x, mcus_y = -(-w // 16), -(-h // 16)
+        hs, vs = samp[0]
+        # 4:2:0, 4:2:2 and 4:4:4 (the wild's three samplings); the
+        # rare transposed 1x2 falls back to the host decoder.
+        if (hs, vs) not in ((2, 2), (2, 1), (1, 1)):
+            return None
+        mcus_x, mcus_y = -(-w // (8 * hs)), -(-h // (8 * vs))
     else:
         return None
     if any(c[3] not in qtables for c in comps):
@@ -724,7 +747,7 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
         # lane count our own encoder's restart intervals give).
         restart = max(1, -(-n_mcus // 12288))
         scanned = scan_foreign_stream(entropy, n_mcus, gray, specs,
-                                      restart)
+                                      restart, sampling=(hs, vs))
         if scanned is None:
             return None
         dest, starts_byte, start_bits, win_len = scanned
@@ -733,31 +756,36 @@ def parse_device_stream(data: bytes) -> DeviceStream | None:
         dest=dest, starts_byte=starts_byte, win_len=win_len,
         qtables=[qtables[c[3]] for c in comps],
         icc=icc, exif=exif, xmp=xmp_b, mcus_x=mcus_x, mcus_y=mcus_y,
-        tables_key=tkey, start_bits=start_bits)
+        tables_key=tkey, start_bits=start_bits, sampling=(hs, vs))
 
 
 @lru_cache(maxsize=None)
 def _decode_to_planes_kernel(nc: int, L: int, r: int, n_mcus: int,
                              mcus_x: int, mcus_y: int, gray: bool,
                              qkey: bytes, tkey: bytes | None = None,
-                             carry: bool = False):
+                             carry: bool = False,
+                             sampling: tuple = (2, 2)):
     """Jitted chunks -> pixel planes (entropy decode + dequant/IDCT).
     With carry=True the kernel takes (chunks, start_bits) for foreign
-    synthesized-segment streams."""
+    synthesized-segment streams. sampling = luma (h, v) factors for
+    color streams (chroma always 1x1)."""
     from .dct import dequant_idct
 
     qts = np.frombuffer(qkey, np.int32).reshape(-1, 8, 8)
     chains = chains_from_key(tkey) if tkey else None
     mcb = min_code_len_from_key(tkey)
+    hs, vs = sampling
 
     def impl(chunks, starts):
         blocks = decode_rst_chunks(chunks, r, n_mcus, gray, chains, mcb,
-                                   start_bits=starts, dc_carry=carry)
+                                   start_bits=starts, dc_carry=carry,
+                                   ypm=hs * vs)
         if gray:
             return (dequant_idct(blocks[: n_mcus], qts[0], mcus_y * 8,
                                  mcus_x * 8),)
-        yz, uz, vz = deinterleave_yuv420_device(blocks, mcus_x, mcus_y)
-        y = dequant_idct(yz, qts[0], mcus_y * 16, mcus_x * 16)
+        yz, uz, vz = deinterleave_ycbcr_device(blocks, mcus_x, mcus_y,
+                                               hs, vs)
+        y = dequant_idct(yz, qts[0], mcus_y * 8 * vs, mcus_x * 8 * hs)
         u = dequant_idct(uz, qts[1], mcus_y * 8, mcus_x * 8)
         v = dequant_idct(vz, qts[2], mcus_y * 8, mcus_x * 8)
         return y, u, v
@@ -786,7 +814,7 @@ def decode_jpeg_device(data: bytes):
     kernel = _decode_to_planes_kernel(
         ds.chunks.shape[0], ds.chunks.shape[1], ds.restart_interval,
         ds.mcus_x * ds.mcus_y, ds.mcus_x, ds.mcus_y, ds.gray, qkey,
-        ds.tables_key, carry)
+        ds.tables_key, carry, ds.sampling)
     planes = (kernel(jnp.asarray(ds.chunks), jnp.asarray(ds.start_bits))
               if carry else kernel(jnp.asarray(ds.chunks)))
     return ds, planes

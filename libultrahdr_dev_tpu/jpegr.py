@@ -410,7 +410,11 @@ class JpegR:
         from .jpeg import device_decode as dd
 
         ds = dd.parse_device_stream(primary_bytes)
-        if ds is None or ds.gray:
+        # Non-4:2:0 bases bail to the host path, which raises the
+        # reference's "not YCbCr 4:2:0" error (jpegr.cpp decode
+        # requires 2x2/1x1/1x1; the general device decoder accepts
+        # 4:2:2/4:4:4 for plain-JPEG ingest only).
+        if ds is None or ds.gray or ds.sampling != (2, 2):
             return None
         dsg = dd.parse_device_stream(gainmap_bytes)
         if dsg is None or not dsg.gray:

@@ -159,7 +159,12 @@ def fetch_1010102_packed(out_dev, stats=None):
     # Without the native unpacker the Rice host half costs seconds
     # per 4K batch on this single core — only the fine path then.
     if lib is not None and getattr(lib, "uhdr_rice_unpack", None):
-        out, d2h_bytes = packio.fetch_rgba1010102_rice(out_dev)
+        try:
+            out, d2h_bytes = packio.fetch_rgba1010102_rice(out_dev)
+        except Exception:
+            # Platform quirk in the newer path must never take down a
+            # serving loop: the fine-width pack is the proven fallback.
+            out, d2h_bytes = None, 0
         if out is None:
             wasted += d2h_bytes
     if out is None:
@@ -648,8 +653,8 @@ def _batched_decode_device(blobs, output_format: str,
     else:
         parsed = [prep(blobs[0])]
     for ds, dsg in parsed:
-        if ds is None or ds.gray or dsg is None or not dsg.gray \
-                or dsg.xmp is None:
+        if ds is None or ds.gray or ds.sampling != (2, 2) \
+                or dsg is None or not dsg.gray or dsg.xmp is None:
             return None
 
     ds0, dsg0 = parsed[0]

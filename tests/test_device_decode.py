@@ -144,6 +144,76 @@ class TestForeignDeviceDecode:
         assert np.array_equal(np.asarray(dev.image.planes["rgba"]),
                               np.asarray(host.image.planes["rgba"]))
 
+    @pytest.mark.parametrize("subsampling,samp", [
+        (1, (2, 1)),   # 4:2:2
+        (0, (1, 1)),   # 4:4:4
+    ])
+    def test_422_444_bit_exact_vs_host(self, subsampling, samp):
+        # The wild's other two samplings ride the device decoder too
+        # (the reference gets them from libjpeg; parse_device_stream
+        # accepts [hs,vs]/1x1/1x1 and the kernel decodes the
+        # [Y*ypm, U, V] interleave).
+        import io
+
+        from PIL import Image
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, (152, 216, 3), np.uint8)
+        img = ((img.astype(np.float32) + np.roll(img, 1, 0)) / 2
+               ).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, "JPEG", quality=90,
+                                  subsampling=subsampling)
+        blob = b.getvalue()
+        res = dd.decode_jpeg_device(blob)
+        assert res is not None
+        ds, planes = res
+        assert ds.sampling == samp
+        host = codec.decode_jpeg(blob)
+        assert host.sampling[0] == samp
+        for p, hp in zip(planes, host.planes):
+            a = np.asarray(p)[: hp.shape[0], : hp.shape[1]]
+            assert np.array_equal(a, hp)
+
+    @pytest.mark.parametrize("shape,chroma_div", [
+        ((128, 120), (1, 2)),   # 4:2:2: full-height chroma
+        ((96, 136), (1, 1)),    # 4:4:4
+    ])
+    def test_422_444_rst_streams(self, shape, chroma_div):
+        # Restart-marked 4:2:2/4:4:4 (our own encoder emits them; the
+        # device path splits at RST markers, no scan needed).
+        h, w = shape
+        dv, dh = chroma_div
+        rng = np.random.default_rng(h)
+        planes = {
+            "y": rng.integers(0, 256, (h, w), np.uint8),
+            "u": rng.integers(0, 256, (h // dv, w // dh), np.uint8),
+            "v": rng.integers(0, 256, (h // dv, w // dh), np.uint8),
+        }
+        blob = codec.encode_jpeg(planes, quality=85, restart_interval=7)
+        res = dd.decode_jpeg_device(blob)
+        assert res is not None
+        ds, dplanes = res
+        assert ds.start_bits is None  # real RST lanes, not synthesized
+        host = codec.decode_jpeg(blob)
+        for p, hp in zip(dplanes, host.planes):
+            a = np.asarray(p)[: hp.shape[0], : hp.shape[1]]
+            assert np.array_equal(a, hp)
+
+    def test_decode_jpeg_prefers_device_when_large(self, monkeypatch):
+        # codec.decode_jpeg routes big qualifying streams through the
+        # device path; output must be identical to the host path.
+        blob = self._foreign_jpeg(160, 240, seed=9)
+        monkeypatch.setattr(codec, "_DEVICE_DECODE_MIN_PIXELS", 0)
+        via_device = codec.decode_jpeg(blob)
+        monkeypatch.setattr(codec, "_DEVICE_DECODE_MIN_PIXELS",
+                            1 << 62)
+        via_host = codec.decode_jpeg(blob)
+        assert via_device.sampling == via_host.sampling
+        for a, b in zip(via_device.planes, via_host.planes):
+            assert np.array_equal(a, b)
+        assert via_device.icc == via_host.icc
+        assert via_device.exif == via_host.exif
+
     def test_corrupt_foreign_stream_falls_back(self):
         blob = bytearray(self._foreign_jpeg(128, 192, seed=3))
         # chop entropy bytes out of the middle: the scan over-consumes
