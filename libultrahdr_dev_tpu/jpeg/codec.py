@@ -272,6 +272,42 @@ def ycbcr_jpeg_headers(w: int, h: int, quality: int,
     return bytes(out)
 
 
+# Below this pixel count the host native entropy encoder's single-
+# digit-ms cost beats the device dispatch; above it the scatter-free
+# TPU assembly wins (and its output is byte-identical, tested).
+_DEVICE_ENCODE_MIN_PIXELS = 1 << 20
+
+
+def _device_rst_entropy(blocks: np.ndarray, restart_interval: int,
+                        ypm: int | None) -> bytes | None:
+    """Entropy-code MCU-interleaved zigzag blocks on device via the
+    scatter-free restart-marker assembly (Annex-K tables — the only
+    tables this encoder emits). ypm = luma blocks per MCU, None for
+    grayscale. Returns the stuffed entropy segment (RSTn markers
+    included) or None on overflow / any device failure (the caller's
+    host encoder is the universal fallback)."""
+    try:
+        import jax.numpy as jnp
+
+        from . import device_entropy as de
+
+        b = jnp.asarray(np.ascontiguousarray(blocks, np.int16))
+        if ypm is None:
+            kern = de._rst_kernel_gray(blocks.shape[0],
+                                       restart_interval)
+        else:
+            kern = de._rst_kernel_ycbcr(blocks.shape[0],
+                                        restart_interval, ypm)
+        sw, cbits, total, ovf = kern(b)
+        if bool(ovf):
+            return None
+        return de.finalize_rst_stream(np.asarray(sw[:int(total)]),
+                                      np.asarray(cbits),
+                                      restart_interval)
+    except Exception:
+        return None
+
+
 def assemble_gray_jpeg(yz: np.ndarray, w: int, h: int, quality: int,
                        icc: bytes | None = None,
                        restart_interval: int = 0,
@@ -282,6 +318,13 @@ def assemble_gray_jpeg(yz: np.ndarray, w: int, h: int, quality: int,
     out = bytearray(gray_jpeg_headers(w, h, quality, icc,
                                       restart_interval, arithmetic))
     comp_ids = np.zeros(yz.shape[0], np.uint8)
+    if not arithmetic and restart_interval \
+            and w * h >= _DEVICE_ENCODE_MIN_PIXELS:
+        seg = _device_rst_entropy(yz, restart_interval, None)
+        if seg is not None:
+            out += seg
+            out += b"\xff\xd9"
+            return bytes(out)
     if arithmetic:
         from . import arith as ar
         out += ar.encode_seq_scan(
@@ -329,6 +372,13 @@ def assemble_ycbcr_jpeg(yz: np.ndarray, uz: np.ndarray, vz: np.ndarray,
 
     out = bytearray(ycbcr_jpeg_headers(w, h, quality, sampling, icc,
                                        restart_interval, arithmetic))
+    if not arithmetic and restart_interval \
+            and w * h >= _DEVICE_ENCODE_MIN_PIXELS:
+        seg = _device_rst_entropy(blocks, restart_interval, hs * vs)
+        if seg is not None:
+            out += seg
+            out += b"\xff\xd9"
+            return bytes(out)
     if arithmetic:
         from . import arith as ar
         out += ar.encode_seq_scan(

@@ -495,31 +495,34 @@ def _rst_assemble(words, blen, cb: int, cap_per_block: int | None):
     return vals_s, clen, jnp.sum(cwords), overflow
 
 
-def encode_yuv420_rst_stream(blocks_i16, r_mcus: int,
-                             cap_per_block: int | None = None):
-    """Traceable scatter-free encode of MCU-interleaved 4:2:0 blocks
-    with a restart interval of r_mcus.
+def encode_ycbcr_rst_stream(blocks_i16, r_mcus: int,
+                            cap_per_block: int | None = None,
+                            ypm: int = 4):
+    """Traceable scatter-free encode of MCU-interleaved YCbCr blocks
+    ([Y*ypm, U, V] pattern; ypm = 4 for 4:2:0, 2 for 4:2:2, 1 for
+    4:4:4) with a restart interval of r_mcus.
 
     Luma and chroma blocks are processed as separate slices (static
-    strided views of the [4Y, U, V] MCU pattern) so each subset runs
-    only its own table's select chains — the per-position symbol work
-    halves vs computing both variants and selecting.
+    strided views of the MCU pattern) so each subset runs only its
+    own table's select chains — the per-position symbol work halves
+    vs computing both variants and selecting.
 
     Returns (stream_words sorted-compact, chunk_bits (NC,),
     total_words scalar, overflow flag)."""
     blocks = blocks_i16.astype(jnp.int32)
     n = blocks.shape[0]
-    assert n % 6 == 0
-    cb = 6 * r_mcus
-    by_mcu = blocks.reshape(-1, 6, 64)
-    luma = by_mcu[:, :4].reshape(-1, 64)       # (4*n_mcus, 64)
-    chroma = by_mcu[:, 4:].reshape(-1, 64)     # (2*n_mcus, 64)
+    bpm = ypm + 2
+    assert n % bpm == 0
+    cb = bpm * r_mcus
+    by_mcu = blocks.reshape(-1, bpm, 64)
+    luma = by_mcu[:, :ypm].reshape(-1, 64)     # (ypm*n_mcus, 64)
+    chroma = by_mcu[:, ypm:].reshape(-1, 64)   # (2*n_mcus, 64)
 
     # DC predictions with per-restart-interval resets (T.81 E.2.4).
     ldc = luma[:, 0]
     ldc_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), ldc[:-1]])
     lidx = jnp.arange(luma.shape[0], dtype=jnp.int32)
-    ldc_prev = jnp.where(lidx % (4 * r_mcus) == 0, 0, ldc_prev)
+    ldc_prev = jnp.where(lidx % (ypm * r_mcus) == 0, 0, ldc_prev)
     cdc = chroma.reshape(-1, 2, 64)[:, :, 0]   # (n_mcus, [U, V])
     cdc_prev = jnp.concatenate(
         [jnp.zeros((1, 2), jnp.int32), cdc[:-1]], axis=0)
@@ -529,17 +532,24 @@ def encode_yuv420_rst_stream(blocks_i16, r_mcus: int,
     lvals, llens = _units_for_blocks(luma, ldc_prev, True)
     cvals, clens = _units_for_blocks(chroma, cdc_prev.reshape(-1), False)
 
-    # Re-interleave per-MCU: [4 luma, 2 chroma] unit rows.
+    # Re-interleave per-MCU: [ypm luma, 2 chroma] unit rows.
     vals = jnp.concatenate(
-        [lvals.reshape(-1, 4, 65), cvals.reshape(-1, 2, 65)],
+        [lvals.reshape(-1, ypm, 65), cvals.reshape(-1, 2, 65)],
         axis=1).reshape(-1, 65)
     lens = jnp.concatenate(
-        [llens.reshape(-1, 4, 65), clens.reshape(-1, 2, 65)],
+        [llens.reshape(-1, ypm, 65), clens.reshape(-1, 2, 65)],
         axis=1).reshape(-1, 65)
 
     words, blen, overflow = _block_word_buffers(vals, lens)
     sw, clen, total, covf = _rst_assemble(words, blen, cb, cap_per_block)
     return sw, clen, total, overflow | covf
+
+
+def encode_yuv420_rst_stream(blocks_i16, r_mcus: int,
+                             cap_per_block: int | None = None):
+    """4:2:0 entry (the batched JPEG/R production path)."""
+    return encode_ycbcr_rst_stream(blocks_i16, r_mcus, cap_per_block,
+                                   ypm=4)
 
 
 def encode_gray_rst_stream(blocks_i16, r_mcus: int,
@@ -559,8 +569,13 @@ def encode_gray_rst_stream(blocks_i16, r_mcus: int,
 
 
 @lru_cache(maxsize=None)
+def _rst_kernel_ycbcr(n_blocks: int, r_mcus: int, ypm: int = 4):
+    return jax.jit(partial(encode_ycbcr_rst_stream, r_mcus=r_mcus,
+                           ypm=ypm))
+
+
 def _rst_kernel_yuv420(n_blocks: int, r_mcus: int):
-    return jax.jit(partial(encode_yuv420_rst_stream, r_mcus=r_mcus))
+    return _rst_kernel_ycbcr(n_blocks, r_mcus, 4)
 
 
 @lru_cache(maxsize=None)
@@ -614,15 +629,17 @@ def finalize_rst_stream(stream_words: np.ndarray, chunk_bits: np.ndarray,
     return out.tobytes()
 
 
-def interleave_blocks_device(yz, uz, vz, mcus_x: int, mcus_y: int):
-    """Device-side MCU interleave of per-plane zigzag block arrays.
+def interleave_blocks_device(yz, uz, vz, mcus_x: int, mcus_y: int,
+                             hs: int = 2, vs: int = 2):
+    """Device-side MCU interleave of per-plane zigzag block arrays
+    for luma sampling (hs, vs) with 1x1 chroma ([Y*hs*vs, U, V]).
 
-    yz: (mcus_y*2 * mcus_x*2, 64) row-major luma blocks;
+    yz: (mcus_y*vs * mcus_x*hs, 64) row-major luma blocks;
     uz/vz: chroma block arrays covering at least (mcus_y, mcus_x).
     """
     n = mcus_x * mcus_y
-    yb = yz.reshape(mcus_y, 2, mcus_x, 2, 64).transpose(0, 2, 1, 3, 4)
-    yb = yb.reshape(n, 4, 64)
+    yb = yz.reshape(mcus_y, vs, mcus_x, hs, 64).transpose(0, 2, 1, 3, 4)
+    yb = yb.reshape(n, hs * vs, 64)
     ub = uz.reshape(mcus_y, mcus_x, 64)[:, :, None, :].reshape(n, 1, 64)
     vb = vz.reshape(mcus_y, mcus_x, 64)[:, :, None, :].reshape(n, 1, 64)
     return jnp.concatenate([yb, ub, vb], axis=1).reshape(-1, 64)

@@ -99,3 +99,54 @@ class TestRstPath:
             stream, blocks.shape[0], comp_ids, [0, 1, 1], [0, 1, 1],
             restart_interval=r, mcu_blocks=6, **HOST_TABLES)
         np.testing.assert_array_equal(decoded, blocks)
+
+
+class TestYcbcrRstEncode:
+    """Generalized [Y*ypm, U, V] scatter-free RST encoder + the
+    encode_jpeg routing: device output must be byte-identical to the
+    host native encoder for every sampling (same Annex-K tables, same
+    interval padding)."""
+
+    @pytest.mark.parametrize("name,chroma", [
+        ("420", (2, 2)), ("422", (1, 2)), ("444", (1, 1)),
+        ("gray", None),
+    ])
+    def test_encode_jpeg_device_matches_host(self, name, chroma,
+                                             monkeypatch):
+        rng = np.random.default_rng(len(name))
+        h, w = 96, 144
+        y = ((rng.integers(0, 256, (h, w)).astype(np.float32)
+              + rng.integers(0, 256, (h, w))) / 2).astype(np.uint8)
+        planes = {"y": y}
+        if chroma is not None:
+            dv, dh = chroma
+            planes["u"] = rng.integers(0, 256, (h // dv, w // dh),
+                                       np.uint8)
+            planes["v"] = rng.integers(0, 256, (h // dv, w // dh),
+                                       np.uint8)
+        monkeypatch.setattr(codec, "_DEVICE_ENCODE_MIN_PIXELS", 0)
+        dev = codec.encode_jpeg(planes, quality=87, restart_interval=6)
+        monkeypatch.setattr(codec, "_DEVICE_ENCODE_MIN_PIXELS",
+                            1 << 62)
+        host = codec.encode_jpeg(planes, quality=87,
+                                 restart_interval=6)
+        assert dev == host
+
+    def test_device_422_stream_decodes_on_device(self, monkeypatch):
+        # full circle: device 4:2:2 encode -> device (RST-lane) decode
+        from libultrahdr_dev_tpu.jpeg import device_decode as dd
+        rng = np.random.default_rng(9)
+        h, w = 64, 112
+        planes = {"y": rng.integers(0, 256, (h, w), np.uint8),
+                  "u": rng.integers(0, 256, (h, w // 2), np.uint8),
+                  "v": rng.integers(0, 256, (h, w // 2), np.uint8)}
+        monkeypatch.setattr(codec, "_DEVICE_ENCODE_MIN_PIXELS", 0)
+        blob = codec.encode_jpeg(planes, quality=85, restart_interval=3)
+        res = dd.decode_jpeg_device(blob)
+        assert res is not None
+        ds, dplanes = res
+        assert ds.sampling == (2, 1) and ds.start_bits is None
+        host = codec.decode_jpeg(blob)
+        for p, hp in zip(dplanes, host.planes):
+            assert np.array_equal(
+                np.asarray(p)[: hp.shape[0], : hp.shape[1]], hp)
