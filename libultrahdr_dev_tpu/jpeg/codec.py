@@ -277,6 +277,23 @@ def ycbcr_jpeg_headers(w: int, h: int, quality: int,
 # TPU assembly wins (and its output is byte-identical, tested).
 _DEVICE_ENCODE_MIN_PIXELS = 1 << 20
 
+# The device codec paths only pay off on an accelerator: on the CPU
+# backend the "device" kernels are XLA while-loops that compile per
+# geometry and run far slower than the native C++ codec. Tests set
+# this True to exercise the device paths on the CPU mesh.
+_DEVICE_CODEC_ON_CPU = False
+
+
+def _accel_backend() -> bool:
+    if _DEVICE_CODEC_ON_CPU:
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
 
 def _device_rst_entropy(blocks: np.ndarray, restart_interval: int,
                         ypm: int | None) -> bytes | None:
@@ -319,7 +336,7 @@ def assemble_gray_jpeg(yz: np.ndarray, w: int, h: int, quality: int,
                                       restart_interval, arithmetic))
     comp_ids = np.zeros(yz.shape[0], np.uint8)
     if not arithmetic and restart_interval \
-            and w * h >= _DEVICE_ENCODE_MIN_PIXELS:
+            and w * h >= _DEVICE_ENCODE_MIN_PIXELS and _accel_backend():
         seg = _device_rst_entropy(yz, restart_interval, None)
         if seg is not None:
             out += seg
@@ -373,7 +390,7 @@ def assemble_ycbcr_jpeg(yz: np.ndarray, uz: np.ndarray, vz: np.ndarray,
     out = bytearray(ycbcr_jpeg_headers(w, h, quality, sampling, icc,
                                        restart_interval, arithmetic))
     if not arithmetic and restart_interval \
-            and w * h >= _DEVICE_ENCODE_MIN_PIXELS:
+            and w * h >= _DEVICE_ENCODE_MIN_PIXELS and _accel_backend():
         seg = _device_rst_entropy(blocks, restart_interval, hs * vs)
         if seg is not None:
             out += seg
@@ -1203,7 +1220,7 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
         big = hdr.width * hdr.height >= _DEVICE_DECODE_MIN_PIXELS
     except Exception:
         big = False
-    if big:
+    if big and _accel_backend():
         dev = _decode_jpeg_device_path(data)
     if dev is not None:
         return dev

@@ -406,6 +406,31 @@ def unpack_plane_host(packed: PackedPlane) -> np.ndarray:
 LF = 64                      # fine-pack samples per segment
 FINE_WIDTHS = (1, 2, 3, 4, 5, 6, 8, 10)
 _IDX_BITS = 22               # segment index field in the sort key
+_NATIVE_W_CAP = 8192         # native unpackers' row-stripe width cap
+
+
+def _rct_zigzag_deltas_dev(x, n: int, h: int, w: int, wp: int):
+    """Traceable shared pass-1 preamble: (n, h, w) u32 RGBA1010102 ->
+    (3*n*h, wp) u16 zigzag vertical deltas of the decorrelated
+    (G, R-G, B-G) planes, wp-edge-padded, rows grouped by G."""
+    import jax.numpy as jnp
+
+    rows = 3 * n * h
+    xi = x.astype(jnp.int32)
+    r = xi & 1023
+    g = (xi >> 10) & 1023
+    b = (xi >> 20) & 1023
+    big = jnp.concatenate([
+        g.reshape(n * h, w), ((r - g) & 1023).reshape(n * h, w),
+        ((b - g) & 1023).reshape(n * h, w)])
+    if wp != w:
+        big = jnp.pad(big, ((0, 0), (0, wp - w)), mode="edge")
+    prev = jnp.pad(big, ((1, 0), (0, 0)))[:-1]
+    mask = (jnp.arange(rows) % G == 0)[:, None]
+    prev = jnp.where(mask, 0, prev)
+    d = (big - prev) & 1023
+    ds = ((d + 512) & 1023) - 512
+    return ((ds << 1) ^ (ds >> 31)).astype(jnp.uint16)
 
 
 def _rank_of_width():
@@ -426,21 +451,7 @@ def _rct_widths_fn(shape):
     rows = 3 * n * h
 
     def f(x):
-        xi = x.astype(jnp.int32)
-        r = xi & 1023
-        g = (xi >> 10) & 1023
-        b = (xi >> 20) & 1023
-        big = jnp.concatenate([
-            g.reshape(n * h, w), ((r - g) & 1023).reshape(n * h, w),
-            ((b - g) & 1023).reshape(n * h, w)])
-        if wp != w:
-            big = jnp.pad(big, ((0, 0), (0, wp - w)), mode="edge")
-        prev = jnp.pad(big, ((1, 0), (0, 0)))[:-1]
-        mask = (jnp.arange(rows) % G == 0)[:, None]
-        prev = jnp.where(mask, 0, prev)
-        d = (big - prev) & 1023
-        ds = ((d + 512) & 1023) - 512
-        z = ((ds << 1) ^ (ds >> 31)).astype(jnp.uint16)
+        z = _rct_zigzag_deltas_dev(x, n, h, w, wp)
         zs = z.reshape(rows, wp // LF, LF)
         zmax = zs.max(axis=2).astype(jnp.int32)
         bc = jnp.zeros(zmax.shape, jnp.uint8)
@@ -502,7 +513,10 @@ def fetch_rgba1010102_batch(out_dev, fetch=np.asarray):
     already crossed the link still counts toward its accounting).
     Alpha is re-attached as the packer's constant 0xC0000000."""
     n, h, w = (int(s) for s in out_dev.shape)
-    if h % G:
+    # w cap: the native row-stripe unpacker tops out at 8192 and the
+    # numpy fallback costs seconds per batch — bail before any device
+    # work so the caller picks a cheaper path.
+    if h % G or w > _NATIVE_W_CAP:
         return None, 0
     zs, bdev = _rct_widths_fn((n, h, w))(out_dev)
     bmap = np.asarray(bdev)                      # (rows, nsegw) u8
@@ -585,21 +599,7 @@ def _rice_widths_fn(shape):
     rows = 3 * n * h
 
     def f(x):
-        xi = x.astype(jnp.int32)
-        r = xi & 1023
-        g = (xi >> 10) & 1023
-        b = (xi >> 20) & 1023
-        big = jnp.concatenate([
-            g.reshape(n * h, w), ((r - g) & 1023).reshape(n * h, w),
-            ((b - g) & 1023).reshape(n * h, w)])
-        if wp != w:
-            big = jnp.pad(big, ((0, 0), (0, wp - w)), mode="edge")
-        prev = jnp.pad(big, ((1, 0), (0, 0)))[:-1]
-        mask = (jnp.arange(rows) % G == 0)[:, None]
-        prev = jnp.where(mask, 0, prev)
-        d = (big - prev) & 1023
-        ds = ((d + 512) & 1023) - 512
-        z = ((ds << 1) ^ (ds >> 31)).astype(jnp.uint16)
+        z = _rct_zigzag_deltas_dev(x, n, h, w, wp)
         zs = z.reshape(rows * (wp // RL), RL)
         zi = zs.astype(jnp.int32)
         zero = jnp.all(zi == 0, axis=1)
@@ -723,7 +723,7 @@ def fetch_rgba1010102_rice(out_dev, fetch=np.asarray):
     when the content is incompressible or too large for the sort-key
     index field (caller falls back)."""
     n, h, w = (int(s) for s in out_dev.shape)
-    if h % G:
+    if h % G or w > _NATIVE_W_CAP:
         return None, 0
     zs, kuw_dev = _rice_widths_fn((n, h, w))(out_dev)
     maps = np.asarray(kuw_dev)
@@ -762,12 +762,18 @@ def fetch_rgba1010102_rice(out_dev, fetch=np.asarray):
         un_offs[c] = acc
         acc += int(un_counts[c])
 
-    blob = fetch(_rice_devpack_fn(nseg_total, rem_npads, un_npads)(
-        zs, kuw_dev, np.concatenate([rem_offs, un_offs])))
-    d2h_bytes = blob.nbytes + maps.nbytes
-    out = _host_unpack_rice(blob, kmap, uwmap, rem_counts, un_counts,
-                            rem_npads, un_npads, n, h, w)
-    return out, d2h_bytes
+    try:
+        blob = fetch(_rice_devpack_fn(nseg_total, rem_npads, un_npads)(
+            zs, kuw_dev, np.concatenate([rem_offs, un_offs])))
+        out = _host_unpack_rice(blob, kmap, uwmap, rem_counts,
+                                un_counts, rem_npads, un_npads,
+                                n, h, w)
+    except Exception:
+        # A pass-2 / unpack failure must not take down a serving
+        # loop; the map already crossed the link, so report its bytes
+        # for accurate accounting and let the caller fall back.
+        return None, maps.nbytes
+    return out, blob.nbytes + maps.nbytes
 
 
 def _rice_word_offs(rem_npads, un_npads):
@@ -860,14 +866,17 @@ def _host_unpack_rice(blob, kmap, uwmap, rem_counts, un_counts,
     return _rct_tail_numpy(z, n, h, w)
 
 
-def _rct_tail_numpy(z, n, h, w):
-    """Shared numpy tail: un-zigzag, grouped cumsum, RCT recorrelate,
-    RGBA1010102 pack. z: (nseg, RL) u16 in original segment order."""
-    wp = -(-w // RL) * RL
+def _rct_tail_numpy(z, n, h, w, seglen: int = RL):
+    """Shared numpy tail of both readback packs: un-zigzag, grouped
+    cumsum, RCT recorrelate, RGBA1010102 pack. z: (nseg, seglen) u16
+    zigzag deltas in original segment order. i16 arithmetic throughout
+    (deltas fit: |ds| <= 512, grouped cumsum <= 32*512, recorrelated
+    sum <= 2046) to halve memory traffic on the single host core."""
+    wp = -(-w // seglen) * seglen
     rows = 3 * n * h
     zz = z.reshape(rows, wp).view(np.int16)
     ds = (zz >> 1) ^ -(zz & 1)
-    grp = ds.astype(np.int32).reshape(rows // G, G, wp)
+    grp = ds.reshape(rows // G, G, wp)
     np.cumsum(grp, axis=1, out=grp)
     big = grp.reshape(rows, wp)[:, :w]
     big &= 1023
@@ -911,9 +920,8 @@ def _host_unpack_rct(blob, bmap, counts, npads, n, h, w):
             return out
 
     # Numpy fallback: rebuild perm exactly as the device sort ordered
-    # the buckets (ascending width rank, then segment index). i16
-    # arithmetic throughout (deltas fit: |ds| <= 512, grouped cumsum
-    # <= 32*512) to halve memory traffic on the single host core.
+    # the buckets (ascending width rank, then segment index), then the
+    # shared delta/RCT tail.
     flat_b = bmap.ravel()
     perm = np.zeros(flat_b.size, np.int32)
     base = 1
@@ -936,16 +944,4 @@ def _host_unpack_rct(blob, bmap, counts, npads, n, h, w):
         perm[idx] = base + np.arange(c, dtype=np.int32)
         base += c
     allrows = np.concatenate(rows_list, axis=0)
-    wp = -(-w // LF) * LF
-    rows = 3 * n * h
-    z = allrows[perm].reshape(rows, wp).view(np.int16)
-    ds = (z >> 1) ^ -(z & 1)
-    grp = ds.reshape(rows // G, G, wp)
-    np.cumsum(grp, axis=1, out=grp)
-    big = grp.reshape(rows, wp)[:, :w]
-    big &= 1023
-    g = big[:n * h].reshape(n, h, w)
-    r = (big[n * h:2 * n * h].reshape(n, h, w) + g) & 1023
-    b = (big[2 * n * h:].reshape(n, h, w) + g) & 1023
-    return (r.astype(np.uint32) | (g.astype(np.uint32) << 10)
-            | (b.astype(np.uint32) << 20) | np.uint32(0xC0000000))
+    return _rct_tail_numpy(allrows[perm], n, h, w, seglen=LF)

@@ -203,6 +203,7 @@ class TestForeignDeviceDecode:
         # codec.decode_jpeg routes big qualifying streams through the
         # device path; output must be identical to the host path.
         blob = self._foreign_jpeg(160, 240, seed=9)
+        monkeypatch.setattr(codec, "_DEVICE_CODEC_ON_CPU", True)
         monkeypatch.setattr(codec, "_DEVICE_DECODE_MIN_PIXELS", 0)
         via_device = codec.decode_jpeg(blob)
         monkeypatch.setattr(codec, "_DEVICE_DECODE_MIN_PIXELS",

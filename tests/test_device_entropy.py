@@ -124,6 +124,7 @@ class TestYcbcrRstEncode:
                                        np.uint8)
             planes["v"] = rng.integers(0, 256, (h // dv, w // dh),
                                        np.uint8)
+        monkeypatch.setattr(codec, "_DEVICE_CODEC_ON_CPU", True)
         monkeypatch.setattr(codec, "_DEVICE_ENCODE_MIN_PIXELS", 0)
         dev = codec.encode_jpeg(planes, quality=87, restart_interval=6)
         monkeypatch.setattr(codec, "_DEVICE_ENCODE_MIN_PIXELS",
@@ -140,6 +141,7 @@ class TestYcbcrRstEncode:
         planes = {"y": rng.integers(0, 256, (h, w), np.uint8),
                   "u": rng.integers(0, 256, (h, w // 2), np.uint8),
                   "v": rng.integers(0, 256, (h, w // 2), np.uint8)}
+        monkeypatch.setattr(codec, "_DEVICE_CODEC_ON_CPU", True)
         monkeypatch.setattr(codec, "_DEVICE_ENCODE_MIN_PIXELS", 0)
         blob = codec.encode_jpeg(planes, quality=85, restart_interval=3)
         res = dd.decode_jpeg_device(blob)

@@ -194,7 +194,6 @@ class TestRiceBatchFetch:
     @pytest.mark.parametrize("n,h,w,noise", [
         (1, 96, 512, 0),       # low-k segments + all-zero class
         (2, 160, 840, 7),      # non-multiple-of-256 width (edge pad)
-        (1, 96, 768, 300),     # heavy deltas: high k + wide unary
     ])
     def test_roundtrip_exact(self, n, h, w, noise):
         import jax
@@ -205,6 +204,32 @@ class TestRiceBatchFetch:
             pytest.skip("content fell back (allowed)")
         np.testing.assert_array_equal(out, rgba)
         assert nbytes > 0
+
+    def test_roundtrip_exact_high_k_mixed(self):
+        # Pure heavy noise bails to raw (correctly — it's
+        # incompressible), so high-k remainders and wide unary classes
+        # are exercised with MIXED content: smooth half keeps the
+        # estimate under the bail threshold, a full-range noisy half
+        # populates k=8/9 and the upper word-count classes.
+        import jax
+        rng = np.random.default_rng(17)
+        n, h, w = 1, 256, 1024
+        base = np.linspace(0, 900, w)[None, None, :] * np.ones((n, h, 1))
+        noisy = rng.integers(0, 1024, (n, h, w))
+        v = np.where(np.arange(w)[None, None, :] < w // 2, base,
+                     noisy).astype(np.int32) & 1023
+        rgba = (v.astype(np.uint32)
+                | ((v + 3 & 1023).astype(np.uint32) << 10)
+                | ((v + 9 & 1023).astype(np.uint32) << 20)
+                | np.uint32(0xC0000000))
+        dev = jax.device_put(rgba)
+        _, kuw = packio._rice_widths_fn((n, h, w))(dev)
+        kmap = np.asarray(kuw)[0]
+        assert (kmap >= 8)[kmap != packio._RICE_ZERO].any(), \
+            "content failed to populate high-k buckets"
+        out, nbytes = packio.fetch_rgba1010102_rice(dev)
+        assert out is not None, "mixed content must not bail"
+        np.testing.assert_array_equal(out, rgba)
 
     def test_incompressible_returns_none(self):
         import jax
