@@ -16,8 +16,9 @@ decode configs). The chip sits behind a relay whose throughput
 fluctuates 7-45 MB/s in both directions, so host<->device bytes decide
 the headline. Since round 3 both directions ride a lossless segment
 pack (parallel/packio.py): the 23.5 MB/frame P010 upload becomes
-~0.6 MB and the 50 MB/frame pixel readback ~4 MB on this content, and
-the next batch's host pack overlaps the current batch's device work.
+~0.6 MB and the 50 MB/frame pixel readback ~3-5 MB on this content,
+and the serving loop keeps three stages in flight (host pack of batch
+N+1, device work of batch N, readback fetch+unpack of batch N-1).
 The detail block reports exact bytes/frame so link weather is
 auditable, plus dispatch-amortized device-compute times and roofline
 context."""
@@ -176,11 +177,10 @@ def main():
     phi = int((pixels >> 16).astype(np.uint64).sum() & 0xFFFFFFFF)
     assert (lo, hi) == (plo, phi), "packed readback checksum mismatch"
 
-    # ---- Pipelined serving loop: the next batch's host pack runs in
-    # a worker thread while the current batch's device work and
-    # transfers proceed (double buffering; the reference's analog is
-    # its zero-copy in-process loop, jpegr.cpp:167-247).
-    ROUNDS = 3
+    # ---- Sequential serving loop (for the per-phase split + exact
+    # per-round link-byte accounting; the host pack of the next batch
+    # still overlaps device work).
+    ROUNDS = 2
     enc = dec = float("inf")
     stats = {}
     with ThreadPoolExecutor(1) as pool:
@@ -203,7 +203,43 @@ def main():
                 enc, dec = (t1 - t0) * 1000 / FRAMES, \
                     (t2 - t1) * 1000 / FRAMES
                 stats = rstats
-    total = enc + dec
+    total_seq = enc + dec
+
+    # ---- Pipelined serving loop (the headline): THREE stages in
+    # flight — the next batch's host pack, this batch's upload +
+    # device work, and the previous batch's readback fetch + native
+    # unpack — so host CPU work and the d2h drain hide under link and
+    # compute time (the reference's analog is its zero-copy in-process
+    # loop, jpegr.cpp:167-247). Steady-state cadence is measured
+    # between pixel completions, so warm-up is excluded.
+    PIPE_ROUNDS = 4
+    t_pix = []
+    with ThreadPoolExecutor(1) as pack_pool, \
+            ThreadPoolExecutor(1) as fetch_pool:
+        pk = pack_pool.submit(sharding.pack_p010_batch_host, ys, uvs)
+        fetch_fut = None
+        for _ in range(PIPE_ROUNDS):
+            pre = pk.result()
+            pk = pack_pool.submit(sharding.pack_p010_batch_host,
+                                  ys, uvs)
+            ydev, uvdev, _ = sharding.upload_p010_batch(
+                ys, uvs, None, pre)
+            blobs_p = sharding.batched_encode_api0(
+                ys, uvs, mesh, device_input=(ydev, uvdev))
+            out_p = sharding.batched_decode(blobs_p, "hdr_hlg", boost,
+                                            mesh)
+            if fetch_fut is not None:
+                pixels = fetch_fut.result()
+                t_pix.append(time.perf_counter())
+            fetch_fut = fetch_pool.submit(
+                sharding.fetch_1010102_packed, out_p)
+        pixels = fetch_fut.result()
+        t_pix.append(time.perf_counter())
+    pipe = ((t_pix[-1] - t_pix[0]) * 1000
+            / ((len(t_pix) - 1) * FRAMES))
+    # Both configurations are real serving loops; report the faster
+    # (pipelined wins whenever fetch+unpack isn't link-starved).
+    total = min(total_seq, pipe)
 
     # Decode-to-device (TPU-serving path: consumers read the decoded
     # planes on device, no host materialization). Sync via a jitted
@@ -379,6 +415,8 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_4K_MS / total, 3),
         "detail": {
+            "pipelined_ms_per_frame": round(pipe, 2),
+            "sequential_ms_per_frame": round(total_seq, 2),
             "encode_ms_per_frame": round(enc, 2),
             "decode_ms_per_frame": round(dec, 2),
             "decode_to_device_ms_per_frame": round(dec_dev, 2),
@@ -402,10 +440,11 @@ def main():
             "foreign_jpeg_bytes": f_bytes,
             "roofline_est": roofline,
             "note": "lossless segment-packed transfers both ways "
-                    "(parallel/packio.py) + pipelined host pack; "
-                    "link_bytes_per_frame are the exact bytes moved, "
-                    "so the headline is auditable against the "
-                    "measured h2d/d2h MBps link weather",
+                    "(parallel/packio.py) + 3-stage pipelined serving "
+                    "loop (host pack N+1 / device work N / readback "
+                    "fetch+unpack N-1); link_bytes_per_frame are the "
+                    "exact bytes moved, so the headline is auditable "
+                    "against the measured h2d/d2h MBps link weather",
         },
     }
     assert pixels.shape == (FRAMES, H, W)

@@ -173,3 +173,52 @@ class TestBatchedDecode:
             single = np.asarray(jr.decode(
                 blob, OutputFormat.HDR_HLG, 4.9).image.planes["rgba"])
             np.testing.assert_array_equal(out[i], single)
+
+
+class TestPipelinedServingLoop:
+    def test_three_stage_pipeline_bitwise_equal(self):
+        """bench.py's 3-stage serving loop (pack thread / main-thread
+        device dispatch / fetch+unpack thread) must produce results
+        bitwise equal to the sequential path — worker-thread
+        device_put/np.asarray interleaved with main-thread jit
+        dispatch must not corrupt anything."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        mesh = sharding.default_mesh()
+        n = mesh.devices.size
+        ys, uvs = p010_batch(n=n)
+        boost = 1000 / 203
+
+        pre = sharding.pack_p010_batch_host(ys, uvs)
+        ydev, uvdev, _ = sharding.upload_p010_batch(ys, uvs, None, pre)
+        blobs = sharding.batched_encode_api0(
+            ys, uvs, mesh, device_input=(ydev, uvdev))
+        out = sharding.batched_decode(blobs, "hdr_hlg", boost, mesh)
+        ref = np.asarray(sharding.fetch_1010102_packed(out))
+
+        rounds = 3
+        results = []
+        with ThreadPoolExecutor(1) as pack_pool, \
+                ThreadPoolExecutor(1) as fetch_pool:
+            pk = pack_pool.submit(sharding.pack_p010_batch_host,
+                                  ys, uvs)
+            fetch_fut = None
+            for _ in range(rounds):
+                pre = pk.result()
+                pk = pack_pool.submit(sharding.pack_p010_batch_host,
+                                      ys, uvs)
+                ydev, uvdev, _ = sharding.upload_p010_batch(
+                    ys, uvs, None, pre)
+                blobs_p = sharding.batched_encode_api0(
+                    ys, uvs, mesh, device_input=(ydev, uvdev))
+                out_p = sharding.batched_decode(blobs_p, "hdr_hlg",
+                                                boost, mesh)
+                if fetch_fut is not None:
+                    results.append(fetch_fut.result())
+                fetch_fut = fetch_pool.submit(
+                    sharding.fetch_1010102_packed, out_p)
+            results.append(fetch_fut.result())
+
+        assert len(results) == rounds
+        for got in results:
+            np.testing.assert_array_equal(np.asarray(got), ref)
