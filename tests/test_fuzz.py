@@ -543,3 +543,60 @@ class TestPackioNativeFuzz:
         assert p is not None
         out = np.asarray(packio.unpack_plane_device(p))
         np.testing.assert_array_equal(out, arr)
+
+
+class TestForeignScanFuzz:
+    """The native lengths-only scan (entropy.cpp uhdr_huff_scan_offsets,
+    behind device_decode.parse_device_stream) walks untrusted foreign
+    bitstreams with raw pointer arithmetic; mutated/truncated streams
+    must return None or raise — never crash the process or hand back a
+    malformed DeviceStream."""
+
+    def _foreign_jpeg(self):
+        import io
+
+        from PIL import Image
+        rng = np.random.default_rng(77)
+        img = rng.integers(0, 256, (96, 144, 3), np.uint8)
+        img = ((img.astype(np.float32) + np.roll(img, 1, 0)) / 2
+               ).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, "JPEG", quality=90)
+        return b.getvalue()
+
+    def test_mutated_entropy_segment(self):
+        from libultrahdr_dev_tpu.jpeg import device_decode as dd
+        from libultrahdr_dev_tpu.jpeg import native
+        if native.get_lib() is None:
+            pytest.skip("native codec unavailable")
+        blob = self._foreign_jpeg()
+        if dd.parse_device_stream(blob) is None:
+            pytest.skip("scan path unavailable")
+        sos = blob.find(b"\xff\xda")
+        body0 = sos + 2 + int.from_bytes(blob[sos + 2:sos + 4], "big")
+        rng = np.random.default_rng(1)
+        for trial in range(80):
+            m = bytearray(blob)
+            kind = trial % 4
+            if kind == 0:        # random byte flips in the scan body
+                for _ in range(rng.integers(1, 8)):
+                    i = int(rng.integers(body0, len(m) - 2))
+                    m[i] ^= int(rng.integers(1, 256))
+            elif kind == 1:      # 0xFF / fake-marker injection
+                i = int(rng.integers(body0, len(m) - 3))
+                m[i:i + 2] = b"\xff" + bytes(
+                    [int(rng.integers(0, 256))])
+            elif kind == 2:      # truncation mid-scan
+                m = m[:int(rng.integers(body0 + 1, len(m)))]
+            else:                # garbage tail replacing the scan
+                keep = int(rng.integers(body0, len(m)))
+                m = m[:keep] + bytes(
+                    rng.integers(0, 256, 64, np.uint8))
+            try:
+                ds = dd.parse_device_stream(bytes(m))
+            except Exception:
+                continue        # controlled rejection is fine
+            if ds is not None:
+                # Whatever survived must be structurally sound.
+                assert ds.n_lanes >= 1
+                assert ds.dest.dtype == np.uint8
