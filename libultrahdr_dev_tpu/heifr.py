@@ -167,26 +167,46 @@ class HeifR:
                              iso.grid_payload(rows, cols, w, h),
                              [iso.ispe_prop(w, h),
                               iso.pixi_prop(1 if mono else 3)])]
+
+        def tile_planes(r, c):
+            ys, xs = r * tile_h, c * tile_w
+            tp = [yp[ys:ys + tile_h, xs:xs + tile_w]]
+            if not mono:
+                tp += [up[ys // 2:(ys + tile_h) // 2,
+                          xs // 2:(xs + tile_w) // 2],
+                       vp[ys // 2:(ys + tile_h) // 2,
+                          xs // 2:(xs + tile_w) // 2]]
+            return tuple(tp)
+
+        # Tiles encode concurrently: each lh.encode_image call is an
+        # independent libheif context and ctypes releases the GIL for
+        # the duration of the HEVC/AV1 encode, so multi-core hosts get
+        # real tile parallelism (the reference's libheif does the same
+        # internally; JobQueue caps at min(cores, 4) — ultrahdr.cpp).
+        # Assembly below stays in tile order, so output is
+        # deterministic regardless of completion order.
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        ntiles = rows * cols
+        workers = max(1, min(os.cpu_count() or 1, ntiles, 4))
+        with ThreadPoolExecutor(workers) as pool:
+            coded = list(pool.map(
+                lambda rc: lh.encode_image(tile_planes(*rc),
+                                           self.codec, quality),
+                [(r, c) for r in range(rows) for c in range(cols)]))
+
         tile_roots = []
-        for r in range(rows):
-            for c in range(cols):
-                ys, xs = r * tile_h, c * tile_w
-                tp = [yp[ys:ys + tile_h, xs:xs + tile_w]]
-                if not mono:
-                    tp += [up[ys // 2:(ys + tile_h) // 2,
-                              xs // 2:(xs + tile_w) // 2],
-                           vp[ys // 2:(ys + tile_h) // 2,
-                              xs // 2:(xs + tile_w) // 2]]
-                f = lh.encode_image(tuple(tp), self.codec, quality)
-                hp = iso.parse_heif(f)
-                titems = iso.extract_image_items(f, hp, hp.primary or 1)
-                off = len(items)
-                tile_roots.append(off + 1)
-                for j, it in enumerate(titems):
-                    items.append(iso.OutItem(
-                        it.item_type, it.payload, it.props, it.name,
-                        True if j == 0 else it.hidden,
-                        [t + off for t in it.dimg]))
+        for f in coded:
+            hp = iso.parse_heif(f)
+            titems = iso.extract_image_items(f, hp, hp.primary or 1)
+            off = len(items)
+            tile_roots.append(off + 1)
+            for j, it in enumerate(titems):
+                items.append(iso.OutItem(
+                    it.item_type, it.payload, it.props, it.name,
+                    True if j == 0 else it.hidden,
+                    [t + off for t in it.dimg]))
         items[0].dimg = tile_roots
         return items
 
