@@ -395,7 +395,24 @@ def main():
                   + npix * 4 * 2      # apply + pack
                   ) / 1e9
     fdct_tflops = (nsamp / 64) * 64 * 64 * 2 * 3 / 1e12  # bf16x3 kron
+
+    def _xla_cost(jitted, args, per: int):
+        """XLA's own cost analysis of the compiled kernel (per frame),
+        so the roofline isn't only hand-estimated. Best-effort: the
+        AOT lower/compile path should hit the persistent cache."""
+        try:
+            ca = jitted.lower(*args).compile().cost_analysis()
+            d = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return {"flops": round(float(d["flops"]) / per),
+                    "bytes_accessed": round(
+                        float(d["bytes accessed"]) / per)}
+        except Exception:
+            return None
+
+    enc_cost = _xla_cost(enc_many, dp, NLOOP)
+    dec_cost = _xla_cost(dec_many, (bdest, gdest, bst, gst), NLOOP)
     roofline = {
+        "xla_cost_per_frame": {"encode": enc_cost, "decode": dec_cost},
         "assumed_peaks": {"hbm_GBps": PEAK_HBM_GBPS,
                           "bf16_tflops": PEAK_BF16_TFLOPS},
         "encode_kernel_hbm_gb_est": round(enc_hbm_gb, 3),
@@ -408,6 +425,14 @@ def main():
         "fdct_mxu_frac_at_kernel_time": round(
             fdct_tflops / (enc_kernel / 1e3) / PEAK_BF16_TFLOPS, 4),
     }
+    if enc_cost:
+        roofline["encode_hbm_frac_xla"] = round(
+            enc_cost["bytes_accessed"] / (enc_kernel / 1e3)
+            / (PEAK_HBM_GBPS * 1e9), 3)
+    if dec_cost:
+        roofline["decode_hbm_frac_xla"] = round(
+            dec_cost["bytes_accessed"] / (dec_kernel / 1e3)
+            / (PEAK_HBM_GBPS * 1e9), 3)
 
     result = {
         "metric": "4k_jpegr_encode_decode",
