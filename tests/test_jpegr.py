@@ -240,6 +240,45 @@ class TestCrossParity:
         assert p >= 45.0, f"PSNR {p:.2f} dB"
 
 
+class TestReferenceDecodesOurEncodeMatrix:
+    """Encode-direction interop across the same sweep: the reference
+    binary decodes OUR API-0 encode at every (gamut, transfer) and the
+    pixels must match its decode of its own encode (the banked f16
+    goldens) — so our bitstreams are drop-in for reference consumers."""
+
+    CONFIGS = [(gn, g, tn, tf) for gn, g in
+               (("709", ColorGamut.BT709), ("p3", ColorGamut.P3),
+                ("2100", ColorGamut.BT2100))
+               for tn, tf in (("hlg", ColorTransfer.HLG),
+                              ("pq", ColorTransfer.PQ))]
+
+    @pytest.mark.parametrize("gn,gamut,tn,tf", CONFIGS)
+    def test_oracle_decode_matrix(self, gn, gamut, tn, tf, tmp_path):
+        if not os.path.exists(ORACLE):
+            pytest.skip("oracle unavailable")
+        golden_raw = os.path.join(GOLDENS, f"dec0_{gn}_{tn}_f16.raw.gz")
+        if not os.path.exists(golden_raw):
+            pytest.skip("goldens unavailable")
+        img = fixture_p010()
+        img.gamut = gamut
+        blob = JpegR().encode_api0(img, tf, quality=95)
+        ours_path = tmp_path / "ours.jpegr"
+        ours_path.write_bytes(blob)
+        boost = "4.926108" if tn == "hlg" else "49.261084"
+        r = subprocess.run(
+            [ORACLE, "decode", str(ours_path), str(tmp_path / "out"),
+             "1", boost],
+            capture_output=True, text=True, cwd=tmp_path)
+        assert r.returncode == 0, r.stderr
+        dec_ours = np.fromfile(tmp_path / "out.raw", np.uint16).reshape(
+            H, W, 4)[..., :3].view(np.float16).astype(np.float64)
+        want = np.frombuffer(gzip.open(golden_raw).read(),
+                             np.uint16).reshape(H, W, 4)[..., :3] \
+            .view(np.float16).astype(np.float64)
+        p = psnr_float(dec_ours, want, peak=1.0)
+        assert p >= 45.0, f"{gn}/{tn} PSNR {p:.2f} dB"
+
+
 class TestCrossParityMatrix:
     """Decode-side parity across the full {bt709,p3,bt2100} x {HLG,PQ}
     sweep in both decode formats — the jpegr_test.cpp INSTANTIATE
