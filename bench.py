@@ -218,10 +218,11 @@ def main():
             ThreadPoolExecutor(1) as fetch_pool:
         pk = pack_pool.submit(sharding.pack_p010_batch_host, ys, uvs)
         fetch_fut = None
-        for _ in range(PIPE_ROUNDS):
+        for r in range(PIPE_ROUNDS):
             pre = pk.result()
-            pk = pack_pool.submit(sharding.pack_p010_batch_host,
-                                  ys, uvs)
+            if r + 1 < PIPE_ROUNDS:  # no dangling pack after the last
+                pk = pack_pool.submit(sharding.pack_p010_batch_host,
+                                      ys, uvs)
             ydev, uvdev, _ = sharding.upload_p010_batch(
                 ys, uvs, None, pre)
             blobs_p = sharding.batched_encode_api0(
@@ -396,21 +397,23 @@ def main():
                   ) / 1e9
     fdct_tflops = (nsamp / 64) * 64 * 64 * 2 * 3 / 1e12  # bf16x3 kron
 
-    def _xla_cost(jitted, args, per: int):
-        """XLA's own cost analysis of the compiled kernel (per frame),
-        so the roofline isn't only hand-estimated. Best-effort: the
+    def _xla_cost(jitted, args):
+        """XLA's own cost analysis of the compiled kernel, so the
+        roofline isn't only hand-estimated. The NLOOP frames chain in
+        ONE fori_loop whose body (= one frame) HloCostAnalysis counts
+        once — verified empirically — so the module totals are already
+        per-frame (plus negligible outside-loop ops). Best-effort: the
         AOT lower/compile path should hit the persistent cache."""
         try:
             ca = jitted.lower(*args).compile().cost_analysis()
             d = ca[0] if isinstance(ca, (list, tuple)) else ca
-            return {"flops": round(float(d["flops"]) / per),
-                    "bytes_accessed": round(
-                        float(d["bytes accessed"]) / per)}
+            return {"flops": round(float(d["flops"])),
+                    "bytes_accessed": round(float(d["bytes accessed"]))}
         except Exception:
             return None
 
-    enc_cost = _xla_cost(enc_many, dp, NLOOP)
-    dec_cost = _xla_cost(dec_many, (bdest, gdest, bst, gst), NLOOP)
+    enc_cost = _xla_cost(enc_many, dp)
+    dec_cost = _xla_cost(dec_many, (bdest, gdest, bst, gst))
     roofline = {
         "xla_cost_per_frame": {"encode": enc_cost, "decode": dec_cost},
         "assumed_peaks": {"hbm_GBps": PEAK_HBM_GBPS,

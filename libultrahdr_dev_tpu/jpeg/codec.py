@@ -282,17 +282,45 @@ _DEVICE_ENCODE_MIN_PIXELS = 1 << 20
 # geometry and run far slower than the native C++ codec. Tests set
 # this True to exercise the device paths on the CPU mesh.
 _DEVICE_CODEC_ON_CPU = False
+_ACCEL_CACHE: bool | None = None
 
 
 def _accel_backend() -> bool:
+    """True when the default JAX backend is an accelerator. Never
+    initializes the backend in-process unless it already is: when the
+    pinned backend is a remote chip whose tunnel is down, in-process
+    init retries for ~25 minutes — a hang try/except can't catch —
+    which must not wedge host-only encode_jpeg/decode_jpeg callers.
+    Cold processes probe in a bounded subprocess instead (once,
+    cached), same pattern as __graft_entry__._available_devices."""
+    global _ACCEL_CACHE
     if _DEVICE_CODEC_ON_CPU:
         return True
+    if _ACCEL_CACHE is not None:
+        return _ACCEL_CACHE
     try:
-        import jax
+        from jax._src import xla_bridge as xb
 
-        return jax.default_backend() != "cpu"
+        if getattr(xb, "_backends", None):  # already live: free check
+            import jax
+
+            _ACCEL_CACHE = jax.default_backend() != "cpu"
+            return _ACCEL_CACHE
     except Exception:
-        return False
+        pass
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=60)
+        _ACCEL_CACHE = (r.returncode == 0
+                        and r.stdout.strip() not in ("", "cpu"))
+    except Exception:
+        _ACCEL_CACHE = False
+    return _ACCEL_CACHE
 
 
 def _device_rst_entropy(blocks: np.ndarray, restart_interval: int,

@@ -406,7 +406,6 @@ def unpack_plane_host(packed: PackedPlane) -> np.ndarray:
 LF = 64                      # fine-pack samples per segment
 FINE_WIDTHS = (1, 2, 3, 4, 5, 6, 8, 10)
 _IDX_BITS = 22               # segment index field in the sort key
-_NATIVE_W_CAP = 8192         # native unpackers' row-stripe width cap
 
 
 def _rct_zigzag_deltas_dev(x, n: int, h: int, w: int, wp: int):
@@ -513,10 +512,7 @@ def fetch_rgba1010102_batch(out_dev, fetch=np.asarray):
     already crossed the link still counts toward its accounting).
     Alpha is re-attached as the packer's constant 0xC0000000."""
     n, h, w = (int(s) for s in out_dev.shape)
-    # w cap: the native row-stripe unpacker tops out at 8192 and the
-    # numpy fallback costs seconds per batch — bail before any device
-    # work so the caller picks a cheaper path.
-    if h % G or w > _NATIVE_W_CAP:
+    if h % G:
         return None, 0
     zs, bdev = _rct_widths_fn((n, h, w))(out_dev)
     bmap = np.asarray(bdev)                      # (rows, nsegw) u8
@@ -723,7 +719,7 @@ def fetch_rgba1010102_rice(out_dev, fetch=np.asarray):
     when the content is incompressible or too large for the sort-key
     index field (caller falls back)."""
     n, h, w = (int(s) for s in out_dev.shape)
-    if h % G or w > _NATIVE_W_CAP:
+    if h % G:
         return None, 0
     zs, kuw_dev = _rice_widths_fn((n, h, w))(out_dev)
     maps = np.asarray(kuw_dev)
@@ -762,18 +758,26 @@ def fetch_rgba1010102_rice(out_dev, fetch=np.asarray):
         un_offs[c] = acc
         acc += int(un_counts[c])
 
+    blob_bytes = 0
     try:
         blob = fetch(_rice_devpack_fn(nseg_total, rem_npads, un_npads)(
             zs, kuw_dev, np.concatenate([rem_offs, un_offs])))
+        blob_bytes = blob.nbytes
         out = _host_unpack_rice(blob, kmap, uwmap, rem_counts,
                                 un_counts, rem_npads, un_npads,
                                 n, h, w)
     except Exception:
         # A pass-2 / unpack failure must not take down a serving
-        # loop; the map already crossed the link, so report its bytes
-        # for accurate accounting and let the caller fall back.
-        return None, maps.nbytes
-    return out, blob.nbytes + maps.nbytes
+        # loop: report every byte that already crossed the link (map,
+        # and the blob if pass 2 got that far) so the accounting stays
+        # exact, warn so a real unpack regression isn't an invisible
+        # fallback, and let the caller pick the fine-width path.
+        from ..utils.log import get_logger
+
+        get_logger().warning("rice readback pack failed; falling back",
+                             exc_info=True)
+        return None, maps.nbytes + blob_bytes
+    return out, blob_bytes + maps.nbytes
 
 
 def _rice_word_offs(rem_npads, un_npads):

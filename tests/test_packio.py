@@ -142,6 +142,20 @@ class TestRctBatchFetch:
         np.testing.assert_array_equal(out, rgba)
         assert nbytes > 0
 
+    def test_wider_than_native_cap_uses_numpy_fallback(self):
+        # w > 8192 exceeds the native unpackers' row-stripe cap; the
+        # packed transfer must still be taken (link-bound regimes
+        # prefer packed + numpy unpack over a raw full-size readback)
+        # with the numpy host half producing exact output.
+        import jax
+        n, h, w = 1, 32, 8704
+        rgba = self._rgba(n, h, w, seed=3)
+        out, nbytes = packio.fetch_rgba1010102_batch(
+            jax.device_put(rgba))
+        assert out is not None, "wide frame must not bail to raw"
+        np.testing.assert_array_equal(out, rgba)
+        assert 0 < nbytes < rgba.nbytes // 2
+
     def test_correlated_channels_compress(self):
         import jax
         # channels = same plane +- small offsets: RCT should make the
