@@ -141,6 +141,7 @@ def main():
     import jax
 
     from libultrahdr_dev_tpu.parallel import sharding
+    from libultrahdr_dev_tpu.utils import counters as _counters
 
     dev = _devices_or_die()[0]
     mesh = sharding.default_mesh(jax.devices()[:1])
@@ -214,17 +215,22 @@ def main():
     # between pixel completions, so warm-up is excluded.
     PIPE_ROUNDS = 4
     t_pix = []
+
+    def _pack_and_upload():
+        # Stage 1 does the h2d upload too, so batch N+1's link time
+        # hides under batch N's device work (round-3's loop issued
+        # uploads synchronously on the main thread — VERDICT r3 §2).
+        pre = sharding.pack_p010_batch_host(ys, uvs)
+        return sharding.upload_p010_batch(ys, uvs, None, pre)
+
     with ThreadPoolExecutor(1) as pack_pool, \
             ThreadPoolExecutor(1) as fetch_pool:
-        pk = pack_pool.submit(sharding.pack_p010_batch_host, ys, uvs)
+        pk = pack_pool.submit(_pack_and_upload)
         fetch_fut = None
         for r in range(PIPE_ROUNDS):
-            pre = pk.result()
-            if r + 1 < PIPE_ROUNDS:  # no dangling pack after the last
-                pk = pack_pool.submit(sharding.pack_p010_batch_host,
-                                      ys, uvs)
-            ydev, uvdev, _ = sharding.upload_p010_batch(
-                ys, uvs, None, pre)
+            ydev, uvdev, _ = pk.result()
+            if r + 1 < PIPE_ROUNDS:  # no dangling work after the last
+                pk = pack_pool.submit(_pack_and_upload)
             blobs_p = sharding.batched_encode_api0(
                 ys, uvs, mesh, device_input=(ydev, uvdev))
             out_p = sharding.batched_decode(blobs_p, "hdr_hlg", boost,
@@ -241,6 +247,26 @@ def main():
     # Both configurations are real serving loops; report the faster
     # (pipelined wins whenever fetch+unpack isn't link-starved).
     total = min(total_seq, pipe)
+
+    # F16 decode-to-host: the reference's DEFAULT decode output
+    # (RGBA_F16, ultrahdr_api.cpp:1287-1289). Raw readback would be
+    # ~100 MB/frame; the RCT+Rice bit-pattern pack
+    # (sharding.fetch_f16_packed) makes this path servable over the
+    # relay. Reported as its own ms/frame + exact bytes/frame.
+    f16_stats = {}
+    f16_ms = float("inf")
+    out16 = sharding.batched_decode(blobs, "hdr_linear", boost, mesh)
+    sharding.fetch_f16_packed(out16)         # warm compile
+    for _ in range(2):
+        rstats = {}
+        t0 = time.perf_counter()
+        out16 = sharding.batched_decode(blobs, "hdr_linear", boost,
+                                        mesh)
+        px16 = sharding.fetch_f16_packed(out16, rstats)
+        el = (time.perf_counter() - t0) * 1000 / FRAMES
+        if el < f16_ms:
+            f16_ms, f16_stats = el, rstats
+    assert px16.shape == (FRAMES, H, W, 4)
 
     # Decode-to-device (TPU-serving path: consumers read the decoded
     # planes on device, no host materialization). Sync via a jitted
@@ -448,6 +474,10 @@ def main():
             "encode_ms_per_frame": round(enc, 2),
             "decode_ms_per_frame": round(dec, 2),
             "decode_to_device_ms_per_frame": round(dec_dev, 2),
+            "decode_f16_to_host_ms_per_frame": round(f16_ms, 2),
+            "decode_f16_d2h_bytes_per_frame": round(
+                f16_stats.get("d2h_bytes", 0) / FRAMES),
+            "decode_f16_d2h_pack": f16_stats.get("d2h_pack", "?"),
             "encode_device_compute_ms_per_frame": round(enc_kernel, 2),
             "decode_device_compute_ms_per_frame": round(dec_kernel, 2),
             "device_compute_vs_baseline": round(
@@ -467,6 +497,7 @@ def main():
             "foreign_scan_to_device_ms": round(f_scan_ms, 1),
             "foreign_jpeg_bytes": f_bytes,
             "roofline_est": roofline,
+            "fallback_counters": _counters.snapshot(),
             "note": "lossless segment-packed transfers both ways "
                     "(parallel/packio.py) + 3-stage pipelined serving "
                     "loop (host pack N+1 / device work N / readback "
@@ -477,6 +508,32 @@ def main():
     }
     assert pixels.shape == (FRAMES, H, W)
     print(json.dumps(result))
+    _append_bench_log(result)
+
+
+def _append_bench_log(result):
+    """Append every successful run to a committed BENCH_LOG.jsonl
+    (full JSON + link weather + commit) so on-chip measurements are
+    never again only a prose claim in ROADMAP.md."""
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        commit = "?"
+    entry = {"when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+             "commit": commit, **result}
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LOG.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -140,6 +140,19 @@ def _load():
             lib = ctypes.CDLL(name)
         except OSError:
             return None
+        # The struct layouts below are the 0.11.x ABI. find_library
+        # loads whatever version is installed; on a different
+        # major/minor the avifEncoder field offsets differ and writing
+        # enc.contents.quality would poke wrong memory. Refuse cleanly
+        # (callers surface UHDR_CODEC_UNSUPPORTED_FEATURE) instead.
+        try:
+            lib.avifVersion.restype = ctypes.c_char_p
+            ver = lib.avifVersion().decode()
+            major, minor = (int(x) for x in ver.split(".")[:2])
+            if (major, minor) != (0, 11):
+                return None
+        except Exception:
+            return None
         p = ctypes.POINTER
         lib.avifImageCreate.restype = p(_Image)
         lib.avifImageCreate.argtypes = [ctypes.c_int, ctypes.c_int,

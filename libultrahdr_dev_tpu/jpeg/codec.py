@@ -350,6 +350,15 @@ def _device_rst_entropy(blocks: np.ndarray, restart_interval: int,
                                       np.asarray(cbits),
                                       restart_interval)
     except Exception:
+        # Host Huffman is the universal fallback, but a TPU-path
+        # regression must be observable, not a silent 30x slowdown.
+        from ..utils import counters
+        from ..utils.log import get_logger
+
+        counters.bump("device_rst_entropy_fallback")
+        get_logger().warning(
+            "device RST entropy encode failed; host fallback",
+            exc_info=True)
         return None
 
 
@@ -813,6 +822,11 @@ def _parse_dac(payload: bytes, dc_cond: dict, ac_cond: dict):
             if not 1 <= cs <= 63:
                 raise err("UHDR_CODEC_ERROR", f"bad AC conditioning {cs}")
             ac_cond[tb] = cs
+    if pos != len(payload):
+        # A dangling odd byte is a truncated conditioning entry; the
+        # reference's libjpeg errors on a bogus DAC segment length
+        # rather than decoding with default conditioning.
+        raise err("UHDR_CODEC_ERROR", "truncated DAC segment")
 
 
 def _decode_multiscan(data: bytes, result: DecodedCoefs,
@@ -1208,6 +1222,12 @@ def _decode_jpeg_device_path(data: bytes) -> DecodedJpeg | None:
     try:
         res = dd.decode_jpeg_device(data)
     except Exception:
+        from ..utils import counters
+        from ..utils.log import get_logger
+
+        counters.bump("device_decode_fallback")
+        get_logger().warning(
+            "device JPEG decode failed; host fallback", exc_info=True)
         return None
     if res is None:
         return None

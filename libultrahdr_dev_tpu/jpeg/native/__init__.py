@@ -9,7 +9,9 @@ pure-numpy path in huffman.py.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 import threading
 
@@ -17,7 +19,30 @@ _DIR = os.path.dirname(__file__)
 _SRCS = [os.path.join(_DIR, "entropy.cpp"),
          os.path.join(_DIR, "arith.cpp"),
          os.path.join(_DIR, "packio.cpp")]
-_SO = os.path.join(_DIR, "_entropy.so")
+_FLAGS = ["-O3", "-march=native", "-funroll-loops", "-std=c++17",
+          "-shared", "-fPIC"]
+
+
+def _host_tag() -> str:
+    """Cache key tying the -march=native binary to THIS host's ISA and
+    the compile flags: a checkout copied between hosts with different
+    CPUs must rebuild instead of SIGILL-ing on a stale binary, and a
+    flags change must invalidate the cache even when source mtimes
+    don't move."""
+    feat = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feat = line
+                    break
+    except OSError:
+        pass
+    blob = "|".join([platform.machine(), feat, *_FLAGS])
+    return hashlib.sha1(blob.encode()).hexdigest()[:12]
+
+
+_SO = os.path.join(_DIR, f"_entropy-{_host_tag()}.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -30,10 +55,7 @@ def _build() -> bool:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_m:
             return True
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-funroll-loops",
-             "-std=c++17", "-shared",
-             "-fPIC", *_SRCS,
-             "-o", _SO + ".tmp"],
+            ["g++", *_FLAGS, *_SRCS, "-o", _SO + ".tmp"],
             check=True, capture_output=True)
         os.replace(_SO + ".tmp", _SO)
         return True
@@ -128,6 +150,10 @@ def get_lib():
         lib.uhdr_rice_unpack.argtypes = [
             u8p, u8p, u32p, i64p, i64p, ctypes.c_long, ctypes.c_long,
             ctypes.c_long, u16p, u32p]
+        lib.uhdr_rice16_unpack.restype = ctypes.c_long
+        lib.uhdr_rice16_unpack.argtypes = [
+            u8p, u8p, u32p, i64p, i64p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, u16p, u16p]
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.uhdr_seg_widths.restype = ctypes.c_long
         lib.uhdr_seg_widths.argtypes = [

@@ -608,8 +608,13 @@ long uhdr_huff_scan_offsets(const uint8_t* data, long len, long n_mcus,
   for (long m = 0; m < n_mcus; ++m) {
     if (m % r_mcus == 0)
       out_bit_offsets[nseg_out++] = r.consumed_bits(out_destuffed);
-    if (r.overrun()) return -1;
     for (int bi = 0; bi < mcu_blocks; ++bi) {
+      // Overrun check per BLOCK, not per MCU: one block consumes at
+      // most ~27 + 63*26 bits ~= 210 bytes of lookahead, so a check
+      // here bounds zero-fed decode well inside the 1024-byte destuff
+      // pad (a 6-block 4:2:0 MCU checked only once per MCU could walk
+      // ~1.25 KB past pend on a truncated/malicious stream).
+      if (r.overrun()) return -1;
       int c = pattern[bi];
       const HuffDecTable& dt = dct[dc_sel[c]];
       const HuffDecTable& at = act[ac_sel[c]];

@@ -43,7 +43,10 @@ long uhdr_rctseg_unpack(const uint8_t* bmap, const uint32_t* blob,
                         const int64_t* bucket_word_offs,  // 8 entries
                         int64_t n, int64_t h, int64_t w,
                         uint16_t* scratch, uint32_t* out) {
-  if (n <= 0 || h <= 0 || w <= 0 || (3 * n * h) % GROUP != 0)
+  // Any row count works: groups reset at global row % GROUP == 0
+  // positions and the tail group may be partial (matches the
+  // device preamble and the numpy tails).
+  if (n <= 0 || h <= 0 || w <= 0)
     return -1;
   const int64_t nsegw = (w + LF - 1) / LF;
   const int64_t plane_rows = n * h;
@@ -133,7 +136,10 @@ long uhdr_rice_unpack(const uint8_t* kmap, const uint8_t* uwmap,
                       uint16_t* scratch, uint32_t* out) {
   constexpr int RL = 256;
   constexpr int kUcls[7] = {8, 10, 12, 14, 16, 20, 24};
-  if (n <= 0 || h <= 0 || w <= 0 || (3 * n * h) % GROUP != 0)
+  // Any row count works: groups reset at global row % GROUP == 0
+  // positions and the tail group may be partial (matches the
+  // device preamble and the numpy tails).
+  if (n <= 0 || h <= 0 || w <= 0)
     return -1;
   if (w > 8192) return -2;
   const int64_t nsegw = (w + RL - 1) / RL;
@@ -211,6 +217,106 @@ long uhdr_rice_unpack(const uint8_t* kmap, const uint8_t* uwmap,
         const uint16_t* gb = scratch + rowbase;
         for (int64_t x = 0; x < w; ++x)
           o[x] |= (uint32_t)((acc[x] + gb[x]) & 1023) << 20;
+      }
+    }
+  }
+  return 0;
+}
+
+// Host half of the F16 Rice readback pack
+// (parallel/packio.py fetch_rgba_f16_rice). Same segment walk as
+// uhdr_rice_unpack but over 16-bit samples: k in 0..15 (k-code 31 =
+// all-zero segment), mod-2^16 recorrelation, and the output is the
+// (n, h, w, 4) u16 RGBA half-float batch with the packer's constant
+// alpha 0x3C00 re-attached.
+long uhdr_rice16_unpack(const uint8_t* kmap, const uint8_t* uwmap,
+                        const uint32_t* blob,
+                        const int64_t* rem_word_offs,   // 16 entries
+                        const int64_t* un_word_offs,    // 7 entries
+                        int64_t n, int64_t h, int64_t w,
+                        uint16_t* scratch, uint16_t* out) {
+  constexpr int RL = 256;
+  constexpr int kUcls[7] = {8, 10, 12, 14, 16, 20, 24};
+  // Any row count works: groups reset at global row % GROUP == 0
+  // positions and the tail group may be partial (matches the
+  // device preamble and the numpy tails).
+  if (n <= 0 || h <= 0 || w <= 0)
+    return -1;
+  if (w > 8192) return -2;
+  const int64_t nsegw = (w + RL - 1) / RL;
+  const int64_t plane_rows = n * h;
+  int64_t fill_rem[16] = {0};
+  int64_t fill_un[7] = {0};
+  int32_t acc[8192 + RL];
+  uint16_t rem[RL];
+  const uint8_t* km = kmap;
+  const uint8_t* um = uwmap;
+
+  for (int plane = 0; plane < 3; ++plane) {
+    for (int64_t r = 0; r < plane_rows; ++r) {
+      const int64_t grow = plane * plane_rows + r;
+      if (grow % GROUP == 0)
+        std::memset(acc, 0, sizeof(int32_t) * (nsegw * RL));
+      for (int64_t s = 0; s < nsegw; ++s, ++km, ++um) {
+        const int k = *km;
+        if (k == 31) continue;  // all-zero segment
+        if (k > 15) return -3;  // map crossed an untrusted link
+        if (k > 0) {
+          const int ks = 32 / k;
+          const int nw = (RL + ks - 1) / ks;
+          const uint32_t* words =
+              blob + rem_word_offs[k] + fill_rem[k]++ * nw;
+          const uint32_t mask = (1u << k) - 1;
+          int idx = 0;
+          for (int slot = 0; slot < ks && idx < RL; ++slot) {
+            const int shift = slot * k;
+            for (int wi = 0; wi < nw && idx < RL; ++wi, ++idx)
+              rem[idx] = (uint16_t)((words[wi] >> shift) & mask);
+          }
+        } else {
+          std::memset(rem, 0, sizeof(rem));
+        }
+        const int uw = *um;
+        int c = 0;
+        while (c < 7 && kUcls[c] < uw) ++c;
+        if (c >= 7) return -4;
+        const int wc = kUcls[c];
+        const uint32_t* uwords =
+            blob + un_word_offs[c] + fill_un[c]++ * (int64_t)wc;
+        int32_t* a = acc + s * RL;
+        int idx = 0, prevp = -1;
+        for (int wi = 0; wi < wc && idx < RL; ++wi) {
+          uint32_t bits = uwords[wi];
+          while (bits && idx < RL) {
+            const int p = wi * 32 + __builtin_ctz(bits);
+            bits &= bits - 1;
+            const uint32_t z =
+                ((uint32_t)(p - prevp - 1) << k) | rem[idx];
+            prevp = p;
+            a[idx] += (int32_t)(z >> 1) ^ -(int32_t)(z & 1);
+            ++idx;
+          }
+        }
+        if (idx != RL) return -5;  // corrupt unary bitmap
+      }
+      const int64_t rowbase = r * w;
+      uint16_t* o = out + rowbase * 4;
+      if (plane == 0) {
+        uint16_t* gb = scratch + rowbase;
+        for (int64_t x = 0; x < w; ++x) {
+          const uint16_t g = (uint16_t)(acc[x] & 0xFFFF);
+          gb[x] = g;
+          o[x * 4 + 1] = g;
+          o[x * 4 + 3] = 0x3C00;  // alpha = f16(1.0)
+        }
+      } else if (plane == 1) {
+        const uint16_t* gb = scratch + rowbase;
+        for (int64_t x = 0; x < w; ++x)
+          o[x * 4 + 0] = (uint16_t)((acc[x] + gb[x]) & 0xFFFF);
+      } else {
+        const uint16_t* gb = scratch + rowbase;
+        for (int64_t x = 0; x < w; ++x)
+          o[x * 4 + 2] = (uint16_t)((acc[x] + gb[x]) & 0xFFFF);
       }
     }
   }

@@ -512,8 +512,6 @@ def fetch_rgba1010102_batch(out_dev, fetch=np.asarray):
     already crossed the link still counts toward its accounting).
     Alpha is re-attached as the packer's constant 0xC0000000."""
     n, h, w = (int(s) for s in out_dev.shape)
-    if h % G:
-        return None, 0
     zs, bdev = _rct_widths_fn((n, h, w))(out_dev)
     bmap = np.asarray(bdev)                      # (rows, nsegw) u8
     flat_b = bmap.ravel()
@@ -581,14 +579,40 @@ def _uclass_of(uw: int) -> int:
     raise AssertionError(f"unary words {uw} above cap")
 
 
+def _rice_seg_stats(zs, ks, zero_code):
+    """Traceable per-segment Rice plan: optimal k (by total bits,
+    subject to the unary word cap) and unary word count for each
+    (nseg, RL) u16 segment. Returns the stacked (2, nseg) u8 map
+    [kcode, uw]; all-zero segments get kcode = zero_code, uw = 0."""
+    import jax.numpy as jnp
+
+    zi = zs.astype(jnp.int32)
+    zero = jnp.all(zi == 0, axis=1)
+    best_bits = jnp.full(zs.shape[0], 2**30, jnp.int32)
+    best_k = jnp.zeros(zs.shape[0], jnp.int32)
+    best_uw = jnp.zeros(zs.shape[0], jnp.int32)
+    for k in ks:
+        sq = jnp.sum(zi >> k, axis=1)
+        uwk = (sq + RL + 31) >> 5
+        bits = sq + RL * (1 + k)
+        ok = uwk <= _RICE_UCAP
+        better = ok & (bits < best_bits)
+        best_bits = jnp.where(better, bits, best_bits)
+        best_k = jnp.where(better, k, best_k)
+        best_uw = jnp.where(better, uwk, best_uw)
+    kcode = jnp.where(zero, zero_code, best_k).astype(jnp.uint8)
+    uw = jnp.where(zero, 0, best_uw).astype(jnp.uint8)
+    # One stacked map -> ONE d2h fetch for both planes.
+    return jnp.stack([kcode, uw])
+
+
 @lru_cache(maxsize=None)
 def _rice_widths_fn(shape):
     """Jitted Rice pass 1 for an (n, h, w) u32 RGBA1010102 batch:
     RCT -> zigzag vertical deltas -> per-RL-segment optimal k and
-    unary word count. Returns (zs (nseg, RL) u16, kcode (nseg,) u8,
-    uw (nseg,) u8) — all device-resident."""
+    unary word count. Returns (zs (nseg, RL) u16, stacked (2, nseg) u8
+    [kcode, uw]) — all device-resident."""
     import jax
-    import jax.numpy as jnp
 
     n, h, w = shape
     wp = -(-w // RL) * RL
@@ -597,24 +621,7 @@ def _rice_widths_fn(shape):
     def f(x):
         z = _rct_zigzag_deltas_dev(x, n, h, w, wp)
         zs = z.reshape(rows * (wp // RL), RL)
-        zi = zs.astype(jnp.int32)
-        zero = jnp.all(zi == 0, axis=1)
-        best_bits = jnp.full(zs.shape[0], 2**30, jnp.int32)
-        best_k = jnp.zeros(zs.shape[0], jnp.int32)
-        best_uw = jnp.zeros(zs.shape[0], jnp.int32)
-        for k in _RICE_KS:
-            sq = jnp.sum(zi >> k, axis=1)
-            uwk = (sq + RL + 31) >> 5
-            bits = sq + RL * (1 + k)
-            ok = uwk <= _RICE_UCAP
-            better = ok & (bits < best_bits)
-            best_bits = jnp.where(better, bits, best_bits)
-            best_k = jnp.where(better, k, best_k)
-            best_uw = jnp.where(better, uwk, best_uw)
-        kcode = jnp.where(zero, _RICE_ZERO, best_k).astype(jnp.uint8)
-        uw = jnp.where(zero, 0, best_uw).astype(jnp.uint8)
-        # One stacked map -> ONE d2h fetch for both planes.
-        return zs, jnp.stack([kcode, uw])
+        return zs, _rice_seg_stats(zs, _RICE_KS, _RICE_ZERO)
 
     return jax.jit(f)
 
@@ -634,12 +641,15 @@ def _cumsum_lanes_i32(x):
 
 
 @lru_cache(maxsize=None)
-def _rice_devpack_fn(nseg_total: int, rem_npads: tuple, un_npads: tuple):
+def _rice_devpack_fn(nseg_total: int, rem_npads: tuple, un_npads: tuple,
+                     kset: tuple = _RICE_KS,
+                     zero_code: int = _RICE_ZERO):
     """Jitted Rice pass 2: stable-sort segments by (k rank, index) and
     by (unary class rank, index), then pack each remainder bucket in
     the k-bit slot layout and each unary bucket as terminator-position
     bitmaps. Rows past a bucket's true count hold other segments'
-    data; the host never reads them."""
+    data; the host never reads them. Parametric over the k-width set
+    (0..9 for 10-bit RCT samples, 0..15 for the F16 variant)."""
     import jax
     import jax.numpy as jnp
 
@@ -647,17 +657,18 @@ def _rice_devpack_fn(nseg_total: int, rem_npads: tuple, un_npads: tuple):
     maxpad = max(max(rem_npads), max(un_npads))
     ncls = len(_RICE_UCLS)
     ucls_arr = np.asarray(_RICE_UCLS, np.int32)
+    kmax = max(kset)
 
     def f(zs, kuw, offs):
         flat = zs.astype(jnp.int32)
         kc = kuw[0].astype(jnp.int32)
         uw = kuw[1]
-        rem_offs = offs[:len(_RICE_KS)]
-        un_offs = offs[len(_RICE_KS):]
+        rem_offs = offs[:len(kset)]
+        un_offs = offs[len(kset):]
         idxv = jnp.arange(nseg_total, dtype=jnp.int32)
 
         # Remainder order: rank = k (zero segments sort last).
-        rrank = jnp.where(kc == _RICE_ZERO, len(_RICE_KS), kc)
+        rrank = jnp.where(kc == zero_code, len(kset), kc)
         rkey = (rrank << _IDX_BITS) | idxv
         sidx_rem = jnp.sort(rkey) & ((1 << _IDX_BITS) - 1)
         sidx_rem = jnp.concatenate([sidx_rem,
@@ -666,7 +677,7 @@ def _rice_devpack_fn(nseg_total: int, rem_npads: tuple, un_npads: tuple):
         # Unary order: rank = word-count class (zero segments last).
         uws = uw.astype(jnp.int32)
         urank = jnp.searchsorted(jnp.asarray(ucls_arr), uws)
-        urank = jnp.where(kc == _RICE_ZERO, ncls, urank)
+        urank = jnp.where(kc == zero_code, ncls, urank)
         ukey = (urank << _IDX_BITS) | idxv
         sidx_un = jnp.sort(ukey) & ((1 << _IDX_BITS) - 1)
         sidx_un = jnp.concatenate([sidx_un,
@@ -674,11 +685,11 @@ def _rice_devpack_fn(nseg_total: int, rem_npads: tuple, un_npads: tuple):
 
         # Unary terminator positions (shared by every class bucket):
         # pos_i = cumsum(q + 1) - 1, strictly increasing, < 32*UCAP.
-        q = flat >> jnp.minimum(kc, 9)[:, None]
+        q = flat >> jnp.minimum(kc, kmax)[:, None]
         pos = _cumsum_lanes_i32(q + 1) - 1
 
         out = []
-        for j, k in enumerate(_RICE_KS):
+        for j, k in enumerate(kset):
             npad = rem_npads[j]
             if k == 0:
                 continue                  # no remainder bits
@@ -712,44 +723,33 @@ def _rice_devpack_fn(nseg_total: int, rem_npads: tuple, un_npads: tuple):
     return jax.jit(f)
 
 
-def fetch_rgba1010102_rice(out_dev, fetch=np.asarray):
-    """Fetch an (n, h, w) device RGBA1010102 batch via the RCT + Rice
-    segment pack (two device passes, one map fetch + one blob fetch).
-    Returns (host u32 (n, h, w), d2h_bytes), or (None, wasted_bytes)
-    when the content is incompressible or too large for the sort-key
-    index field (caller falls back)."""
-    n, h, w = (int(s) for s in out_dev.shape)
-    if h % G:
-        return None, 0
-    zs, kuw_dev = _rice_widths_fn((n, h, w))(out_dev)
-    maps = np.asarray(kuw_dev)
-    kmap, uwmap = maps[0], maps[1]
-    nseg_total = kmap.size
-    if nseg_total >= (1 << _IDX_BITS):
-        return None, maps.nbytes
-    nonzero = kmap != _RICE_ZERO
-    rem_counts = np.bincount(np.where(nonzero, kmap, len(_RICE_KS)),
-                             minlength=len(_RICE_KS) + 1)
+def _rice_host_plan(kmap, uwmap, kset, zero_code, raw_bytes):
+    """Shared host half of the Rice plan: bucket counts, pow2-padded
+    sizes, device slice offsets and the packed-size estimate. Returns
+    None when the content is incompressible (caller falls back)."""
+    nonzero = kmap != zero_code
+    rem_counts = np.bincount(np.where(nonzero, kmap, len(kset)),
+                             minlength=len(kset) + 1)
     ucls_lim = np.asarray(_RICE_UCLS, np.int64)
     ucls = np.searchsorted(ucls_lim, uwmap.astype(np.int64))
     un_counts = np.bincount(np.where(nonzero, ucls, len(_RICE_UCLS)),
                             minlength=len(_RICE_UCLS) + 1)
 
     rem_npads = tuple(_pow2_pad(max(int(rem_counts[j]), 1), floor=32)
-                      for j in range(len(_RICE_KS)))
+                      for j in range(len(kset)))
     un_npads = tuple(_pow2_pad(max(int(un_counts[c]), 1), floor=32)
                      for c in range(len(_RICE_UCLS)))
     est = (sum(rem_npads[j] * _wps(k, RL) * 4
-               for j, k in enumerate(_RICE_KS) if k)
+               for j, k in enumerate(kset) if k)
            + sum(un_npads[c] * _RICE_UCLS[c] * 4
                  for c in range(len(_RICE_UCLS)))
-           + maps.nbytes)
-    if est > 0.85 * n * h * w * 4:
-        return None, maps.nbytes
+           + kmap.nbytes + uwmap.nbytes)
+    if est > 0.85 * raw_bytes:
+        return None
 
-    rem_offs = np.zeros(len(_RICE_KS), np.int32)
+    rem_offs = np.zeros(len(kset), np.int32)
     acc = 0
-    for j in range(len(_RICE_KS)):
+    for j in range(len(kset)):
         rem_offs[j] = acc
         acc += int(rem_counts[j])
     un_offs = np.zeros(len(_RICE_UCLS), np.int32)
@@ -757,11 +757,33 @@ def fetch_rgba1010102_rice(out_dev, fetch=np.asarray):
     for c in range(len(_RICE_UCLS)):
         un_offs[c] = acc
         acc += int(un_counts[c])
+    return (rem_counts, un_counts, rem_npads, un_npads,
+            np.concatenate([rem_offs, un_offs]))
+
+
+def fetch_rgba1010102_rice(out_dev, fetch=np.asarray):
+    """Fetch an (n, h, w) device RGBA1010102 batch via the RCT + Rice
+    segment pack (two device passes, one map fetch + one blob fetch).
+    Returns (host u32 (n, h, w), d2h_bytes), or (None, wasted_bytes)
+    when the content is incompressible or too large for the sort-key
+    index field (caller falls back)."""
+    n, h, w = (int(s) for s in out_dev.shape)
+    zs, kuw_dev = _rice_widths_fn((n, h, w))(out_dev)
+    maps = np.asarray(kuw_dev)
+    kmap, uwmap = maps[0], maps[1]
+    nseg_total = kmap.size
+    if nseg_total >= (1 << _IDX_BITS):
+        return None, maps.nbytes
+    plan = _rice_host_plan(kmap, uwmap, _RICE_KS, _RICE_ZERO,
+                           n * h * w * 4)
+    if plan is None:
+        return None, maps.nbytes
+    rem_counts, un_counts, rem_npads, un_npads, offs = plan
 
     blob_bytes = 0
     try:
         blob = fetch(_rice_devpack_fn(nseg_total, rem_npads, un_npads)(
-            zs, kuw_dev, np.concatenate([rem_offs, un_offs])))
+            zs, kuw_dev, offs))
         blob_bytes = blob.nbytes
         out = _host_unpack_rice(blob, kmap, uwmap, rem_counts,
                                 un_counts, rem_npads, un_npads,
@@ -772,8 +794,10 @@ def fetch_rgba1010102_rice(out_dev, fetch=np.asarray):
         # and the blob if pass 2 got that far) so the accounting stays
         # exact, warn so a real unpack regression isn't an invisible
         # fallback, and let the caller pick the fine-width path.
+        from ..utils import counters
         from ..utils.log import get_logger
 
+        counters.bump("rice_readback_fallback")
         get_logger().warning("rice readback pack failed; falling back",
                              exc_info=True)
         return None, maps.nbytes + blob_bytes
@@ -880,9 +904,12 @@ def _rct_tail_numpy(z, n, h, w, seglen: int = RL):
     rows = 3 * n * h
     zz = z.reshape(rows, wp).view(np.int16)
     ds = (zz >> 1) ^ -(zz & 1)
-    grp = ds.reshape(rows // G, G, wp)
+    pad = (-rows) % G                  # tail group may be partial
+    if pad:
+        ds = np.concatenate([ds, np.zeros((pad, wp), ds.dtype)])
+    grp = ds.reshape(-1, G, wp)
     np.cumsum(grp, axis=1, out=grp)
-    big = grp.reshape(rows, wp)[:, :w]
+    big = grp.reshape(-1, wp)[:rows, :w]
     big &= 1023
     gpl = big[:n * h].reshape(n, h, w)
     rpl = (big[n * h:2 * n * h].reshape(n, h, w) + gpl) & 1023
@@ -949,3 +976,226 @@ def _host_unpack_rct(blob, bmap, counts, npads, n, h, w):
         base += c
     allrows = np.concatenate(rows_list, axis=0)
     return _rct_tail_numpy(allrows[perm], n, h, w, seglen=LF)
+
+
+# ---------------------------------------------------------------------------
+# F16 readback: RCT + Rice over half-float bit patterns.
+#
+# The reference's DEFAULT decode output is RGBA_F16
+# (/root/reference/lib/src/ultrahdr_api.cpp:1287-1289, 64bpp) — a raw
+# 4K readback is ~100 MB/frame, ~3 s at this relay's best. The same
+# RCT + Rice machinery applies almost unchanged to the u16 bit
+# patterns: for positive halves the bit pattern is monotone in the
+# value (sign=0, exponent-then-mantissa ordering), so channel
+# differences (R-G, B-G mod 2^16) and vertical deltas of smooth linear
+# HDR content stay small and Rice(k) adapts per 256-sample segment.
+# Alpha is pack_rgba_f16's constant 0x3C00 (1.0), dropped on pack and
+# re-attached on unpack. Only the widths differ from the 1010102 pack:
+# k in 0..15 (zigzag deltas fit u16; k=15 always satisfies the unary
+# cap since q <= 1), zero-segment sentinel 31.
+# ---------------------------------------------------------------------------
+
+_RICE16_KS = tuple(range(16))
+_RICE16_ZERO = 31
+
+
+def _f16_zigzag_deltas_dev(x, n: int, h: int, w: int, wp: int):
+    """Traceable pass-1 preamble for (n, h, w, 4) u16 RGBA F16 halves:
+    -> (3*n*h, wp) u16 zigzag mod-2^16 vertical deltas of the
+    channel-decorrelated (G, R-G, B-G) bit-pattern planes."""
+    import jax.numpy as jnp
+
+    rows = 3 * n * h
+    xi = x.astype(jnp.int32)
+    r = xi[..., 0]
+    g = xi[..., 1]
+    b = xi[..., 2]
+    big = jnp.concatenate([
+        g.reshape(n * h, w), ((r - g) & 0xFFFF).reshape(n * h, w),
+        ((b - g) & 0xFFFF).reshape(n * h, w)])
+    if wp != w:
+        big = jnp.pad(big, ((0, 0), (0, wp - w)), mode="edge")
+    prev = jnp.pad(big, ((1, 0), (0, 0)))[:-1]
+    mask = (jnp.arange(rows) % G == 0)[:, None]
+    prev = jnp.where(mask, 0, prev)
+    d = (big - prev) & 0xFFFF
+    ds = ((d + 0x8000) & 0xFFFF) - 0x8000
+    return ((ds << 1) ^ (ds >> 31)).astype(jnp.uint16)
+
+
+@lru_cache(maxsize=None)
+def _rice16_widths_fn(shape):
+    """Jitted Rice pass 1 for an (n, h, w, 4) u16 F16 batch. Returns
+    (zs (nseg, RL) u16, stacked (2, nseg) u8 [kcode, uw])."""
+    import jax
+
+    n, h, w = shape
+    wp = -(-w // RL) * RL
+    rows = 3 * n * h
+
+    def f(x):
+        z = _f16_zigzag_deltas_dev(x, n, h, w, wp)
+        zs = z.reshape(rows * (wp // RL), RL)
+        return zs, _rice_seg_stats(zs, _RICE16_KS, _RICE16_ZERO)
+
+    return jax.jit(f)
+
+
+def fetch_rgba_f16_rice(out_dev, fetch=np.asarray):
+    """Fetch an (n, h, w, 4) device RGBA-F16-halves batch via the
+    RCT + Rice bit-pattern pack. Returns (host u16 (n, h, w, 4),
+    d2h_bytes) or (None, wasted_bytes) when the content is
+    incompressible / too large for the sort-key index field (caller
+    falls back to a raw fetch). Alpha comes back as the packer's
+    constant 0x3C00 (ops/color.py pack_rgba_f16)."""
+    n, h, w, c4 = (int(s) for s in out_dev.shape)
+    if c4 != 4:
+        return None, 0
+    zs, kuw_dev = _rice16_widths_fn((n, h, w))(out_dev)
+    maps = np.asarray(kuw_dev)
+    kmap, uwmap = maps[0], maps[1]
+    nseg_total = kmap.size
+    if nseg_total >= (1 << _IDX_BITS):
+        return None, maps.nbytes
+    plan = _rice_host_plan(kmap, uwmap, _RICE16_KS, _RICE16_ZERO,
+                           n * h * w * 8)
+    if plan is None:
+        return None, maps.nbytes
+    rem_counts, un_counts, rem_npads, un_npads, offs = plan
+
+    blob_bytes = 0
+    try:
+        blob = fetch(_rice_devpack_fn(
+            nseg_total, rem_npads, un_npads, _RICE16_KS,
+            _RICE16_ZERO)(zs, kuw_dev, offs))
+        blob_bytes = blob.nbytes
+        out = _host_unpack_rice16(blob, kmap, uwmap, rem_counts,
+                                  un_counts, rem_npads, un_npads,
+                                  n, h, w)
+    except Exception:
+        from ..utils import counters
+        from ..utils.log import get_logger
+
+        counters.bump("rice16_readback_fallback")
+        get_logger().warning(
+            "f16 rice readback pack failed; falling back",
+            exc_info=True)
+        return None, maps.nbytes + blob_bytes
+    return out, blob_bytes + maps.nbytes
+
+
+def _rice16_word_offs(rem_npads, un_npads):
+    """Word offsets of each bucket inside the fused F16 Rice blob."""
+    rem_word_offs = np.zeros(len(_RICE16_KS), np.int64)
+    acc = 0
+    for j, k in enumerate(_RICE16_KS):
+        rem_word_offs[j] = acc
+        if k:
+            acc += rem_npads[j] * _wps(k, RL)
+    un_word_offs = np.zeros(len(_RICE_UCLS), np.int64)
+    for c in range(len(_RICE_UCLS)):
+        un_word_offs[c] = acc
+        acc += un_npads[c] * _RICE_UCLS[c]
+    return rem_word_offs, un_word_offs
+
+
+def _host_unpack_rice16(blob, kmap, uwmap, rem_counts, un_counts,
+                        rem_npads, un_npads, n, h, w):
+    """Host half of the F16 Rice pack: native single-pass C++ when
+    available, else a vectorized numpy fallback (identical output)."""
+    from ..jpeg import native
+
+    rem_word_offs, un_word_offs = _rice16_word_offs(rem_npads,
+                                                    un_npads)
+    lib = native.get_lib()
+    if lib is not None and getattr(lib, "uhdr_rice16_unpack", None):
+        import ctypes
+
+        blob = np.ascontiguousarray(blob)
+        kmap_c = np.ascontiguousarray(kmap)
+        uw_c = np.ascontiguousarray(uwmap)
+        scratch = np.empty(n * h * w, np.uint16)
+        out = np.empty((n, h, w, 4), np.uint16)
+        rc = lib.uhdr_rice16_unpack(
+            kmap_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            uw_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            rem_word_offs.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)),
+            un_word_offs.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)),
+            n, h, w,
+            scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+        if rc == 0:
+            return out
+
+    # Numpy fallback: reconstruct z per bucket, then the 16-bit
+    # delta/RCT tail. i32 un-zigzag (z can exceed i16 range).
+    nseg = kmap.size
+    z = np.zeros((nseg, RL), np.uint16)
+    for j, k in enumerate(_RICE16_KS):
+        c = int(rem_counts[j])
+        if k == 0 or c == 0:
+            continue
+        nw = _wps(k, RL)
+        words = blob[rem_word_offs[j]:rem_word_offs[j] + c * nw] \
+            .reshape(c, nw)
+        ks = 32 // k
+        maskv = np.uint32((1 << k) - 1)
+        parts = ((words[None, :, :]
+                  >> (np.arange(ks, dtype=np.uint32) * k)[:, None,
+                                                          None])
+                 & maskv).astype(np.uint16)
+        segs = parts.transpose(1, 0, 2).reshape(c, ks * nw)[:, :RL]
+        idx = np.flatnonzero(kmap == k)
+        z[idx] = segs
+    ucls_lim = np.asarray(_RICE_UCLS, np.int64)
+    ucls = np.searchsorted(ucls_lim, uwmap.astype(np.int64))
+    nonzero = kmap != _RICE16_ZERO
+    for c in range(len(_RICE_UCLS)):
+        cnt = int(un_counts[c])
+        if cnt == 0:
+            continue
+        wc = _RICE_UCLS[c]
+        words = blob[un_word_offs[c]:un_word_offs[c] + cnt * wc] \
+            .reshape(cnt, wc)
+        bits = ((words[:, :, None]
+                 >> np.arange(32, dtype=np.uint32)[None, None, :]) & 1) \
+            .reshape(cnt, wc * 32)
+        rows_i, cols = np.nonzero(bits)
+        assert rows_i.size == cnt * RL, "corrupt unary bitmap"
+        cols = cols.reshape(cnt, RL).astype(np.int64)
+        q = np.empty((cnt, RL), np.int64)
+        q[:, 0] = cols[:, 0]
+        q[:, 1:] = np.diff(cols, axis=1) - 1
+        idx = np.flatnonzero(nonzero & (ucls == c))
+        ksel = kmap[idx].astype(np.uint16)
+        z[idx] = ((q.astype(np.uint16) << ksel[:, None]) | z[idx])
+    return _rct16_tail_numpy(z, n, h, w)
+
+
+def _rct16_tail_numpy(z, n, h, w):
+    """Numpy tail of the F16 pack: un-zigzag (i32: z can be > 32767),
+    grouped cumsum, mod-2^16 recorrelate, interleave RGBA u16 with the
+    constant alpha 0x3C00."""
+    wp = -(-w // RL) * RL
+    rows = 3 * n * h
+    zz = z.reshape(rows, wp).astype(np.int32)
+    ds = (zz >> 1) ^ -(zz & 1)
+    pad = (-rows) % G                  # tail group may be partial
+    if pad:
+        ds = np.concatenate([ds, np.zeros((pad, wp), ds.dtype)])
+    grp = ds.reshape(-1, G, wp)
+    np.cumsum(grp, axis=1, out=grp)
+    big = grp.reshape(-1, wp)[:rows, :w]
+    big &= 0xFFFF
+    gpl = big[:n * h]
+    rpl = (big[n * h:2 * n * h] + gpl) & 0xFFFF
+    bpl = (big[2 * n * h:] + gpl) & 0xFFFF
+    out = np.empty((n * h, w, 4), np.uint16)
+    out[..., 0] = rpl.astype(np.uint16)
+    out[..., 1] = gpl.astype(np.uint16)
+    out[..., 2] = bpl.astype(np.uint16)
+    out[..., 3] = 0x3C00
+    return out.reshape(n, h, w, 4)

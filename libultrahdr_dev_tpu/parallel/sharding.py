@@ -163,7 +163,16 @@ def fetch_1010102_packed(out_dev, stats=None):
             out, d2h_bytes = packio.fetch_rgba1010102_rice(out_dev)
         except Exception:
             # Platform quirk in the newer path must never take down a
-            # serving loop: the fine-width pack is the proven fallback.
+            # serving loop: the fine-width pack is the proven fallback
+            # — but never silently (a regression here costs ~29% more
+            # readback bytes every frame).
+            from ..utils import counters as _c
+            from ..utils.log import get_logger
+
+            _c.bump("rice_readback_fallback")
+            get_logger().warning(
+                "rice readback raised; fine-width fallback",
+                exc_info=True)
             out, d2h_bytes = None, 0
         if out is None:
             wasted += d2h_bytes
@@ -185,6 +194,52 @@ def fetch_1010102_packed(out_dev, stats=None):
     if stats is not None:
         # What crossed the link: the fused bucket blob + the pass-1
         # per-segment map (the bucket plan stays host-side).
+        stats["d2h_bytes"] = stats.get("d2h_bytes", 0) \
+            + d2h_bytes + wasted
+        stats["d2h_pack"] = mode
+    return out
+
+
+def fetch_f16_packed(out_dev, stats=None):
+    """Fetch a device-resident (n,h,w,4) RGBA-F16-halves batch (the
+    reference's DEFAULT decode output, ultrahdr_api.cpp:1287-1289) to
+    host through the lossless RCT + Rice bit-pattern pack
+    (packio.fetch_rgba_f16_rice); raw u16 readback as the
+    incompressible-content fallback. A raw 4K F16 batch is ~100 MB
+    per frame on the wire — the pack typically cuts that 3-5x on
+    decoded content. Alpha is the packer's constant 0x3C00
+    (ops/color.py pack_rgba_f16)."""
+    from . import packio
+    from ..jpeg import native
+
+    out = None
+    wasted = 0
+    mode = "rct-rice16"
+    lib = native.get_lib()
+    # Without the native unpacker the host half costs seconds per 4K
+    # batch on a single core — raw fetch then.
+    if lib is not None and getattr(lib, "uhdr_rice16_unpack", None):
+        try:
+            out, d2h_bytes = packio.fetch_rgba_f16_rice(out_dev)
+        except Exception:
+            from ..utils import counters as _c
+            from ..utils.log import get_logger
+
+            _c.bump("rice16_readback_fallback")
+            get_logger().warning(
+                "f16 rice readback raised; raw fallback",
+                exc_info=True)
+            out, d2h_bytes = None, 0
+        if out is None:
+            wasted += d2h_bytes
+    if out is None:  # incompressible content / no native lib
+        arr = np.asarray(out_dev)
+        if stats is not None:
+            stats["d2h_bytes"] = stats.get("d2h_bytes", 0) \
+                + arr.nbytes + wasted
+            stats["d2h_pack"] = "raw"
+        return arr
+    if stats is not None:
         stats["d2h_bytes"] = stats.get("d2h_bytes", 0) \
             + d2h_bytes + wasted
         stats["d2h_pack"] = mode

@@ -208,6 +208,7 @@ class TestRiceBatchFetch:
     @pytest.mark.parametrize("n,h,w,noise", [
         (1, 96, 512, 0),       # low-k segments + all-zero class
         (2, 160, 840, 7),      # non-multiple-of-256 width (edge pad)
+        (1, 720, 1280, 3),     # h % 32 != 0 (reference fixture geom)
     ])
     def test_roundtrip_exact(self, n, h, w, noise):
         import jax
@@ -340,3 +341,141 @@ class TestNativeForwardPack:
             np.testing.assert_array_equal(np.asarray(pn.buckets[bw]),
                                           np.asarray(pp.buckets[bw]))
         np.testing.assert_array_equal(pn.perm, pp.perm)
+
+
+class TestF16RiceFetch:
+    """RCT + Rice over F16 bit patterns (packio.fetch_rgba_f16_rice):
+    exact u16x4 reconstruction, native/numpy host-unpack agreement,
+    the incompressible bail, and the sharding.fetch_f16_packed wiring
+    (the reference's DEFAULT decode output is RGBA_F16,
+    ultrahdr_api.cpp:1287-1289)."""
+
+    @staticmethod
+    def _f16(n, h, w, seed=0, noise=0.0):
+        """Smooth positive linear-HDR-like content as RGBA halves."""
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (0.3 + 0.2 * np.sin(xx / 37.0) + 0.1 * np.cos(yy / 23.0)
+                )[None] * np.linspace(1.0, 3.0, n)[:, None, None]
+        if noise:
+            base = base + rng.normal(0, noise, (n, h, w))
+        r = np.abs(base).astype(np.float16)
+        g = np.abs(base * 0.9 + 0.02).astype(np.float16)
+        b = np.abs(base * 1.1 - 0.01).astype(np.float16)
+        out = np.empty((n, h, w, 4), np.uint16)
+        out[..., 0] = r.view(np.uint16)
+        out[..., 1] = g.view(np.uint16)
+        out[..., 2] = b.view(np.uint16)
+        out[..., 3] = 0x3C00
+        return out
+
+    @pytest.mark.parametrize("n,h,w,noise", [
+        (1, 96, 512, 0.0),      # smooth: low-k + all-zero class
+        (2, 160, 840, 0.003),   # non-multiple-of-256 width (edge pad)
+        (1, 720, 1280, 0.001),  # h % 32 != 0 (the reference fixture
+                                # geometry; groups cross plane bounds)
+    ])
+    def test_roundtrip_exact(self, n, h, w, noise):
+        import jax
+        rgba = self._f16(n, h, w, seed=h + w, noise=noise)
+        out, nbytes = packio.fetch_rgba_f16_rice(jax.device_put(rgba))
+        assert out is not None, "bench-like content must not bail"
+        np.testing.assert_array_equal(out, rgba)
+        assert 0 < nbytes < rgba.nbytes
+
+    def test_roundtrip_exact_high_k_mixed(self):
+        # Mixed content populates the high-k remainder buckets while
+        # the smooth half keeps the estimate under the bail threshold.
+        import jax
+        rng = np.random.default_rng(23)
+        n, h, w = 1, 256, 1024
+        rgba = self._f16(n, h, w, seed=5)
+        noisy = rng.integers(0, 0x7C00, (n, h, w // 2, 4)).astype(
+            np.uint16)
+        rgba[:, :, w // 2:, :3] = noisy[..., :3]
+        rgba[..., 3] = 0x3C00
+        dev = jax.device_put(rgba)
+        _, kuw = packio._rice16_widths_fn((n, h, w))(dev)
+        kmap = np.asarray(kuw)[0]
+        assert (kmap[kmap != packio._RICE16_ZERO] >= 10).any(), \
+            "content failed to populate high-k buckets"
+        out, _ = packio.fetch_rgba_f16_rice(dev)
+        assert out is not None, "mixed content must not bail"
+        np.testing.assert_array_equal(out, rgba)
+
+    def test_incompressible_returns_none(self):
+        import jax
+        rng = np.random.default_rng(0)
+        rgba = rng.integers(0, 1 << 16, (1, 64, 256, 4)).astype(
+            np.uint16)
+        out, wasted = packio.fetch_rgba_f16_rice(jax.device_put(rgba))
+        assert out is None
+        assert wasted == 3 * 64 * 1 * 2  # the (kcode, uw) map
+
+    def test_native_and_numpy_unpack_agree(self, monkeypatch):
+        import jax
+
+        from libultrahdr_dev_tpu.jpeg import native
+        lib = native.get_lib()
+        if lib is None or getattr(lib, "uhdr_rice16_unpack",
+                                  None) is None:
+            pytest.skip("native rice16 unpack unavailable")
+        rgba = self._f16(2, 160, 840, seed=11, noise=0.004)
+        res = packio.fetch_rgba_f16_rice(jax.device_put(rgba))
+        assert res[0] is not None
+        monkeypatch.setattr(native, "get_lib", lambda: None)
+        res2 = packio.fetch_rgba_f16_rice(jax.device_put(rgba))
+        np.testing.assert_array_equal(res[0], res2[0])
+        assert res[1] == res2[1]
+        np.testing.assert_array_equal(res[0], rgba)
+
+    def test_native_rejects_corrupt_maps(self):
+        import ctypes
+
+        from libultrahdr_dev_tpu.jpeg import native
+        lib = native.get_lib()
+        if lib is None or getattr(lib, "uhdr_rice16_unpack",
+                                  None) is None:
+            pytest.skip("native rice16 unpack unavailable")
+        n, h, w = 1, 32, 256
+        nseg = 3 * n * h
+        blob = np.zeros(16384, np.uint32)
+        rem_offs = np.zeros(16, np.int64)
+        un_offs = np.zeros(7, np.int64)
+        scratch = np.empty(n * h * w, np.uint16)
+        out = np.empty(n * h * w * 4, np.uint16)
+
+        def call(kmap, uwmap):
+            return lib.uhdr_rice16_unpack(
+                kmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                uwmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                rem_offs.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int64)),
+                un_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                n, h, w,
+                scratch.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint16)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+
+        kmap = np.full(nseg, 20, np.uint8)      # invalid k code
+        assert call(kmap, np.zeros(nseg, np.uint8)) == -3
+        kmap = np.zeros(nseg, np.uint8)          # k=0, uw > max class
+        assert call(kmap, np.full(nseg, 25, np.uint8)) == -4
+        assert call(kmap, np.full(nseg, 8, np.uint8)) == -5
+        kmap = np.full(nseg, 31, np.uint8)       # all-zero sentinel
+        assert call(kmap, np.zeros(nseg, np.uint8)) == 0
+        o4 = out.reshape(n * h * w, 4)
+        assert np.all(o4[:, :3] == 0) and np.all(o4[:, 3] == 0x3C00)
+
+    def test_sharding_fetch_f16_packed_matches_raw(self):
+        import jax
+
+        from libultrahdr_dev_tpu.parallel import sharding
+        rgba = self._f16(1, 96, 512, seed=3)
+        dev = jax.device_put(rgba)
+        stats = {}
+        out = sharding.fetch_f16_packed(dev, stats)
+        np.testing.assert_array_equal(out, rgba)
+        assert stats["d2h_bytes"] > 0
+        assert stats["d2h_pack"] in ("rct-rice16", "raw")
