@@ -83,8 +83,13 @@ def foreign_decode_ms():
     buf = io.BytesIO()
     Image.fromarray(rgb).save(buf, "JPEG", quality=95, subsampling=2)
     blob = buf.getvalue()
+    pbuf = io.BytesIO()
+    Image.fromarray(rgb).save(pbuf, "JPEG", quality=95, subsampling=2,
+                              progressive=True)
+    pblob = pbuf.getvalue()
     codec.decode_jpeg_coefs(blob)  # warm table/ctypes setup
-    full = scan = float("inf")
+    codec.decode_jpeg_coefs(pblob)
+    full = scan = prog = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         codec.decode_jpeg_coefs(blob)
@@ -93,9 +98,16 @@ def foreign_decode_ms():
         t0 = time.perf_counter()
         ds = dd.parse_device_stream(blob)
         scan = min(scan, (time.perf_counter() - t0) * 1000)
+    # Progressive foreign 4K: irreducibly-serial per (component, band)
+    # scan chain, but scans of disjoint components thread on multi-core
+    # hosts (codec._run_prog_tasks_threaded, min(cores,4) workers).
+    for _ in range(2):
+        t0 = time.perf_counter()
+        codec.decode_jpeg_coefs(pblob)
+        prog = min(prog, (time.perf_counter() - t0) * 1000)
     if ds is None or ds.start_bits is None:
         scan = -1.0  # scan path unavailable (no native lib)
-    return full, scan, len(blob)
+    return full, scan, prog, len(blob)
 
 
 def _devices_or_die(timeout_s: float = 600.0):
@@ -403,7 +415,7 @@ def main():
     np.asarray(d)
     d2h_mbps = 8.0 / max(time.perf_counter() - t0, 1e-9)
 
-    f_ms, f_scan_ms, f_bytes = foreign_decode_ms()
+    f_ms, f_scan_ms, f_prog_ms, f_bytes = foreign_decode_ms()
 
     # Roofline context (estimates, not profiler counters): the pixel
     # pipeline is HBM/VPU-bound, not MXU-bound — the only large
@@ -495,6 +507,7 @@ def main():
             "d2h_MBps": round(d2h_mbps, 1),
             "foreign_entropy_decode_ms": round(f_ms, 1),
             "foreign_scan_to_device_ms": round(f_scan_ms, 1),
+            "foreign_progressive_decode_ms": round(f_prog_ms, 1),
             "foreign_jpeg_bytes": f_bytes,
             "roofline_est": roofline,
             "fallback_counters": _counters.snapshot(),

@@ -17,6 +17,7 @@ fallback (huffman.py).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -854,6 +855,15 @@ def _decode_multiscan(data: bytes, result: DecodedCoefs,
     dc_cond: dict[int, tuple] = {}   # arith DC (L, U) per slot
     ac_cond: dict[int, int] = {}     # arith AC Kx per slot
     restart = 0
+    # Cross-scan threading (Huffman progressive only): scans touching
+    # disjoint (component, spectral band) state are data-independent
+    # — AC scans write only their own component's band, DC scans only
+    # band [0,0] — so on a multi-core host they run concurrently
+    # (ctypes releases the GIL during the native scan decoders). The
+    # reference gets its ingest throughput from libjpeg-turbo's SIMD
+    # serial decode; this is the multi-core analog (VERDICT r3 §6).
+    prog_tasks = [] if (progressive and not arith
+                        and _scan_threads() > 1) else None
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -925,7 +935,14 @@ def _decode_multiscan(data: bytes, result: DecodedCoefs,
             entropy = np.frombuffer(data, np.uint8,
                                     count=e1 - e0, offset=e0)
             arith_cond = (dc_cond, ac_cond) if arith else None
-            if progressive:
+            if progressive and prog_tasks is not None:
+                # Deferred for the cross-scan thread scheduler below.
+                # Tables/restart can be redefined between scans, so
+                # each task snapshots them as-of its SOS.
+                prog_tasks.append((entropy, list(scan), ss, se, ah, al,
+                                   restart, dict(dc_tables),
+                                   dict(ac_tables)))
+            elif progressive:
                 _run_scan(lib, entropy, scan, comps, grids, grid_dims,
                           mcus_x, mcus_y, ss, se, ah, al, restart,
                           dc_tables, ac_tables, w, h, hmax, vmax,
@@ -936,6 +953,11 @@ def _decode_multiscan(data: bytes, result: DecodedCoefs,
                                    dc_tables, ac_tables, w, h, hmax,
                                    vmax, arith_cond)
 
+    if prog_tasks:
+        _run_prog_tasks_threaded(lib, prog_tasks, comps, grids,
+                                 grid_dims, mcus_x, mcus_y, w, h,
+                                 hmax, vmax)
+
     for i, c in enumerate(comps):
         if c.qtbl not in qtables:
             raise err("UHDR_CODEC_ERROR", "missing quant table")
@@ -945,6 +967,55 @@ def _decode_multiscan(data: bytes, result: DecodedCoefs,
                              (c.h, c.v)))
     result.ncomp = len(comps)
     return result
+
+
+def _scan_threads() -> int:
+    """Worker count for cross-scan progressive decode: min(cores,4)
+    like the reference's JobQueue sizing (ultrahdr.cpp:131-183).
+    Override with UHDR_SCAN_THREADS (0/1 = serial)."""
+    env = os.environ.get("UHDR_SCAN_THREADS")
+    if env is not None:
+        try:
+            return max(int(env), 1)
+        except ValueError:
+            pass
+    return min(os.cpu_count() or 1, 4)
+
+
+def _run_prog_tasks_threaded(lib, tasks, comps, grids, grid_dims,
+                             mcus_x, mcus_y, w, h, hmax, vmax):
+    """Execute deferred progressive scans on a thread pool, ordering
+    only genuinely dependent pairs: scan j waits on earlier scan i iff
+    their component sets intersect. Scans on disjoint components write
+    disjoint coefficient grids, so they run concurrently (e.g. the
+    luma AC scans ∥ both chroma components' scans). Same-component
+    scans stay ordered even when their spectral bands are disjoint:
+    _run_scan stages through a full-grid copy-in/copy-out, so a
+    concurrent same-grid scan would clobber the other band's writes.
+    Dependencies always point to earlier submissions, so FIFO workers
+    cannot deadlock; errors propagate through the futures."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    metas = []     # component sets
+    futures = []
+
+    def run_after(deps, task):
+        for d in deps:
+            d.result()     # re-raises a failed dependency
+        entropy, scan, ss, se, ah, al, restart, dcs, acs = task
+        _run_scan(lib, entropy, scan, comps, grids, grid_dims,
+                  mcus_x, mcus_y, ss, se, ah, al, restart,
+                  dcs, acs, w, h, hmax, vmax, None)
+
+    with ThreadPoolExecutor(_scan_threads()) as ex:
+        for task in tasks:
+            cset = {ci for ci, _, _ in task[1]}
+            deps = [futures[i] for i, mc in enumerate(metas)
+                    if mc & cset]
+            futures.append(ex.submit(run_after, deps, task))
+            metas.append(cset)
+        for f in futures:
+            f.result()
 
 
 _STANDALONE_PROG = set(range(0xD0, 0xD8)) | {0x01}

@@ -20,7 +20,7 @@ _SRCS = [os.path.join(_DIR, "entropy.cpp"),
          os.path.join(_DIR, "arith.cpp"),
          os.path.join(_DIR, "packio.cpp")]
 _FLAGS = ["-O3", "-march=native", "-funroll-loops", "-std=c++17",
-          "-shared", "-fPIC"]
+          "-shared", "-fPIC", "-pthread"]
 
 
 def _host_tag() -> str:
@@ -154,6 +154,16 @@ def get_lib():
         lib.uhdr_rice16_unpack.argtypes = [
             u8p, u8p, u32p, i64p, i64p, ctypes.c_long, ctypes.c_long,
             ctypes.c_long, u16p, u16p]
+        # Multi-threaded variants (min(cores,4) workers, the
+        # reference JobQueue's sizing — ultrahdr.cpp:131-183).
+        lib.uhdr_rice_unpack_mt.restype = ctypes.c_long
+        lib.uhdr_rice_unpack_mt.argtypes = [
+            u8p, u8p, u32p, i64p, i64p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, u16p, u32p, ctypes.c_long]
+        lib.uhdr_rice16_unpack_mt.restype = ctypes.c_long
+        lib.uhdr_rice16_unpack_mt.argtypes = [
+            u8p, u8p, u32p, i64p, i64p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, u16p, u16p, ctypes.c_long]
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.uhdr_seg_widths.restype = ctypes.c_long
         lib.uhdr_seg_widths.argtypes = [

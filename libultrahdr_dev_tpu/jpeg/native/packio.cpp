@@ -17,8 +17,11 @@
 //   words, each bucket's rows ordered by original segment index
 //   (the device's stable (rank, index) sort); sample j of a segment
 //   lives in word j % nw at shift (j / nw) * width.
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -115,212 +118,322 @@ long uhdr_rctseg_unpack(const uint8_t* bmap, const uint32_t* blob,
   return 0;
 }
 
-// Host half of the RCT + Rice(k) readback pack
-// (parallel/packio.py fetch_rgba1010102_rice). Same delta/RCT tail as
-// uhdr_rctseg_unpack, but each 256-sample segment stores q = z >> k as
-// a terminator-position bitmap (sum(q)+256 bits, LSB-first u32 words,
-// bucketed by word-count class) plus k-bit remainders in the slot
-// layout. Walking segments in original order with per-bucket fill
-// counters reproduces the device's stable (rank, index) sort for BOTH
-// bucket families at once.
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Rice readback unpack (10-bit RGBA1010102 and F16-halves variants).
 //
-// Layout contract (must match packio.py): RL = 256, k in 0..9
-// (k-code 15 = all-zero segment), unary classes {8,10,12,14,16,20,24}
-// words; rem_word_offs[10] / un_word_offs[7] are the bucket start
-// words inside the fused blob.
+// Layout contract (must match packio.py): RL = 256 samples/segment.
+// 10-bit: k in 0..9, k-code 15 = all-zero segment, mod-1024 RCT tail,
+// (n, h, w) u32 output. F16: k in 0..15, k-code 31, mod-2^16 tail,
+// (n, h, w, 4) u16 output with constant alpha 0x3C00. Unary classes
+// {8,10,12,14,16,20,24} words. Walking segments in original order
+// with per-bucket fill counters reproduces the device's stable
+// (rank, index) sort for BOTH bucket families at once.
+//
+// The walker below decodes an arbitrary GROUP-aligned global-row
+// range given that range's starting fill counters, which makes the
+// multi-threaded entry points (uhdr_rice_unpack_mt /
+// uhdr_rice16_unpack_mt) possible: a prescan of the per-segment maps
+// yields each chunk's fill counters, and chunks decode in parallel.
+// Planes run as three barriered phases — the 1010102 emit ORs the
+// R/G/B fields into one u32, so plane-1 and plane-2 rows of the same
+// r must never run concurrently.
+
+namespace {
+
+constexpr int kRiceUcls[7] = {8, 10, 12, 14, 16, 20, 24};
+constexpr int kRiceRL = 256;
+
+// Decode global rows [g0, g1) of the 3-plane delta stack. g0 must be
+// GROUP-aligned (or 0). fill_rem[kcap+1] / fill_un[7] are the
+// starting per-bucket fill counters for this range. emit(plane, r,
+// acc) writes one recorrelated row. Returns 0 or a negative error.
+template <typename Emit>
+long rice_walk_rows(const uint8_t* kmap, const uint8_t* uwmap,
+                    const uint32_t* blob,
+                    const int64_t* rem_word_offs,
+                    const int64_t* un_word_offs,
+                    int kzero, int kcap,
+                    int64_t nsegw, int64_t plane_rows, int64_t w,
+                    int64_t g0, int64_t g1,
+                    int64_t* fill_rem, int64_t* fill_un,
+                    Emit&& emit) {
+  int32_t acc[8192 + kRiceRL];
+  uint16_t rem[kRiceRL];
+  constexpr int RL = kRiceRL;
+  if (g0 != 0 && g0 % GROUP != 0) return -6;
+  const uint8_t* km = kmap + g0 * nsegw;
+  const uint8_t* um = uwmap + g0 * nsegw;
+  for (int64_t grow = g0; grow < g1; ++grow) {
+    if (grow % GROUP == 0)
+      std::memset(acc, 0, sizeof(int32_t) * (nsegw * RL));
+    for (int64_t s = 0; s < nsegw; ++s, ++km, ++um) {
+      const int k = *km;
+      if (k == kzero) continue;  // all-zero segment
+      if (k > kcap) return -3;   // map crossed an untrusted link
+      if (k > 0) {
+        const int ks = 32 / k;
+        const int nw = (RL + ks - 1) / ks;
+        const uint32_t* words =
+            blob + rem_word_offs[k] + fill_rem[k]++ * nw;
+        const uint32_t mask = (1u << k) - 1;
+        int idx = 0;
+        for (int slot = 0; slot < ks && idx < RL; ++slot) {
+          const int shift = slot * k;
+          for (int wi = 0; wi < nw && idx < RL; ++wi, ++idx)
+            rem[idx] = (uint16_t)((words[wi] >> shift) & mask);
+        }
+      } else {
+        std::memset(rem, 0, sizeof(rem));
+      }
+      const int uw = *um;
+      int c = 0;
+      while (c < 7 && kRiceUcls[c] < uw) ++c;
+      if (c >= 7) return -4;
+      const int wc = kRiceUcls[c];
+      const uint32_t* uwords =
+          blob + un_word_offs[c] + fill_un[c]++ * (int64_t)wc;
+      int32_t* a = acc + s * RL;
+      int idx = 0, prevp = -1;
+      for (int wi = 0; wi < wc && idx < RL; ++wi) {
+        uint32_t bits = uwords[wi];
+        while (bits && idx < RL) {
+          const int p = wi * 32 + __builtin_ctz(bits);
+          bits &= bits - 1;
+          const uint32_t z =
+              ((uint32_t)(p - prevp - 1) << k) | rem[idx];
+          prevp = p;
+          a[idx] += (int32_t)(z >> 1) ^ -(int32_t)(z & 1);
+          ++idx;
+        }
+      }
+      if (idx != RL) return -5;  // corrupt unary bitmap
+    }
+    emit((int)(grow / plane_rows), grow % plane_rows, acc);
+  }
+  return 0;
+}
+
+// Emit one row of the (n, h, w) u32 RGBA1010102 result.
+struct Emit1010102 {
+  int64_t w;
+  uint16_t* scratch;
+  uint32_t* out;
+  inline void operator()(int plane, int64_t r,
+                         const int32_t* acc) const {
+    const int64_t rowbase = r * w;
+    if (plane == 0) {
+      uint32_t* o = out + rowbase;
+      uint16_t* gb = scratch + rowbase;
+      for (int64_t x = 0; x < w; ++x) {
+        const uint16_t g = (uint16_t)(acc[x] & 1023);
+        gb[x] = g;
+        o[x] = ((uint32_t)g << 10) | 0xC0000000u;
+      }
+    } else if (plane == 1) {
+      uint32_t* o = out + rowbase;
+      const uint16_t* gb = scratch + rowbase;
+      for (int64_t x = 0; x < w; ++x)
+        o[x] |= (uint32_t)((acc[x] + gb[x]) & 1023);
+    } else {
+      uint32_t* o = out + rowbase;
+      const uint16_t* gb = scratch + rowbase;
+      for (int64_t x = 0; x < w; ++x)
+        o[x] |= (uint32_t)((acc[x] + gb[x]) & 1023) << 20;
+    }
+  }
+};
+
+// Emit one row of the (n, h, w, 4) u16 RGBA-halves result.
+struct EmitF16 {
+  int64_t w;
+  uint16_t* scratch;
+  uint16_t* out;
+  inline void operator()(int plane, int64_t r,
+                         const int32_t* acc) const {
+    const int64_t rowbase = r * w;
+    uint16_t* o = out + rowbase * 4;
+    if (plane == 0) {
+      uint16_t* gb = scratch + rowbase;
+      for (int64_t x = 0; x < w; ++x) {
+        const uint16_t g = (uint16_t)(acc[x] & 0xFFFF);
+        gb[x] = g;
+        o[x * 4 + 1] = g;
+        o[x * 4 + 3] = 0x3C00;  // alpha = f16(1.0)
+      }
+    } else if (plane == 1) {
+      const uint16_t* gb = scratch + rowbase;
+      for (int64_t x = 0; x < w; ++x)
+        o[x * 4 + 0] = (uint16_t)((acc[x] + gb[x]) & 0xFFFF);
+    } else {
+      const uint16_t* gb = scratch + rowbase;
+      for (int64_t x = 0; x < w; ++x)
+        o[x * 4 + 2] = (uint16_t)((acc[x] + gb[x]) & 0xFFFF);
+    }
+  }
+};
+
+template <typename Emit>
+long rice_unpack_serial(const uint8_t* kmap, const uint8_t* uwmap,
+                        const uint32_t* blob,
+                        const int64_t* rem_word_offs,
+                        const int64_t* un_word_offs,
+                        int kzero, int kcap,
+                        int64_t n, int64_t h, int64_t w,
+                        Emit&& emit) {
+  if (n <= 0 || h <= 0 || w <= 0) return -1;
+  if (w > 8192) return -2;
+  const int64_t nsegw = (w + kRiceRL - 1) / kRiceRL;
+  const int64_t plane_rows = n * h;
+  int64_t fill_rem[16] = {0};
+  int64_t fill_un[7] = {0};
+  return rice_walk_rows(kmap, uwmap, blob, rem_word_offs,
+                        un_word_offs, kzero, kcap, nsegw, plane_rows,
+                        w, 0, 3 * plane_rows, fill_rem, fill_un, emit);
+}
+
+// Multi-threaded unpack: three barriered plane phases (plane 0 first
+// — it writes the G scratch the others recorrelate against; planes
+// 1/2 separately because the 1010102 emit ORs into shared words),
+// each phase split into GROUP-aligned row chunks whose starting fill
+// counters come from one linear prescan of the maps.
+template <typename Emit>
+long rice_unpack_mt(const uint8_t* kmap, const uint8_t* uwmap,
+                    const uint32_t* blob,
+                    const int64_t* rem_word_offs,
+                    const int64_t* un_word_offs,
+                    int kzero, int kcap,
+                    int64_t n, int64_t h, int64_t w, long nthreads,
+                    Emit&& emit) {
+  if (n <= 0 || h <= 0 || w <= 0) return -1;
+  if (w > 8192) return -2;
+  const int64_t plane_rows = n * h;
+  long T = nthreads;
+  if (T > 8) T = 8;
+  if (T <= 1 || plane_rows % GROUP != 0 || plane_rows < T * GROUP)
+    return rice_unpack_serial(kmap, uwmap, blob, rem_word_offs,
+                              un_word_offs, kzero, kcap, n, h, w,
+                              emit);
+  const int64_t nsegw = (w + kRiceRL - 1) / kRiceRL;
+
+  // Chunk starts: per phase, T GROUP-aligned boundaries.
+  std::vector<int64_t> starts;  // global rows, sorted
+  for (int phase = 0; phase < 3; ++phase) {
+    const int64_t lo = phase * plane_rows;
+    for (long t = 0; t < T; ++t) {
+      int64_t s = lo + (plane_rows * t / T) / GROUP * GROUP;
+      if (starts.empty() || s > starts.back()) starts.push_back(s);
+    }
+  }
+  // Prescan: per-bucket segment counts before each boundary.
+  const size_t nb = starts.size();
+  std::vector<int64_t> pre_rem(nb * 16, 0), pre_un(nb * 7, 0);
+  {
+    int64_t cr[16] = {0};
+    int64_t cu[7] = {0};
+    size_t bi = 0;
+    const int64_t total_rows = 3 * plane_rows;
+    for (int64_t g = 0; g < total_rows && bi < nb; ++g) {
+      if (g == starts[bi]) {
+        std::memcpy(&pre_rem[bi * 16], cr, sizeof(cr));
+        std::memcpy(&pre_un[bi * 7], cu, sizeof(cu));
+        ++bi;
+        if (bi >= nb) break;
+      }
+      const uint8_t* km = kmap + g * nsegw;
+      const uint8_t* um = uwmap + g * nsegw;
+      for (int64_t s = 0; s < nsegw; ++s) {
+        const int k = km[s];
+        if (k == kzero) continue;
+        if (k > kcap) return -3;
+        ++cr[k];
+        const int uw = um[s];
+        int c = 0;
+        while (c < 7 && kRiceUcls[c] < uw) ++c;
+        if (c >= 7) return -4;
+        ++cu[c];
+      }
+    }
+  }
+
+  std::atomic<long> rc{0};
+  size_t bi = 0;
+  for (int phase = 0; phase < 3; ++phase) {
+    const int64_t hi = (phase + 1) * plane_rows;
+    // Boundaries belonging to this phase.
+    std::vector<size_t> mine;
+    while (bi < nb && starts[bi] < hi) mine.push_back(bi++);
+    std::vector<std::thread> pool;
+    for (size_t mi = 0; mi < mine.size(); ++mi) {
+      const size_t b = mine[mi];
+      const int64_t g0 = starts[b];
+      const int64_t g1 = (mi + 1 < mine.size()) ? starts[mine[mi + 1]]
+                                                : hi;
+      pool.emplace_back([&, b, g0, g1]() {
+        int64_t fr[16], fu[7];
+        std::memcpy(fr, &pre_rem[b * 16], sizeof(fr));
+        std::memcpy(fu, &pre_un[b * 7], sizeof(fu));
+        long r = rice_walk_rows(kmap, uwmap, blob, rem_word_offs,
+                                un_word_offs, kzero, kcap, nsegw,
+                                plane_rows, w, g0, g1, fr, fu, emit);
+        if (r != 0) rc.store(r);
+      });
+    }
+    for (auto& th : pool) th.join();
+    if (rc.load() != 0) return rc.load();
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
 long uhdr_rice_unpack(const uint8_t* kmap, const uint8_t* uwmap,
                       const uint32_t* blob,
                       const int64_t* rem_word_offs,
                       const int64_t* un_word_offs,
                       int64_t n, int64_t h, int64_t w,
                       uint16_t* scratch, uint32_t* out) {
-  constexpr int RL = 256;
-  constexpr int kUcls[7] = {8, 10, 12, 14, 16, 20, 24};
-  // Any row count works: groups reset at global row % GROUP == 0
-  // positions and the tail group may be partial (matches the
-  // device preamble and the numpy tails).
-  if (n <= 0 || h <= 0 || w <= 0)
-    return -1;
-  if (w > 8192) return -2;
-  const int64_t nsegw = (w + RL - 1) / RL;
-  const int64_t plane_rows = n * h;
-  int64_t fill_rem[10] = {0};
-  int64_t fill_un[7] = {0};
-  int32_t acc[8192 + RL];
-  uint16_t rem[RL];
-  const uint8_t* km = kmap;
-  const uint8_t* um = uwmap;
-
-  for (int plane = 0; plane < 3; ++plane) {
-    for (int64_t r = 0; r < plane_rows; ++r) {
-      const int64_t grow = plane * plane_rows + r;
-      if (grow % GROUP == 0)
-        std::memset(acc, 0, sizeof(int32_t) * (nsegw * RL));
-      for (int64_t s = 0; s < nsegw; ++s, ++km, ++um) {
-        const int k = *km;
-        if (k == 15) continue;  // all-zero segment
-        if (k > 9) return -3;   // map crossed an untrusted link
-        if (k > 0) {
-          const int ks = 32 / k;
-          const int nw = (RL + ks - 1) / ks;
-          const uint32_t* words =
-              blob + rem_word_offs[k] + fill_rem[k]++ * nw;
-          const uint32_t mask = (1u << k) - 1;
-          int idx = 0;
-          for (int slot = 0; slot < ks && idx < RL; ++slot) {
-            const int shift = slot * k;
-            for (int wi = 0; wi < nw && idx < RL; ++wi, ++idx)
-              rem[idx] = (uint16_t)((words[wi] >> shift) & mask);
-          }
-        } else {
-          std::memset(rem, 0, sizeof(rem));
-        }
-        const int uw = *um;
-        int c = 0;
-        while (c < 7 && kUcls[c] < uw) ++c;
-        if (c >= 7) return -4;
-        const int wc = kUcls[c];
-        const uint32_t* uwords =
-            blob + un_word_offs[c] + fill_un[c]++ * (int64_t)wc;
-        int32_t* a = acc + s * RL;
-        int idx = 0, prevp = -1;
-        for (int wi = 0; wi < wc && idx < RL; ++wi) {
-          uint32_t bits = uwords[wi];
-          while (bits && idx < RL) {
-            const int p = wi * 32 + __builtin_ctz(bits);
-            bits &= bits - 1;
-            const uint32_t z =
-                ((uint32_t)(p - prevp - 1) << k) | rem[idx];
-            prevp = p;
-            a[idx] += (int32_t)(z >> 1) ^ -(int32_t)(z & 1);
-            ++idx;
-          }
-        }
-        if (idx != RL) return -5;  // corrupt unary bitmap
-      }
-      const int64_t rowbase = r * w;
-      if (plane == 0) {
-        uint32_t* o = out + rowbase;
-        uint16_t* gb = scratch + rowbase;
-        for (int64_t x = 0; x < w; ++x) {
-          const uint16_t g = (uint16_t)(acc[x] & 1023);
-          gb[x] = g;
-          o[x] = ((uint32_t)g << 10) | 0xC0000000u;
-        }
-      } else if (plane == 1) {
-        uint32_t* o = out + rowbase;
-        const uint16_t* gb = scratch + rowbase;
-        for (int64_t x = 0; x < w; ++x)
-          o[x] |= (uint32_t)((acc[x] + gb[x]) & 1023);
-      } else {
-        uint32_t* o = out + rowbase;
-        const uint16_t* gb = scratch + rowbase;
-        for (int64_t x = 0; x < w; ++x)
-          o[x] |= (uint32_t)((acc[x] + gb[x]) & 1023) << 20;
-      }
-    }
-  }
-  return 0;
+  return rice_unpack_serial(kmap, uwmap, blob, rem_word_offs,
+                            un_word_offs, 15, 9, n, h, w,
+                            Emit1010102{w, scratch, out});
 }
 
-// Host half of the F16 Rice readback pack
-// (parallel/packio.py fetch_rgba_f16_rice). Same segment walk as
-// uhdr_rice_unpack but over 16-bit samples: k in 0..15 (k-code 31 =
-// all-zero segment), mod-2^16 recorrelation, and the output is the
-// (n, h, w, 4) u16 RGBA half-float batch with the packer's constant
-// alpha 0x3C00 re-attached.
+long uhdr_rice_unpack_mt(const uint8_t* kmap, const uint8_t* uwmap,
+                         const uint32_t* blob,
+                         const int64_t* rem_word_offs,
+                         const int64_t* un_word_offs,
+                         int64_t n, int64_t h, int64_t w,
+                         uint16_t* scratch, uint32_t* out,
+                         long nthreads) {
+  return rice_unpack_mt(kmap, uwmap, blob, rem_word_offs,
+                        un_word_offs, 15, 9, n, h, w, nthreads,
+                        Emit1010102{w, scratch, out});
+}
+
 long uhdr_rice16_unpack(const uint8_t* kmap, const uint8_t* uwmap,
                         const uint32_t* blob,
-                        const int64_t* rem_word_offs,   // 16 entries
-                        const int64_t* un_word_offs,    // 7 entries
+                        const int64_t* rem_word_offs,
+                        const int64_t* un_word_offs,
                         int64_t n, int64_t h, int64_t w,
                         uint16_t* scratch, uint16_t* out) {
-  constexpr int RL = 256;
-  constexpr int kUcls[7] = {8, 10, 12, 14, 16, 20, 24};
-  // Any row count works: groups reset at global row % GROUP == 0
-  // positions and the tail group may be partial (matches the
-  // device preamble and the numpy tails).
-  if (n <= 0 || h <= 0 || w <= 0)
-    return -1;
-  if (w > 8192) return -2;
-  const int64_t nsegw = (w + RL - 1) / RL;
-  const int64_t plane_rows = n * h;
-  int64_t fill_rem[16] = {0};
-  int64_t fill_un[7] = {0};
-  int32_t acc[8192 + RL];
-  uint16_t rem[RL];
-  const uint8_t* km = kmap;
-  const uint8_t* um = uwmap;
+  return rice_unpack_serial(kmap, uwmap, blob, rem_word_offs,
+                            un_word_offs, 31, 15, n, h, w,
+                            EmitF16{w, scratch, out});
+}
 
-  for (int plane = 0; plane < 3; ++plane) {
-    for (int64_t r = 0; r < plane_rows; ++r) {
-      const int64_t grow = plane * plane_rows + r;
-      if (grow % GROUP == 0)
-        std::memset(acc, 0, sizeof(int32_t) * (nsegw * RL));
-      for (int64_t s = 0; s < nsegw; ++s, ++km, ++um) {
-        const int k = *km;
-        if (k == 31) continue;  // all-zero segment
-        if (k > 15) return -3;  // map crossed an untrusted link
-        if (k > 0) {
-          const int ks = 32 / k;
-          const int nw = (RL + ks - 1) / ks;
-          const uint32_t* words =
-              blob + rem_word_offs[k] + fill_rem[k]++ * nw;
-          const uint32_t mask = (1u << k) - 1;
-          int idx = 0;
-          for (int slot = 0; slot < ks && idx < RL; ++slot) {
-            const int shift = slot * k;
-            for (int wi = 0; wi < nw && idx < RL; ++wi, ++idx)
-              rem[idx] = (uint16_t)((words[wi] >> shift) & mask);
-          }
-        } else {
-          std::memset(rem, 0, sizeof(rem));
-        }
-        const int uw = *um;
-        int c = 0;
-        while (c < 7 && kUcls[c] < uw) ++c;
-        if (c >= 7) return -4;
-        const int wc = kUcls[c];
-        const uint32_t* uwords =
-            blob + un_word_offs[c] + fill_un[c]++ * (int64_t)wc;
-        int32_t* a = acc + s * RL;
-        int idx = 0, prevp = -1;
-        for (int wi = 0; wi < wc && idx < RL; ++wi) {
-          uint32_t bits = uwords[wi];
-          while (bits && idx < RL) {
-            const int p = wi * 32 + __builtin_ctz(bits);
-            bits &= bits - 1;
-            const uint32_t z =
-                ((uint32_t)(p - prevp - 1) << k) | rem[idx];
-            prevp = p;
-            a[idx] += (int32_t)(z >> 1) ^ -(int32_t)(z & 1);
-            ++idx;
-          }
-        }
-        if (idx != RL) return -5;  // corrupt unary bitmap
-      }
-      const int64_t rowbase = r * w;
-      uint16_t* o = out + rowbase * 4;
-      if (plane == 0) {
-        uint16_t* gb = scratch + rowbase;
-        for (int64_t x = 0; x < w; ++x) {
-          const uint16_t g = (uint16_t)(acc[x] & 0xFFFF);
-          gb[x] = g;
-          o[x * 4 + 1] = g;
-          o[x * 4 + 3] = 0x3C00;  // alpha = f16(1.0)
-        }
-      } else if (plane == 1) {
-        const uint16_t* gb = scratch + rowbase;
-        for (int64_t x = 0; x < w; ++x)
-          o[x * 4 + 0] = (uint16_t)((acc[x] + gb[x]) & 0xFFFF);
-      } else {
-        const uint16_t* gb = scratch + rowbase;
-        for (int64_t x = 0; x < w; ++x)
-          o[x * 4 + 2] = (uint16_t)((acc[x] + gb[x]) & 0xFFFF);
-      }
-    }
-  }
-  return 0;
+long uhdr_rice16_unpack_mt(const uint8_t* kmap, const uint8_t* uwmap,
+                           const uint32_t* blob,
+                           const int64_t* rem_word_offs,
+                           const int64_t* un_word_offs,
+                           int64_t n, int64_t h, int64_t w,
+                           uint16_t* scratch, uint16_t* out,
+                           long nthreads) {
+  return rice_unpack_mt(kmap, uwmap, blob, rem_word_offs,
+                        un_word_offs, 31, 15, n, h, w, nthreads,
+                        EmitF16{w, scratch, out});
 }
 
 }  // extern "C"

@@ -65,6 +65,22 @@ def _pow2_pad(n: int, floor: int = _POW2_MIN) -> int:
     return -(-n // 2048) * 2048
 
 
+def _unpack_threads() -> int:
+    """Host worker count for the native unpack hot paths: min(cores,4)
+    like the reference's JobQueue sizing
+    (/root/reference/lib/src/ultrahdr.cpp:131-183). Override with
+    UHDR_UNPACK_THREADS (0/1 = serial)."""
+    import os
+
+    env = os.environ.get("UHDR_UNPACK_THREADS")
+    if env is not None:
+        try:
+            return max(int(env), 1)
+        except ValueError:
+            pass
+    return min(os.cpu_count() or 1, 4)
+
+
 def _zigzag_deltas(arr: np.ndarray) -> np.ndarray:
     """(H, W) 10-bit values -> (H, W) zigzagged mod-1024 vertical
     deltas (u16, < 1024). Row r with r % G == 0 is raw (delta vs 0)."""
@@ -835,7 +851,7 @@ def _host_unpack_rice(blob, kmap, uwmap, rem_counts, un_counts,
         uw_c = np.ascontiguousarray(uwmap)
         scratch = np.empty(n * h * w, np.uint16)
         out = np.empty((n, h, w), np.uint32)
-        rc = lib.uhdr_rice_unpack(
+        args = (
             kmap_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             uw_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
@@ -845,6 +861,11 @@ def _host_unpack_rice(blob, kmap, uwmap, rem_counts, un_counts,
             n, h, w,
             scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        nt = _unpack_threads()
+        if nt > 1 and getattr(lib, "uhdr_rice_unpack_mt", None):
+            rc = lib.uhdr_rice_unpack_mt(*args, nt)
+        else:
+            rc = lib.uhdr_rice_unpack(*args)
         if rc == 0:
             return out
 
@@ -1116,7 +1137,7 @@ def _host_unpack_rice16(blob, kmap, uwmap, rem_counts, un_counts,
         uw_c = np.ascontiguousarray(uwmap)
         scratch = np.empty(n * h * w, np.uint16)
         out = np.empty((n, h, w, 4), np.uint16)
-        rc = lib.uhdr_rice16_unpack(
+        args = (
             kmap_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             uw_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
@@ -1127,6 +1148,11 @@ def _host_unpack_rice16(blob, kmap, uwmap, rem_counts, un_counts,
             n, h, w,
             scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+        nt = _unpack_threads()
+        if nt > 1 and getattr(lib, "uhdr_rice16_unpack_mt", None):
+            rc = lib.uhdr_rice16_unpack_mt(*args, nt)
+        else:
+            rc = lib.uhdr_rice16_unpack(*args)
         if rc == 0:
             return out
 

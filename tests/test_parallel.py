@@ -196,19 +196,22 @@ class TestPipelinedServingLoop:
         out = sharding.batched_decode(blobs, "hdr_hlg", boost, mesh)
         ref = np.asarray(sharding.fetch_1010102_packed(out))
 
+        def _pack_and_upload():
+            # Stage 1 includes the h2d upload, exactly like bench.py's
+            # round-4 loop: worker-thread device_put interleaved with
+            # main-thread jit dispatch must not corrupt anything.
+            pre = sharding.pack_p010_batch_host(ys, uvs)
+            return sharding.upload_p010_batch(ys, uvs, None, pre)
+
         rounds = 3
         results = []
         with ThreadPoolExecutor(1) as pack_pool, \
                 ThreadPoolExecutor(1) as fetch_pool:
-            pk = pack_pool.submit(sharding.pack_p010_batch_host,
-                                  ys, uvs)
+            pk = pack_pool.submit(_pack_and_upload)
             fetch_fut = None
             for _ in range(rounds):
-                pre = pk.result()
-                pk = pack_pool.submit(sharding.pack_p010_batch_host,
-                                      ys, uvs)
-                ydev, uvdev, _ = sharding.upload_p010_batch(
-                    ys, uvs, None, pre)
+                ydev, uvdev, _ = pk.result()
+                pk = pack_pool.submit(_pack_and_upload)
                 blobs_p = sharding.batched_encode_api0(
                     ys, uvs, mesh, device_input=(ydev, uvdev))
                 out_p = sharding.batched_decode(blobs_p, "hdr_hlg",
@@ -218,6 +221,7 @@ class TestPipelinedServingLoop:
                 fetch_fut = fetch_pool.submit(
                     sharding.fetch_1010102_packed, out_p)
             results.append(fetch_fut.result())
+            pk.result()  # drain the dangling stage-1 future
 
         assert len(results) == rounds
         for got in results:
