@@ -197,7 +197,13 @@ def decode_mode(args) -> int:
           f" maxboost {dec.get_gainmap_metadata().max_content_boost:.4f})"
           f" in {dt:.2f} ms")
     out_path = args.out_file or "out.raw"
-    np.ascontiguousarray(np.asarray(img.planes["rgba"])).tofile(out_path)
+    from .parallel.sharding import fetch_pixels_packed
+
+    # Device-resident decode output: materialize through the lossless
+    # packed readback (3-8x fewer bytes over a relay link than a raw
+    # fetch; bit-identical).
+    np.ascontiguousarray(
+        fetch_pixels_packed(img.planes["rgba"])).tofile(out_path)
     print(f"wrote {out_path}")
     return 0
 

@@ -246,6 +246,36 @@ def fetch_f16_packed(out_dev, stats=None):
     return out
 
 
+def fetch_pixels_packed(arr, stats=None):
+    """Materialize ANY decode output to host, riding the lossless
+    packed readback when one exists for its layout: u32 (h, w) or
+    (n, h, w) RGBA1010102 -> fetch_1010102_packed; u16 (h, w, 4) or
+    (n, h, w, 4) F16 halves -> fetch_f16_packed; anything else (SDR
+    RGBA8888, 10-bit planar) -> raw np.asarray. Single images ride the
+    batch packers with a unit batch axis. The convenience entry the
+    CLI and other single-frame consumers use — over the relay a raw 4K
+    F16 fetch is ~100 MB; packed is typically 3-8x smaller."""
+    import numpy as _np
+
+    if isinstance(arr, _np.ndarray):
+        return arr
+    shape = tuple(int(s) for s in arr.shape)
+    dt = arr.dtype
+    if dt == jnp.uint32 and len(shape) in (2, 3):
+        batched = arr if len(shape) == 3 else arr[None]
+        out = fetch_1010102_packed(batched, stats)
+        return out if len(shape) == 3 else out[0]
+    if dt == jnp.uint16 and len(shape) in (3, 4) and shape[-1] == 4:
+        batched = arr if len(shape) == 4 else arr[None]
+        out = fetch_f16_packed(batched, stats)
+        return out if len(shape) == 4 else out[0]
+    out = _np.asarray(arr)
+    if stats is not None:
+        stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + out.nbytes
+        stats["d2h_pack"] = "raw"
+    return out
+
+
 @lru_cache(maxsize=None)
 def _batched_encode_compute(mesh: Mesh, gamut: str, hdr_tf: str,
                             base_quality: int):

@@ -570,3 +570,43 @@ class TestMtUnpack:
         t1, tn = timed(1), timed(min(os.cpu_count(), 4))
         # Conservative bound: the unpack is only part of the fetch.
         assert tn < t1 * 1.05, (t1, tn)
+
+
+class TestFetchPixelsPacked:
+    """sharding.fetch_pixels_packed: the dtype/shape-dispatching
+    materializer single-frame consumers (CLI) use."""
+
+    def test_u32_single_and_batch(self):
+        import jax
+
+        from libultrahdr_dev_tpu.parallel import sharding
+        rgba = TestRctBatchFetch._rgba(
+            TestRctBatchFetch(), 2, 96, 256, seed=1)
+        dev = jax.device_put(rgba)
+        np.testing.assert_array_equal(
+            sharding.fetch_pixels_packed(dev), rgba)
+        np.testing.assert_array_equal(
+            sharding.fetch_pixels_packed(dev[0]), rgba[0])
+
+    def test_f16_single_and_batch(self):
+        import jax
+
+        from libultrahdr_dev_tpu.parallel import sharding
+        rgba = TestF16RiceFetch._f16(2, 96, 256, seed=2)
+        dev = jax.device_put(rgba)
+        np.testing.assert_array_equal(
+            sharding.fetch_pixels_packed(dev), rgba)
+        np.testing.assert_array_equal(
+            sharding.fetch_pixels_packed(dev[0]), rgba[0])
+
+    def test_numpy_and_sdr_passthrough(self):
+        import jax
+
+        from libultrahdr_dev_tpu.parallel import sharding
+        a = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+        assert sharding.fetch_pixels_packed(a) is a
+        dev = jax.device_put(a)
+        stats = {}
+        out = sharding.fetch_pixels_packed(dev, stats)
+        np.testing.assert_array_equal(out, a)
+        assert stats["d2h_pack"] == "raw"
