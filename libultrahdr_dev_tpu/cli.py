@@ -202,8 +202,8 @@ def decode_mode(args) -> int:
     # Device-resident decode output: materialize through the lossless
     # packed readback (3-8x fewer bytes over a relay link than a raw
     # fetch; bit-identical).
-    np.ascontiguousarray(
-        fetch_pixels_packed(img.planes["rgba"])).tofile(out_path)
+    np.ascontiguousarray(fetch_pixels_packed(
+        img.planes["rgba"], fmt=img.fmt)).tofile(out_path)
     print(f"wrote {out_path}")
     return 0
 

@@ -17,7 +17,6 @@ fallback (huffman.py).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -970,16 +969,11 @@ def _decode_multiscan(data: bytes, result: DecodedCoefs,
 
 
 def _scan_threads() -> int:
-    """Worker count for cross-scan progressive decode: min(cores,4)
-    like the reference's JobQueue sizing (ultrahdr.cpp:131-183).
-    Override with UHDR_SCAN_THREADS (0/1 = serial)."""
-    env = os.environ.get("UHDR_SCAN_THREADS")
-    if env is not None:
-        try:
-            return max(int(env), 1)
-        except ValueError:
-            pass
-    return min(os.cpu_count() or 1, 4)
+    """Worker count for cross-scan progressive decode; override with
+    UHDR_SCAN_THREADS (0/1 = serial)."""
+    from ..utils.workers import worker_count
+
+    return worker_count("UHDR_SCAN_THREADS")
 
 
 def _run_prog_tasks_threaded(lib, tasks, comps, grids, grid_dims,

@@ -149,6 +149,10 @@ constexpr int kRiceRL = 256;
 // GROUP-aligned (or 0). fill_rem[kcap+1] / fill_un[7] are the
 // starting per-bucket fill counters for this range. emit(plane, r,
 // acc) writes one recorrelated row. Returns 0 or a negative error.
+// Decode global rows [g0, g1), emitting only rows >= emit_from. g0
+// must be GROUP-aligned (or 0); rows in [g0, emit_from) are warm-up —
+// they rebuild the running column sums so a chunk boundary can sit
+// anywhere, at a cost of at most GROUP-1 re-decoded rows per chunk.
 template <typename Emit>
 long rice_walk_rows(const uint8_t* kmap, const uint8_t* uwmap,
                     const uint32_t* blob,
@@ -156,7 +160,7 @@ long rice_walk_rows(const uint8_t* kmap, const uint8_t* uwmap,
                     const int64_t* un_word_offs,
                     int kzero, int kcap,
                     int64_t nsegw, int64_t plane_rows, int64_t w,
-                    int64_t g0, int64_t g1,
+                    int64_t g0, int64_t g1, int64_t emit_from,
                     int64_t* fill_rem, int64_t* fill_un,
                     Emit&& emit) {
   int32_t acc[8192 + kRiceRL];
@@ -210,7 +214,8 @@ long rice_walk_rows(const uint8_t* kmap, const uint8_t* uwmap,
       }
       if (idx != RL) return -5;  // corrupt unary bitmap
     }
-    emit((int)(grow / plane_rows), grow % plane_rows, acc);
+    if (grow >= emit_from)
+      emit((int)(grow / plane_rows), grow % plane_rows, acc);
   }
   return 0;
 }
@@ -290,7 +295,8 @@ long rice_unpack_serial(const uint8_t* kmap, const uint8_t* uwmap,
   int64_t fill_un[7] = {0};
   return rice_walk_rows(kmap, uwmap, blob, rem_word_offs,
                         un_word_offs, kzero, kcap, nsegw, plane_rows,
-                        w, 0, 3 * plane_rows, fill_rem, fill_un, emit);
+                        w, 0, 3 * plane_rows, 0, fill_rem, fill_un,
+                        emit);
 }
 
 // Multi-threaded unpack: three barriered plane phases (plane 0 first
@@ -311,22 +317,30 @@ long rice_unpack_mt(const uint8_t* kmap, const uint8_t* uwmap,
   const int64_t plane_rows = n * h;
   long T = nthreads;
   if (T > 8) T = 8;
-  if (T <= 1 || plane_rows % GROUP != 0 || plane_rows < T * GROUP)
+  if (T <= 1 || plane_rows < T * GROUP)
     return rice_unpack_serial(kmap, uwmap, blob, rem_word_offs,
                               un_word_offs, kzero, kcap, n, h, w,
                               emit);
   const int64_t nsegw = (w + kRiceRL - 1) / kRiceRL;
 
-  // Chunk starts: per phase, T GROUP-aligned boundaries.
-  std::vector<int64_t> starts;  // global rows, sorted
+  // Per phase, T emit splits at arbitrary rows; each chunk DECODES
+  // from the preceding GROUP boundary (warm-up rebuilds the running
+  // column sums) so no height alignment is required — a single 2160-
+  // row frame threads just as well as a 32-aligned batch.
+  std::vector<int64_t> emits;   // emit-range starts, sorted
+  std::vector<int64_t> starts;  // GROUP-aligned decode starts
   for (int phase = 0; phase < 3; ++phase) {
     const int64_t lo = phase * plane_rows;
     for (long t = 0; t < T; ++t) {
-      int64_t s = lo + (plane_rows * t / T) / GROUP * GROUP;
-      if (starts.empty() || s > starts.back()) starts.push_back(s);
+      int64_t e = lo + plane_rows * t / T;
+      if (!emits.empty() && e <= emits.back()) continue;
+      emits.push_back(e);
+      starts.push_back(e / GROUP * GROUP);
     }
   }
-  // Prescan: per-bucket segment counts before each boundary.
+  // Prescan: per-bucket segment counts before each aligned decode
+  // start (several chunks may share one when emits land in the same
+  // group).
   const size_t nb = starts.size();
   std::vector<int64_t> pre_rem(nb * 16, 0), pre_un(nb * 7, 0);
   {
@@ -335,12 +349,12 @@ long rice_unpack_mt(const uint8_t* kmap, const uint8_t* uwmap,
     size_t bi = 0;
     const int64_t total_rows = 3 * plane_rows;
     for (int64_t g = 0; g < total_rows && bi < nb; ++g) {
-      if (g == starts[bi]) {
+      while (bi < nb && g == starts[bi]) {
         std::memcpy(&pre_rem[bi * 16], cr, sizeof(cr));
         std::memcpy(&pre_un[bi * 7], cu, sizeof(cu));
         ++bi;
-        if (bi >= nb) break;
       }
+      if (bi >= nb) break;
       const uint8_t* km = kmap + g * nsegw;
       const uint8_t* um = uwmap + g * nsegw;
       for (int64_t s = 0; s < nsegw; ++s) {
@@ -363,20 +377,22 @@ long rice_unpack_mt(const uint8_t* kmap, const uint8_t* uwmap,
     const int64_t hi = (phase + 1) * plane_rows;
     // Boundaries belonging to this phase.
     std::vector<size_t> mine;
-    while (bi < nb && starts[bi] < hi) mine.push_back(bi++);
+    while (bi < nb && emits[bi] < hi) mine.push_back(bi++);
     std::vector<std::thread> pool;
     for (size_t mi = 0; mi < mine.size(); ++mi) {
       const size_t b = mine[mi];
-      const int64_t g0 = starts[b];
-      const int64_t g1 = (mi + 1 < mine.size()) ? starts[mine[mi + 1]]
+      const int64_t e0 = emits[b];
+      const int64_t e1 = (mi + 1 < mine.size()) ? emits[mine[mi + 1]]
                                                 : hi;
-      pool.emplace_back([&, b, g0, g1]() {
+      const int64_t g0 = starts[b];
+      pool.emplace_back([&, b, g0, e0, e1]() {
         int64_t fr[16], fu[7];
         std::memcpy(fr, &pre_rem[b * 16], sizeof(fr));
         std::memcpy(fu, &pre_un[b * 7], sizeof(fu));
         long r = rice_walk_rows(kmap, uwmap, blob, rem_word_offs,
                                 un_word_offs, kzero, kcap, nsegw,
-                                plane_rows, w, g0, g1, fr, fu, emit);
+                                plane_rows, w, g0, e1, e0, fr, fu,
+                                emit);
         if (r != 0) rc.store(r);
       });
     }

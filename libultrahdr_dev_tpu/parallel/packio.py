@@ -66,19 +66,11 @@ def _pow2_pad(n: int, floor: int = _POW2_MIN) -> int:
 
 
 def _unpack_threads() -> int:
-    """Host worker count for the native unpack hot paths: min(cores,4)
-    like the reference's JobQueue sizing
-    (/root/reference/lib/src/ultrahdr.cpp:131-183). Override with
-    UHDR_UNPACK_THREADS (0/1 = serial)."""
-    import os
+    """Host worker count for the native unpack hot paths; override
+    with UHDR_UNPACK_THREADS (0/1 = serial)."""
+    from ..utils.workers import worker_count
 
-    env = os.environ.get("UHDR_UNPACK_THREADS")
-    if env is not None:
-        try:
-            return max(int(env), 1)
-        except ValueError:
-            pass
-    return min(os.cpu_count() or 1, 4)
+    return worker_count("UHDR_UNPACK_THREADS")
 
 
 def _zigzag_deltas(arr: np.ndarray) -> np.ndarray:
@@ -820,11 +812,13 @@ def fetch_rgba1010102_rice(out_dev, fetch=np.asarray):
     return out, blob_bytes + maps.nbytes
 
 
-def _rice_word_offs(rem_npads, un_npads):
-    """Word offsets of each bucket inside the fused Rice blob."""
-    rem_word_offs = np.zeros(len(_RICE_KS), np.int64)
+def _rice_word_offs(rem_npads, un_npads, kset=_RICE_KS):
+    """Word offsets of each bucket inside a fused Rice blob (shared by
+    the 10-bit and F16 variants; layouts must stay in lockstep with
+    _rice_devpack_fn)."""
+    rem_word_offs = np.zeros(len(kset), np.int64)
     acc = 0
-    for j, k in enumerate(_RICE_KS):
+    for j, k in enumerate(kset):
         rem_word_offs[j] = acc
         if k:
             acc += rem_npads[j] * _wps(k, RL)
@@ -835,22 +829,30 @@ def _rice_word_offs(rem_npads, un_npads):
     return rem_word_offs, un_word_offs
 
 
-def _host_unpack_rice(blob, kmap, uwmap, rem_counts, un_counts,
-                      rem_npads, un_npads, n, h, w):
-    """Host half of the Rice pack: native single-pass C++ when
-    available, else a vectorized numpy fallback (identical output)."""
+def _host_unpack_rice_core(blob, kmap, uwmap, rem_counts, un_counts,
+                           rem_npads, un_npads, n, h, w, *, kset,
+                           zero_code, native_fn, out_shape, out_dtype,
+                           tail):
+    """Host half shared by the 10-bit and F16 Rice packs: native
+    single-pass C++ (MT when >1 worker) when available, else a
+    vectorized numpy fallback (identical output). The spec arguments
+    pick the variant; the bucket/unary layouts are identical and must
+    stay in lockstep with _rice_devpack_fn."""
     from ..jpeg import native
 
-    rem_word_offs, un_word_offs = _rice_word_offs(rem_npads, un_npads)
+    rem_word_offs, un_word_offs = _rice_word_offs(rem_npads, un_npads,
+                                                  kset)
     lib = native.get_lib()
-    if lib is not None and getattr(lib, "uhdr_rice_unpack", None):
+    if lib is not None and getattr(lib, native_fn, None):
         import ctypes
 
         blob = np.ascontiguousarray(blob)
         kmap_c = np.ascontiguousarray(kmap)
         uw_c = np.ascontiguousarray(uwmap)
         scratch = np.empty(n * h * w, np.uint16)
-        out = np.empty((n, h, w), np.uint32)
+        out = np.empty(out_shape, out_dtype)
+        cptr = {np.uint32: ctypes.c_uint32,
+                np.uint16: ctypes.c_uint16}[out_dtype]
         args = (
             kmap_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             uw_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -860,21 +862,19 @@ def _host_unpack_rice(blob, kmap, uwmap, rem_counts, un_counts,
             un_word_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n, h, w,
             scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+            out.ctypes.data_as(ctypes.POINTER(cptr)))
         nt = _unpack_threads()
-        if nt > 1 and getattr(lib, "uhdr_rice_unpack_mt", None):
-            rc = lib.uhdr_rice_unpack_mt(*args, nt)
-        else:
-            rc = lib.uhdr_rice_unpack(*args)
+        mt = getattr(lib, native_fn + "_mt", None)
+        rc = mt(*args, nt) if (nt > 1 and mt) \
+            else getattr(lib, native_fn)(*args)
         if rc == 0:
             return out
 
-    # Numpy fallback: reconstruct z per bucket, then the shared
+    # Numpy fallback: reconstruct z per bucket, then the variant's
     # delta/RCT tail.
     nseg = kmap.size
     z = np.zeros((nseg, RL), np.uint16)
-    # Remainders.
-    for j, k in enumerate(_RICE_KS):
+    for j, k in enumerate(kset):
         c = int(rem_counts[j])
         if k == 0 or c == 0:
             continue
@@ -889,10 +889,9 @@ def _host_unpack_rice(blob, kmap, uwmap, rem_counts, un_counts,
         segs = parts.transpose(1, 0, 2).reshape(c, ks * nw)[:, :RL]
         idx = np.flatnonzero(kmap == k)
         z[idx] = segs
-    # Unary quotients.
     ucls_lim = np.asarray(_RICE_UCLS, np.int64)
     ucls = np.searchsorted(ucls_lim, uwmap.astype(np.int64))
-    nonzero = kmap != _RICE_ZERO
+    nonzero = kmap != zero_code
     for c in range(len(_RICE_UCLS)):
         cnt = int(un_counts[c])
         if cnt == 0:
@@ -912,7 +911,16 @@ def _host_unpack_rice(blob, kmap, uwmap, rem_counts, un_counts,
         idx = np.flatnonzero(nonzero & (ucls == c))
         ksel = kmap[idx].astype(np.uint16)
         z[idx] = ((q.astype(np.uint16) << ksel[:, None]) | z[idx])
-    return _rct_tail_numpy(z, n, h, w)
+    return tail(z, n, h, w)
+
+
+def _host_unpack_rice(blob, kmap, uwmap, rem_counts, un_counts,
+                      rem_npads, un_npads, n, h, w):
+    return _host_unpack_rice_core(
+        blob, kmap, uwmap, rem_counts, un_counts, rem_npads, un_npads,
+        n, h, w, kset=_RICE_KS, zero_code=_RICE_ZERO,
+        native_fn="uhdr_rice_unpack", out_shape=(n, h, w),
+        out_dtype=np.uint32, tail=_rct_tail_numpy)
 
 
 def _rct_tail_numpy(z, n, h, w, seglen: int = RL):
@@ -1105,100 +1113,13 @@ def fetch_rgba_f16_rice(out_dev, fetch=np.asarray):
     return out, blob_bytes + maps.nbytes
 
 
-def _rice16_word_offs(rem_npads, un_npads):
-    """Word offsets of each bucket inside the fused F16 Rice blob."""
-    rem_word_offs = np.zeros(len(_RICE16_KS), np.int64)
-    acc = 0
-    for j, k in enumerate(_RICE16_KS):
-        rem_word_offs[j] = acc
-        if k:
-            acc += rem_npads[j] * _wps(k, RL)
-    un_word_offs = np.zeros(len(_RICE_UCLS), np.int64)
-    for c in range(len(_RICE_UCLS)):
-        un_word_offs[c] = acc
-        acc += un_npads[c] * _RICE_UCLS[c]
-    return rem_word_offs, un_word_offs
-
-
 def _host_unpack_rice16(blob, kmap, uwmap, rem_counts, un_counts,
                         rem_npads, un_npads, n, h, w):
-    """Host half of the F16 Rice pack: native single-pass C++ when
-    available, else a vectorized numpy fallback (identical output)."""
-    from ..jpeg import native
-
-    rem_word_offs, un_word_offs = _rice16_word_offs(rem_npads,
-                                                    un_npads)
-    lib = native.get_lib()
-    if lib is not None and getattr(lib, "uhdr_rice16_unpack", None):
-        import ctypes
-
-        blob = np.ascontiguousarray(blob)
-        kmap_c = np.ascontiguousarray(kmap)
-        uw_c = np.ascontiguousarray(uwmap)
-        scratch = np.empty(n * h * w, np.uint16)
-        out = np.empty((n, h, w, 4), np.uint16)
-        args = (
-            kmap_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            uw_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            rem_word_offs.ctypes.data_as(
-                ctypes.POINTER(ctypes.c_int64)),
-            un_word_offs.ctypes.data_as(
-                ctypes.POINTER(ctypes.c_int64)),
-            n, h, w,
-            scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
-        nt = _unpack_threads()
-        if nt > 1 and getattr(lib, "uhdr_rice16_unpack_mt", None):
-            rc = lib.uhdr_rice16_unpack_mt(*args, nt)
-        else:
-            rc = lib.uhdr_rice16_unpack(*args)
-        if rc == 0:
-            return out
-
-    # Numpy fallback: reconstruct z per bucket, then the 16-bit
-    # delta/RCT tail. i32 un-zigzag (z can exceed i16 range).
-    nseg = kmap.size
-    z = np.zeros((nseg, RL), np.uint16)
-    for j, k in enumerate(_RICE16_KS):
-        c = int(rem_counts[j])
-        if k == 0 or c == 0:
-            continue
-        nw = _wps(k, RL)
-        words = blob[rem_word_offs[j]:rem_word_offs[j] + c * nw] \
-            .reshape(c, nw)
-        ks = 32 // k
-        maskv = np.uint32((1 << k) - 1)
-        parts = ((words[None, :, :]
-                  >> (np.arange(ks, dtype=np.uint32) * k)[:, None,
-                                                          None])
-                 & maskv).astype(np.uint16)
-        segs = parts.transpose(1, 0, 2).reshape(c, ks * nw)[:, :RL]
-        idx = np.flatnonzero(kmap == k)
-        z[idx] = segs
-    ucls_lim = np.asarray(_RICE_UCLS, np.int64)
-    ucls = np.searchsorted(ucls_lim, uwmap.astype(np.int64))
-    nonzero = kmap != _RICE16_ZERO
-    for c in range(len(_RICE_UCLS)):
-        cnt = int(un_counts[c])
-        if cnt == 0:
-            continue
-        wc = _RICE_UCLS[c]
-        words = blob[un_word_offs[c]:un_word_offs[c] + cnt * wc] \
-            .reshape(cnt, wc)
-        bits = ((words[:, :, None]
-                 >> np.arange(32, dtype=np.uint32)[None, None, :]) & 1) \
-            .reshape(cnt, wc * 32)
-        rows_i, cols = np.nonzero(bits)
-        assert rows_i.size == cnt * RL, "corrupt unary bitmap"
-        cols = cols.reshape(cnt, RL).astype(np.int64)
-        q = np.empty((cnt, RL), np.int64)
-        q[:, 0] = cols[:, 0]
-        q[:, 1:] = np.diff(cols, axis=1) - 1
-        idx = np.flatnonzero(nonzero & (ucls == c))
-        ksel = kmap[idx].astype(np.uint16)
-        z[idx] = ((q.astype(np.uint16) << ksel[:, None]) | z[idx])
-    return _rct16_tail_numpy(z, n, h, w)
+    return _host_unpack_rice_core(
+        blob, kmap, uwmap, rem_counts, un_counts, rem_npads, un_npads,
+        n, h, w, kset=_RICE16_KS, zero_code=_RICE16_ZERO,
+        native_fn="uhdr_rice16_unpack", out_shape=(n, h, w, 4),
+        out_dtype=np.uint16, tail=_rct16_tail_numpy)
 
 
 def _rct16_tail_numpy(z, n, h, w):

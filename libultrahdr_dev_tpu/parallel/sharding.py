@@ -246,26 +246,38 @@ def fetch_f16_packed(out_dev, stats=None):
     return out
 
 
-def fetch_pixels_packed(arr, stats=None):
-    """Materialize ANY decode output to host, riding the lossless
-    packed readback when one exists for its layout: u32 (h, w) or
-    (n, h, w) RGBA1010102 -> fetch_1010102_packed; u16 (h, w, 4) or
-    (n, h, w, 4) F16 halves -> fetch_f16_packed; anything else (SDR
-    RGBA8888, 10-bit planar) -> raw np.asarray. Single images ride the
-    batch packers with a unit batch axis. The convenience entry the
-    CLI and other single-frame consumers use — over the relay a raw 4K
-    F16 fetch is ~100 MB; packed is typically 3-8x smaller."""
+def fetch_pixels_packed(arr, stats=None, fmt=None):
+    """Materialize a decode output to host, riding the lossless packed
+    readback when the caller names a packable format: fmt
+    "rgba1010102" (or PixelFormat.RGBA1010102) -> the u32 Rice pack;
+    fmt "rgba_f16" -> the u16x4 bit-pattern Rice pack. Single images
+    ride the batch packers with a unit batch axis. With fmt=None (or
+    any other format, e.g. SDR RGBA8888 whose dtype/shape are
+    indistinguishable from 1010102) this is a raw np.asarray — the
+    packers drop alpha and re-attach a format-specific constant, so
+    routing on dtype alone would silently corrupt look-alike layouts.
+    The convenience entry the CLI and other single-frame consumers use
+    — over the relay a raw 4K F16 fetch is ~100 MB; packed is
+    typically 3-8x smaller."""
     import numpy as _np
 
+    name = getattr(fmt, "value", fmt)
+    if name == "rgbaf16":          # PixelFormat.RGBA_F16 spelling
+        name = "rgba_f16"
     if isinstance(arr, _np.ndarray):
+        # Already host-resident: nothing crosses the link.
+        if stats is not None:
+            stats.setdefault("d2h_bytes", 0)
+            stats["d2h_pack"] = "host"
         return arr
     shape = tuple(int(s) for s in arr.shape)
-    dt = arr.dtype
-    if dt == jnp.uint32 and len(shape) in (2, 3):
+    if (name == "rgba1010102" and arr.dtype == jnp.uint32
+            and len(shape) in (2, 3)):
         batched = arr if len(shape) == 3 else arr[None]
         out = fetch_1010102_packed(batched, stats)
         return out if len(shape) == 3 else out[0]
-    if dt == jnp.uint16 and len(shape) in (3, 4) and shape[-1] == 4:
+    if (name == "rgba_f16" and arr.dtype == jnp.uint16
+            and len(shape) in (3, 4) and shape[-1] == 4):
         batched = arr if len(shape) == 4 else arr[None]
         out = fetch_f16_packed(batched, stats)
         return out if len(shape) == 4 else out[0]

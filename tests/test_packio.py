@@ -536,11 +536,21 @@ class TestMtUnpack:
         np.testing.assert_array_equal(serial, threaded)
         np.testing.assert_array_equal(threaded, rgba)
 
-    def test_mt_unaligned_plane_rows_falls_back_serial(self):
-        # plane_rows % 32 != 0: the MT path must route to the serial
-        # walker internally (chunk starts can't align) — still exact.
-        rgba = TestF16RiceFetch._f16(1, 88, 512, seed=7, noise=0.002)
+    @pytest.mark.parametrize("n,h", [(1, 88), (1, 720), (3, 40)])
+    def test_mt_unaligned_plane_rows(self, n, h):
+        # plane_rows % 32 != 0 (every common single-frame height:
+        # 720/1080/2160): chunks warm up from the preceding GROUP
+        # boundary, so the MT path still applies — and stays exact.
+        rgba = TestF16RiceFetch._f16(n, h, 512, seed=7, noise=0.002)
         serial, threaded = self._run_both(rgba, "16", 4)
+        np.testing.assert_array_equal(serial, threaded)
+        np.testing.assert_array_equal(threaded, rgba)
+
+    @pytest.mark.parametrize("n,h", [(1, 88), (1, 720)])
+    def test_mt_unaligned_1010102(self, n, h):
+        rgba = TestRctBatchFetch._rgba(TestRctBatchFetch(), n, h, 840,
+                                       seed=9, noise=5)
+        serial, threaded = self._run_both(rgba, "", 4)
         np.testing.assert_array_equal(serial, threaded)
         np.testing.assert_array_equal(threaded, rgba)
 
@@ -584,27 +594,49 @@ class TestFetchPixelsPacked:
             TestRctBatchFetch(), 2, 96, 256, seed=1)
         dev = jax.device_put(rgba)
         np.testing.assert_array_equal(
-            sharding.fetch_pixels_packed(dev), rgba)
+            sharding.fetch_pixels_packed(dev, fmt="rgba1010102"), rgba)
         np.testing.assert_array_equal(
-            sharding.fetch_pixels_packed(dev[0]), rgba[0])
+            sharding.fetch_pixels_packed(dev[0], fmt="rgba1010102"),
+            rgba[0])
 
     def test_f16_single_and_batch(self):
         import jax
 
         from libultrahdr_dev_tpu.parallel import sharding
+        from libultrahdr_dev_tpu.types import PixelFormat
         rgba = TestF16RiceFetch._f16(2, 96, 256, seed=2)
         dev = jax.device_put(rgba)
         np.testing.assert_array_equal(
-            sharding.fetch_pixels_packed(dev), rgba)
+            sharding.fetch_pixels_packed(dev, fmt="rgba_f16"), rgba)
         np.testing.assert_array_equal(
-            sharding.fetch_pixels_packed(dev[0]), rgba[0])
+            sharding.fetch_pixels_packed(dev[0],
+                                         fmt=PixelFormat.RGBA_F16),
+            rgba[0])
+
+    def test_sdr_u32_not_routed_through_1010102_pack(self):
+        # SDR RGBA8888 is dtype/shape-identical to 1010102; without an
+        # explicit packable fmt the fetch must stay raw (the packer
+        # would re-attach alpha 0xC0000000 over SDR's 0xFF000000).
+        import jax
+
+        from libultrahdr_dev_tpu.parallel import sharding
+        rng = np.random.default_rng(0)
+        sdr = rng.integers(0, 1 << 24, (64, 128)).astype(np.uint32) \
+            | np.uint32(0xFF000000)
+        dev = jax.device_put(sdr)
+        stats = {}
+        out = sharding.fetch_pixels_packed(dev, stats, fmt="rgba8888")
+        np.testing.assert_array_equal(out, sdr)
+        assert stats["d2h_pack"] == "raw"
 
     def test_numpy_and_sdr_passthrough(self):
         import jax
 
         from libultrahdr_dev_tpu.parallel import sharding
         a = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
-        assert sharding.fetch_pixels_packed(a) is a
+        stats = {}
+        assert sharding.fetch_pixels_packed(a, stats) is a
+        assert stats["d2h_pack"] == "host"   # nothing crossed the link
         dev = jax.device_put(a)
         stats = {}
         out = sharding.fetch_pixels_packed(dev, stats)
