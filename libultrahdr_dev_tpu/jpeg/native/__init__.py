@@ -164,6 +164,18 @@ def get_lib():
         lib.uhdr_rice16_unpack_mt.argtypes = [
             u8p, u8p, u32p, i64p, i64p, ctypes.c_long, ctypes.c_long,
             ctypes.c_long, u16p, u16p, ctypes.c_long]
+        # MED-predicted variants (same signatures as the rice ones).
+        lib.uhdr_med_unpack.restype = ctypes.c_long
+        lib.uhdr_med_unpack.argtypes = lib.uhdr_rice_unpack.argtypes
+        lib.uhdr_med_unpack_mt.restype = ctypes.c_long
+        lib.uhdr_med_unpack_mt.argtypes = \
+            lib.uhdr_rice_unpack_mt.argtypes
+        lib.uhdr_med16_unpack.restype = ctypes.c_long
+        lib.uhdr_med16_unpack.argtypes = \
+            lib.uhdr_rice16_unpack.argtypes
+        lib.uhdr_med16_unpack_mt.restype = ctypes.c_long
+        lib.uhdr_med16_unpack_mt.argtypes = \
+            lib.uhdr_rice16_unpack_mt.argtypes
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.uhdr_seg_widths.restype = ctypes.c_long
         lib.uhdr_seg_widths.argtypes = [

@@ -416,28 +416,78 @@ FINE_WIDTHS = (1, 2, 3, 4, 5, 6, 8, 10)
 _IDX_BITS = 22               # segment index field in the sort key
 
 
+def _decor_planes_dev(x, n: int, h: int, w: int, wp: int, bits: int):
+    """Traceable channel decorrelation shared by every readback
+    preamble: RGBA1010102 u32 (bits=10) or RGBA-F16-halves u16x4
+    (bits=16) -> (3*n*h, wp) i32 (G, R-G, B-G) planes mod 2^bits,
+    wp-edge-padded."""
+    import jax.numpy as jnp
+
+    mask = (1 << bits) - 1
+    xi = x.astype(jnp.int32)
+    if bits == 10:
+        r = xi & 1023
+        g = (xi >> 10) & 1023
+        b = (xi >> 20) & 1023
+    else:
+        r = xi[..., 0]
+        g = xi[..., 1]
+        b = xi[..., 2]
+    big = jnp.concatenate([
+        g.reshape(n * h, w), ((r - g) & mask).reshape(n * h, w),
+        ((b - g) & mask).reshape(n * h, w)])
+    if wp != w:
+        big = jnp.pad(big, ((0, 0), (0, wp - w)), mode="edge")
+    return big
+
+
+def _zigzag_dev(d, bits: int):
+    import jax.numpy as jnp
+
+    mask = (1 << bits) - 1
+    half = 1 << (bits - 1)
+    ds = ((d + half) & mask) - half
+    return ((ds << 1) ^ (ds >> 31)).astype(jnp.uint16)
+
+
+def _vert_deltas_dev(big, rows: int, bits: int):
+    """Vertical deltas mod 2^bits with per-G-group resets."""
+    import jax.numpy as jnp
+
+    prev = jnp.pad(big, ((1, 0), (0, 0)))[:-1]
+    gmask = (jnp.arange(rows) % G == 0)[:, None]
+    prev = jnp.where(gmask, 0, prev)
+    return _zigzag_dev((big - prev) & ((1 << bits) - 1), bits)
+
+
+def _med_deltas_dev(big, rows: int, bits: int):
+    """MED/LOCO-I prediction residuals mod 2^bits. Boundaries zero
+    the missing neighbors (group-start rows: up = upleft = 0; column
+    0: left = upleft = 0) — with unsigned values the MED formula then
+    degenerates to exactly the available neighbor, matching the
+    native reconstruction (EmitMed in jpeg/native/packio.cpp)."""
+    import jax.numpy as jnp
+
+    left = jnp.pad(big, ((0, 0), (1, 0)))[:, :-1]
+    up = jnp.pad(big, ((1, 0), (0, 0)))[:-1]
+    ul = jnp.pad(big, ((1, 0), (1, 0)))[:-1, :-1]
+    gmask = (jnp.arange(rows) % G == 0)[:, None]
+    up = jnp.where(gmask, 0, up)
+    ul = jnp.where(gmask, 0, ul)
+    mx = jnp.maximum(left, up)
+    mn = jnp.minimum(left, up)
+    pred = jnp.where(ul >= mx, mn,
+                     jnp.where(ul <= mn, mx, left + up - ul))
+    return _zigzag_dev((big - pred) & ((1 << bits) - 1), bits)
+
+
 def _rct_zigzag_deltas_dev(x, n: int, h: int, w: int, wp: int):
     """Traceable shared pass-1 preamble: (n, h, w) u32 RGBA1010102 ->
     (3*n*h, wp) u16 zigzag vertical deltas of the decorrelated
     (G, R-G, B-G) planes, wp-edge-padded, rows grouped by G."""
-    import jax.numpy as jnp
-
     rows = 3 * n * h
-    xi = x.astype(jnp.int32)
-    r = xi & 1023
-    g = (xi >> 10) & 1023
-    b = (xi >> 20) & 1023
-    big = jnp.concatenate([
-        g.reshape(n * h, w), ((r - g) & 1023).reshape(n * h, w),
-        ((b - g) & 1023).reshape(n * h, w)])
-    if wp != w:
-        big = jnp.pad(big, ((0, 0), (0, wp - w)), mode="edge")
-    prev = jnp.pad(big, ((1, 0), (0, 0)))[:-1]
-    mask = (jnp.arange(rows) % G == 0)[:, None]
-    prev = jnp.where(mask, 0, prev)
-    d = (big - prev) & 1023
-    ds = ((d + 512) & 1023) - 512
-    return ((ds << 1) ^ (ds >> 31)).astype(jnp.uint16)
+    return _vert_deltas_dev(_decor_planes_dev(x, n, h, w, wp, 10),
+                            rows, 10)
 
 
 def _rank_of_width():
@@ -615,21 +665,59 @@ def _rice_seg_stats(zs, ks, zero_code):
 
 
 @lru_cache(maxsize=None)
-def _rice_widths_fn(shape):
-    """Jitted Rice pass 1 for an (n, h, w) u32 RGBA1010102 batch:
-    RCT -> zigzag vertical deltas -> per-RL-segment optimal k and
-    unary word count. Returns (zs (nseg, RL) u16, stacked (2, nseg) u8
-    [kcode, uw]) — all device-resident."""
+def _pass1_widths_fn(shape, bits: int, med: bool):
+    """Jitted pass 1 shared by all Rice readback variants: channel
+    decorrelation -> vertical-delta or MED residuals -> per-RL-segment
+    optimal k and unary word count. Returns (zs (nseg, RL) u16,
+    stacked (2, nseg) u8 [kcode, uw]) — all device-resident."""
     import jax
 
     n, h, w = shape
     wp = -(-w // RL) * RL
     rows = 3 * n * h
+    kset = _RICE_KS if bits == 10 else _RICE16_KS
+    zero = _RICE_ZERO if bits == 10 else _RICE16_ZERO
+    residuals = _med_deltas_dev if med else _vert_deltas_dev
 
     def f(x):
-        z = _rct_zigzag_deltas_dev(x, n, h, w, wp)
+        big = _decor_planes_dev(x, n, h, w, wp, bits)
+        z = residuals(big, rows, bits)
         zs = z.reshape(rows * (wp // RL), RL)
-        return zs, _rice_seg_stats(zs, _RICE_KS, _RICE_ZERO)
+        return zs, _rice_seg_stats(zs, kset, zero)
+
+    return jax.jit(f)
+
+
+def _rice_widths_fn(shape):
+    return _pass1_widths_fn(shape, 10, False)
+
+
+@lru_cache(maxsize=None)
+def _pass1_both_fn(shape, bits: int):
+    """Jitted pass 1 computing BOTH residual schemes in one dispatch
+    (shared decorrelation): returns (zs_vert, zs_med, (4, nseg) u8
+    stacked [kcode_v, uw_v, kcode_m, uw_m]) so the host can pick the
+    scheme with the smaller exact packed-size estimate per batch —
+    MED usually wins on natural content, vertical on tiny images
+    where bucket pow2-padding dominates."""
+    import jax
+    import jax.numpy as jnp
+
+    n, h, w = shape
+    wp = -(-w // RL) * RL
+    rows = 3 * n * h
+    kset = _RICE_KS if bits == 10 else _RICE16_KS
+    zero = _RICE_ZERO if bits == 10 else _RICE16_ZERO
+
+    def f(x):
+        big = _decor_planes_dev(x, n, h, w, wp, bits)
+        zv = _vert_deltas_dev(big, rows, bits) \
+            .reshape(rows * (wp // RL), RL)
+        zm = _med_deltas_dev(big, rows, bits) \
+            .reshape(rows * (wp // RL), RL)
+        return zv, zm, jnp.concatenate([
+            _rice_seg_stats(zv, kset, zero),
+            _rice_seg_stats(zm, kset, zero)])
 
     return jax.jit(f)
 
@@ -766,7 +854,105 @@ def _rice_host_plan(kmap, uwmap, kset, zero_code, raw_bytes):
         un_offs[c] = acc
         acc += int(un_counts[c])
     return (rem_counts, un_counts, rem_npads, un_npads,
-            np.concatenate([rem_offs, un_offs]))
+            np.concatenate([rem_offs, un_offs]), est)
+
+
+def _fetch_rice_core(out_dev, fetch, *, bits, med):
+    """Shared fetch driver for the Rice readback variants
+    ({10-bit RGBA1010102, F16 halves} x {vertical, MED, auto}): pass 1
+    widths on device, host plan, pass 2 pack on device, host unpack
+    (native MT / numpy). med="auto" computes both schemes' stats in
+    one dispatch and packs whichever plans fewer bytes (requires the
+    native MED unpacker — its numpy fallback is a per-pixel loop).
+    Returns (host array, d2h_bytes) or (None, wasted_bytes)."""
+    shape = tuple(int(v) for v in out_dev.shape)
+    if bits == 16:
+        if len(shape) != 4 or shape[-1] != 4:
+            return None, 0
+        n, h, w = shape[:3]
+        raw_bytes = n * h * w * 8
+        kset, zero = _RICE16_KS, _RICE16_ZERO
+        out_shape, out_dtype = (n, h, w, 4), np.uint16
+    else:
+        n, h, w = shape
+        raw_bytes = n * h * w * 4
+        kset, zero = _RICE_KS, _RICE_ZERO
+        out_shape, out_dtype = (n, h, w), np.uint32
+
+    if med == "auto":
+        from ..jpeg import native
+
+        lib = native.get_lib()
+        med_fn = "uhdr_med_unpack" if bits == 10 else \
+            "uhdr_med16_unpack"
+        if lib is None or getattr(lib, med_fn, None) is None:
+            med = False
+    if med == "auto":
+        zs_v, zs_m, kuw4 = _pass1_both_fn((n, h, w), bits)(out_dev)
+        maps4 = np.asarray(kuw4)
+        nseg_total = maps4.shape[1]
+        if nseg_total >= (1 << _IDX_BITS):
+            return None, maps4.nbytes
+        plan_v = _rice_host_plan(maps4[0], maps4[1], kset, zero,
+                                 raw_bytes)
+        plan_m = _rice_host_plan(maps4[2], maps4[3], kset, zero,
+                                 raw_bytes)
+        if plan_v is None and plan_m is None:
+            return None, maps4.nbytes
+        use_med = plan_m is not None and (
+            plan_v is None or plan_m[-1] <= plan_v[-1])
+        med = bool(use_med)
+        zs = zs_m if use_med else zs_v
+        kmap, uwmap = (maps4[2], maps4[3]) if use_med \
+            else (maps4[0], maps4[1])
+        kuw_dev = kuw4[2:4] if use_med else kuw4[0:2]
+        plan = plan_m if use_med else plan_v
+        maps_nbytes = maps4.nbytes
+    else:
+        zs, kuw_dev = _pass1_widths_fn((n, h, w), bits, med)(out_dev)
+        maps = np.asarray(kuw_dev)
+        kmap, uwmap = maps[0], maps[1]
+        nseg_total = kmap.size
+        if nseg_total >= (1 << _IDX_BITS):
+            return None, maps.nbytes
+        plan = _rice_host_plan(kmap, uwmap, kset, zero, raw_bytes)
+        if plan is None:
+            return None, maps.nbytes
+        maps_nbytes = maps.nbytes
+    rem_counts, un_counts, rem_npads, un_npads, offs, _est = plan
+    if med:
+        native_fn = "uhdr_med_unpack" if bits == 10 \
+            else "uhdr_med16_unpack"
+        tail = _med10_tail_numpy if bits == 10 else _med16_tail_numpy
+    else:
+        native_fn = "uhdr_rice_unpack" if bits == 10 \
+            else "uhdr_rice16_unpack"
+        tail = _rct_tail_numpy if bits == 10 else _rct16_tail_numpy
+
+    blob_bytes = 0
+    try:
+        blob = fetch(_rice_devpack_fn(nseg_total, rem_npads, un_npads,
+                                      kset, zero)(zs, kuw_dev, offs))
+        blob_bytes = blob.nbytes
+        out = _host_unpack_rice_core(
+            blob, kmap, uwmap, rem_counts, un_counts, rem_npads,
+            un_npads, n, h, w, kset=kset, zero_code=zero,
+            native_fn=native_fn, out_shape=out_shape,
+            out_dtype=out_dtype, tail=tail)
+    except Exception:
+        # A pass-2 / unpack failure must not take down a serving
+        # loop: report every byte that already crossed the link (map,
+        # and the blob if pass 2 got that far) so the accounting stays
+        # exact, warn so a real unpack regression isn't an invisible
+        # fallback, and let the caller pick the next scheme.
+        from ..utils import counters
+        from ..utils.log import get_logger
+
+        counters.bump("rice_readback_fallback")
+        get_logger().warning("rice readback pack failed; falling back",
+                             exc_info=True)
+        return None, maps_nbytes + blob_bytes
+    return out, blob_bytes + maps_nbytes
 
 
 def fetch_rgba1010102_rice(out_dev, fetch=np.asarray):
@@ -775,41 +961,36 @@ def fetch_rgba1010102_rice(out_dev, fetch=np.asarray):
     Returns (host u32 (n, h, w), d2h_bytes), or (None, wasted_bytes)
     when the content is incompressible or too large for the sort-key
     index field (caller falls back)."""
-    n, h, w = (int(s) for s in out_dev.shape)
-    zs, kuw_dev = _rice_widths_fn((n, h, w))(out_dev)
-    maps = np.asarray(kuw_dev)
-    kmap, uwmap = maps[0], maps[1]
-    nseg_total = kmap.size
-    if nseg_total >= (1 << _IDX_BITS):
-        return None, maps.nbytes
-    plan = _rice_host_plan(kmap, uwmap, _RICE_KS, _RICE_ZERO,
-                           n * h * w * 4)
-    if plan is None:
-        return None, maps.nbytes
-    rem_counts, un_counts, rem_npads, un_npads, offs = plan
+    return _fetch_rice_core(out_dev, fetch, bits=10, med=False)
 
-    blob_bytes = 0
-    try:
-        blob = fetch(_rice_devpack_fn(nseg_total, rem_npads, un_npads)(
-            zs, kuw_dev, offs))
-        blob_bytes = blob.nbytes
-        out = _host_unpack_rice(blob, kmap, uwmap, rem_counts,
-                                un_counts, rem_npads, un_npads,
-                                n, h, w)
-    except Exception:
-        # A pass-2 / unpack failure must not take down a serving
-        # loop: report every byte that already crossed the link (map,
-        # and the blob if pass 2 got that far) so the accounting stays
-        # exact, warn so a real unpack regression isn't an invisible
-        # fallback, and let the caller pick the fine-width path.
-        from ..utils import counters
-        from ..utils.log import get_logger
 
-        counters.bump("rice_readback_fallback")
-        get_logger().warning("rice readback pack failed; falling back",
-                             exc_info=True)
-        return None, maps.nbytes + blob_bytes
-    return out, blob_bytes + maps.nbytes
+def fetch_rgba1010102_med(out_dev, fetch=np.asarray):
+    """RCT + MED/LOCO-I prediction + Rice: ~14% fewer bytes than the
+    vertical-delta scheme on decoded bench content (2-D prediction
+    adapts to horizontal gradients too). Same bucket/unary blob
+    layout; host reconstruction is the sequential predictor pass in
+    jpeg/native/packio.cpp EmitMed (callers should require the native
+    unpacker — the numpy fallback is a per-pixel Python loop)."""
+    return _fetch_rice_core(out_dev, fetch, bits=10, med=True)
+
+
+def fetch_rgba_f16_med(out_dev, fetch=np.asarray):
+    """F16-halves variant of the MED pack (~10% fewer bytes than
+    fetch_rgba_f16_rice on decoded bench content)."""
+    return _fetch_rice_core(out_dev, fetch, bits=16, med=True)
+
+
+def fetch_rgba1010102_auto(out_dev, fetch=np.asarray):
+    """Per-batch best of the vertical and MED schemes: one fused
+    pass 1 computes both stats, the host compares exact packed-size
+    estimates, pass 2 packs the winner (falls back to vertical-only
+    when the native MED unpacker is missing)."""
+    return _fetch_rice_core(out_dev, fetch, bits=10, med="auto")
+
+
+def fetch_rgba_f16_auto(out_dev, fetch=np.asarray):
+    """F16-halves variant of the auto scheme pick."""
+    return _fetch_rice_core(out_dev, fetch, bits=16, med="auto")
 
 
 def _rice_word_offs(rem_npads, un_npads, kset=_RICE_KS):
@@ -912,15 +1093,6 @@ def _host_unpack_rice_core(blob, kmap, uwmap, rem_counts, un_counts,
         ksel = kmap[idx].astype(np.uint16)
         z[idx] = ((q.astype(np.uint16) << ksel[:, None]) | z[idx])
     return tail(z, n, h, w)
-
-
-def _host_unpack_rice(blob, kmap, uwmap, rem_counts, un_counts,
-                      rem_npads, un_npads, n, h, w):
-    return _host_unpack_rice_core(
-        blob, kmap, uwmap, rem_counts, un_counts, rem_npads, un_npads,
-        n, h, w, kset=_RICE_KS, zero_code=_RICE_ZERO,
-        native_fn="uhdr_rice_unpack", out_shape=(n, h, w),
-        out_dtype=np.uint32, tail=_rct_tail_numpy)
 
 
 def _rct_tail_numpy(z, n, h, w, seglen: int = RL):
@@ -1028,46 +1200,8 @@ _RICE16_KS = tuple(range(16))
 _RICE16_ZERO = 31
 
 
-def _f16_zigzag_deltas_dev(x, n: int, h: int, w: int, wp: int):
-    """Traceable pass-1 preamble for (n, h, w, 4) u16 RGBA F16 halves:
-    -> (3*n*h, wp) u16 zigzag mod-2^16 vertical deltas of the
-    channel-decorrelated (G, R-G, B-G) bit-pattern planes."""
-    import jax.numpy as jnp
-
-    rows = 3 * n * h
-    xi = x.astype(jnp.int32)
-    r = xi[..., 0]
-    g = xi[..., 1]
-    b = xi[..., 2]
-    big = jnp.concatenate([
-        g.reshape(n * h, w), ((r - g) & 0xFFFF).reshape(n * h, w),
-        ((b - g) & 0xFFFF).reshape(n * h, w)])
-    if wp != w:
-        big = jnp.pad(big, ((0, 0), (0, wp - w)), mode="edge")
-    prev = jnp.pad(big, ((1, 0), (0, 0)))[:-1]
-    mask = (jnp.arange(rows) % G == 0)[:, None]
-    prev = jnp.where(mask, 0, prev)
-    d = (big - prev) & 0xFFFF
-    ds = ((d + 0x8000) & 0xFFFF) - 0x8000
-    return ((ds << 1) ^ (ds >> 31)).astype(jnp.uint16)
-
-
-@lru_cache(maxsize=None)
 def _rice16_widths_fn(shape):
-    """Jitted Rice pass 1 for an (n, h, w, 4) u16 F16 batch. Returns
-    (zs (nseg, RL) u16, stacked (2, nseg) u8 [kcode, uw])."""
-    import jax
-
-    n, h, w = shape
-    wp = -(-w // RL) * RL
-    rows = 3 * n * h
-
-    def f(x):
-        z = _f16_zigzag_deltas_dev(x, n, h, w, wp)
-        zs = z.reshape(rows * (wp // RL), RL)
-        return zs, _rice_seg_stats(zs, _RICE16_KS, _RICE16_ZERO)
-
-    return jax.jit(f)
+    return _pass1_widths_fn(shape, 16, False)
 
 
 def fetch_rgba_f16_rice(out_dev, fetch=np.asarray):
@@ -1077,49 +1211,7 @@ def fetch_rgba_f16_rice(out_dev, fetch=np.asarray):
     incompressible / too large for the sort-key index field (caller
     falls back to a raw fetch). Alpha comes back as the packer's
     constant 0x3C00 (ops/color.py pack_rgba_f16)."""
-    n, h, w, c4 = (int(s) for s in out_dev.shape)
-    if c4 != 4:
-        return None, 0
-    zs, kuw_dev = _rice16_widths_fn((n, h, w))(out_dev)
-    maps = np.asarray(kuw_dev)
-    kmap, uwmap = maps[0], maps[1]
-    nseg_total = kmap.size
-    if nseg_total >= (1 << _IDX_BITS):
-        return None, maps.nbytes
-    plan = _rice_host_plan(kmap, uwmap, _RICE16_KS, _RICE16_ZERO,
-                           n * h * w * 8)
-    if plan is None:
-        return None, maps.nbytes
-    rem_counts, un_counts, rem_npads, un_npads, offs = plan
-
-    blob_bytes = 0
-    try:
-        blob = fetch(_rice_devpack_fn(
-            nseg_total, rem_npads, un_npads, _RICE16_KS,
-            _RICE16_ZERO)(zs, kuw_dev, offs))
-        blob_bytes = blob.nbytes
-        out = _host_unpack_rice16(blob, kmap, uwmap, rem_counts,
-                                  un_counts, rem_npads, un_npads,
-                                  n, h, w)
-    except Exception:
-        from ..utils import counters
-        from ..utils.log import get_logger
-
-        counters.bump("rice16_readback_fallback")
-        get_logger().warning(
-            "f16 rice readback pack failed; falling back",
-            exc_info=True)
-        return None, maps.nbytes + blob_bytes
-    return out, blob_bytes + maps.nbytes
-
-
-def _host_unpack_rice16(blob, kmap, uwmap, rem_counts, un_counts,
-                        rem_npads, un_npads, n, h, w):
-    return _host_unpack_rice_core(
-        blob, kmap, uwmap, rem_counts, un_counts, rem_npads, un_npads,
-        n, h, w, kset=_RICE16_KS, zero_code=_RICE16_ZERO,
-        native_fn="uhdr_rice16_unpack", out_shape=(n, h, w, 4),
-        out_dtype=np.uint16, tail=_rct16_tail_numpy)
+    return _fetch_rice_core(out_dev, fetch, bits=16, med=False)
 
 
 def _rct16_tail_numpy(z, n, h, w):
@@ -1146,3 +1238,53 @@ def _rct16_tail_numpy(z, n, h, w):
     out[..., 2] = bpl.astype(np.uint16)
     out[..., 3] = 0x3C00
     return out.reshape(n, h, w, 4)
+
+
+def _med_tail_numpy(z, n, h, w, bits):
+    """Numpy reconstruction for the MED packs: strictly sequential in
+    (row, column) per 32-row group, so this is a per-pixel Python loop
+    — correct but slow; production unpacks go through the native
+    EmitMed (callers gate MED selection on its presence)."""
+    mask = (1 << bits) - 1
+    wp = -(-w // RL) * RL
+    rows = 3 * n * h
+    zz = z.reshape(rows, wp)[:, :w].astype(np.int64)
+    res = (zz >> 1) ^ -(zz & 1)
+    big = np.zeros((rows, w), np.int64)
+    for r in range(rows):
+        gstart = r % G == 0
+        prevr = big[r - 1]
+        rrow = res[r]
+        brow = big[r]
+        left = 0
+        for x in range(w):
+            up = 0 if gstart else prevr[x]
+            ul = 0 if (gstart or x == 0) else prevr[x - 1]
+            mx = left if left > up else up
+            mn = left if left < up else up
+            pred = mn if ul >= mx else (mx if ul <= mn else
+                                        left + up - ul)
+            left = (pred + rrow[x]) & mask
+            brow[x] = left
+    gpl = big[:n * h]
+    rpl = (big[n * h:2 * n * h] + gpl) & mask
+    bpl = (big[2 * n * h:] + gpl) & mask
+    if bits == 10:
+        return (rpl.astype(np.uint32)
+                | (gpl.astype(np.uint32) << 10)
+                | (bpl.astype(np.uint32) << 20)
+                | np.uint32(0xC0000000)).reshape(n, h, w)
+    out = np.empty((n * h, w, 4), np.uint16)
+    out[..., 0] = rpl.astype(np.uint16)
+    out[..., 1] = gpl.astype(np.uint16)
+    out[..., 2] = bpl.astype(np.uint16)
+    out[..., 3] = 0x3C00
+    return out.reshape(n, h, w, 4)
+
+
+def _med10_tail_numpy(z, n, h, w):
+    return _med_tail_numpy(z, n, h, w, 10)
+
+
+def _med16_tail_numpy(z, n, h, w):
+    return _med_tail_numpy(z, n, h, w, 16)

@@ -154,13 +154,18 @@ def fetch_1010102_packed(out_dev, stats=None):
 
     out = None
     wasted = 0
-    mode = "rct-rice"
     lib = native.get_lib()
+    # Auto-pick between MED prediction (~14% fewer bytes than
+    # vertical Rice on decoded content) and vertical deltas, per
+    # batch, from exact packed-size estimates (packio
+    # _fetch_rice_core med="auto"; MED needs the native sequential
+    # reconstruction, so without it the pick is vertical-only).
+    mode = "rct-rice-auto"
     # Without the native unpacker the Rice host half costs seconds
     # per 4K batch on this single core — only the fine path then.
     if lib is not None and getattr(lib, "uhdr_rice_unpack", None):
         try:
-            out, d2h_bytes = packio.fetch_rgba1010102_rice(out_dev)
+            out, d2h_bytes = packio.fetch_rgba1010102_auto(out_dev)
         except Exception:
             # Platform quirk in the newer path must never take down a
             # serving loop: the fine-width pack is the proven fallback
@@ -214,13 +219,13 @@ def fetch_f16_packed(out_dev, stats=None):
 
     out = None
     wasted = 0
-    mode = "rct-rice16"
     lib = native.get_lib()
+    mode = "rct-rice16-auto"
     # Without the native unpacker the host half costs seconds per 4K
     # batch on a single core — raw fetch then.
     if lib is not None and getattr(lib, "uhdr_rice16_unpack", None):
         try:
-            out, d2h_bytes = packio.fetch_rgba_f16_rice(out_dev)
+            out, d2h_bytes = packio.fetch_rgba_f16_auto(out_dev)
         except Exception:
             from ..utils import counters as _c
             from ..utils.log import get_logger

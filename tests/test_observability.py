@@ -88,9 +88,9 @@ class TestRiceReadbackFallback:
         dev = jax.device_put(raw)
 
         def boom(*a, **k):
-            raise RuntimeError("deliberately broken rice pack")
+            raise RuntimeError("deliberately broken readback pack")
 
-        monkeypatch.setattr(packio, "fetch_rgba1010102_rice", boom)
+        monkeypatch.setattr(packio, "fetch_rgba1010102_auto", boom)
         stats = {}
         with caplog.at_level(logging.WARNING, logger="uhdr"):
             out = sharding.fetch_1010102_packed(dev, stats)

@@ -478,7 +478,7 @@ class TestF16RiceFetch:
         out = sharding.fetch_f16_packed(dev, stats)
         np.testing.assert_array_equal(out, rgba)
         assert stats["d2h_bytes"] > 0
-        assert stats["d2h_pack"] in ("rct-rice16", "raw")
+        assert stats["d2h_pack"] in ("rct-rice16-auto", "raw")
 
 
 class TestMtUnpack:
@@ -642,3 +642,126 @@ class TestFetchPixelsPacked:
         out = sharding.fetch_pixels_packed(dev, stats)
         np.testing.assert_array_equal(out, a)
         assert stats["d2h_pack"] == "raw"
+
+
+class TestMedFetch:
+    """RCT + MED/LOCO-I + Rice readback (packio.fetch_rgba1010102_med /
+    fetch_rgba_f16_med): exact reconstruction through the sequential
+    native predictor pass, native/numpy agreement, MT identity, and
+    strictly fewer bytes than the vertical scheme on smooth content."""
+
+    _rgba = TestRctBatchFetch._rgba
+    _f16 = staticmethod(TestF16RiceFetch._f16)
+
+    @pytest.mark.parametrize("n,h,w,noise", [
+        (1, 96, 512, 0),
+        (2, 160, 840, 7),      # edge pad + batch
+        (1, 88, 512, 3),       # h % 32 != 0
+    ])
+    def test_roundtrip_exact_10bit(self, n, h, w, noise):
+        import jax
+        rgba = self._rgba(n, h, w, seed=h + w, noise=noise)
+        out, nbytes = packio.fetch_rgba1010102_med(jax.device_put(rgba))
+        assert out is not None
+        np.testing.assert_array_equal(out, rgba)
+        assert 0 < nbytes < rgba.nbytes
+
+    @pytest.mark.parametrize("n,h,w,noise", [
+        (1, 96, 512, 0.0),
+        (2, 160, 840, 0.003),
+    ])
+    def test_roundtrip_exact_f16(self, n, h, w, noise):
+        import jax
+        rgba = self._f16(n, h, w, seed=h + w, noise=noise)
+        out, nbytes = packio.fetch_rgba_f16_med(jax.device_put(rgba))
+        assert out is not None
+        np.testing.assert_array_equal(out, rgba)
+        assert 0 < nbytes < rgba.nbytes
+
+    def test_med_beats_vertical_on_smooth_content(self):
+        import jax
+        rgba = self._rgba(2, 160, 840, seed=5, noise=4)
+        dev = jax.device_put(rgba)
+        _, med_b = packio.fetch_rgba1010102_med(dev)
+        _, rice_b = packio.fetch_rgba1010102_rice(dev)
+        assert med_b <= rice_b
+
+    def test_native_and_numpy_agree(self, monkeypatch):
+        import jax
+
+        from libultrahdr_dev_tpu.jpeg import native
+        lib = native.get_lib()
+        if lib is None or getattr(lib, "uhdr_med_unpack", None) is None:
+            pytest.skip("native med unpack unavailable")
+        rgba = self._rgba(1, 96, 512, seed=11, noise=5)
+        res = packio.fetch_rgba1010102_med(jax.device_put(rgba))
+        assert res[0] is not None
+        monkeypatch.setattr(native, "get_lib", lambda: None)
+        res2 = packio.fetch_rgba1010102_med(jax.device_put(rgba))
+        np.testing.assert_array_equal(res[0], res2[0])
+        assert res[1] == res2[1]
+        np.testing.assert_array_equal(res[0], rgba)
+
+    @pytest.mark.parametrize("kind,nthreads", [
+        ("", 2), ("", 4), ("16", 4),
+    ])
+    def test_mt_bitwise_equal(self, kind, nthreads):
+        if kind == "":
+            rgba = self._rgba(1, 720, 840, seed=31, noise=6)
+        else:
+            rgba = self._f16(1, 720, 840, seed=31, noise=0.004)
+        import jax
+
+        from libultrahdr_dev_tpu.jpeg import native
+        lib = native.get_lib()
+        if lib is None or getattr(lib, f"uhdr_med{kind}_unpack_mt",
+                                  None) is None:
+            pytest.skip("native med mt unavailable")
+        dev = jax.device_put(rgba)
+        fetcher = (packio.fetch_rgba1010102_med if kind == ""
+                   else packio.fetch_rgba_f16_med)
+        import os
+        try:
+            os.environ["UHDR_UNPACK_THREADS"] = "1"
+            serial, b1 = fetcher(dev)
+            os.environ["UHDR_UNPACK_THREADS"] = str(nthreads)
+            threaded, b2 = fetcher(dev)
+        finally:
+            os.environ.pop("UHDR_UNPACK_THREADS", None)
+        assert b1 == b2
+        np.testing.assert_array_equal(serial, threaded)
+        np.testing.assert_array_equal(threaded, rgba)
+
+    def test_incompressible_returns_none(self):
+        import jax
+        rng = np.random.default_rng(0)
+        rgba = rng.integers(0, 2**32, (1, 64, 256), np.uint64).astype(
+            np.uint32) | np.uint32(0xC0000000)
+        out, wasted = packio.fetch_rgba1010102_med(
+            jax.device_put(rgba))
+        assert out is None
+        assert wasted == 3 * 64 * 1 * 2
+
+    def test_auto_picks_min_and_roundtrips(self):
+        # Auto must match the cheaper of the two schemes' byte counts
+        # and still reconstruct exactly, for both variants.
+        import jax
+        for mk, auto, a, b in (
+                (lambda: self._rgba(2, 160, 840, seed=9, noise=5),
+                 packio.fetch_rgba1010102_auto,
+                 packio.fetch_rgba1010102_med,
+                 packio.fetch_rgba1010102_rice),
+                (lambda: self._f16(2, 160, 840, seed=9, noise=0.003),
+                 packio.fetch_rgba_f16_auto,
+                 packio.fetch_rgba_f16_med,
+                 packio.fetch_rgba_f16_rice)):
+            rgba = mk()
+            dev = jax.device_put(rgba)
+            out, nb = auto(dev)
+            np.testing.assert_array_equal(out, rgba)
+            _, nb_med = a(dev)
+            _, nb_rice = b(dev)
+            # auto ships BOTH schemes' (kcode, uw) maps (2 extra
+            # bytes/segment) to make the exact pick host-side.
+            nseg = 3 * 2 * 160 * (-(-840 // 256))
+            assert nb == min(nb_med, nb_rice) + 2 * nseg
