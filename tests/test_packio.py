@@ -765,3 +765,43 @@ class TestMedFetch:
             # bytes/segment) to make the exact pick host-side.
             nseg = 3 * 2 * 160 * (-(-840 // 256))
             assert nb == min(nb_med, nb_rice) + 2 * nseg
+
+    def test_native_med_rejects_corrupt_maps(self):
+        """The MED walkers share the rice walker's fail-closed guards
+        (bad k code / class overflow / truncated unary bitmap)."""
+        import ctypes
+
+        from libultrahdr_dev_tpu.jpeg import native
+        lib = native.get_lib()
+        if lib is None or getattr(lib, "uhdr_med_unpack", None) is None:
+            pytest.skip("native med unpack unavailable")
+        n, h, w = 1, 32, 256
+        nseg = 3 * n * h
+        blob = np.zeros(8192, np.uint32)
+        rem_offs = np.zeros(10, np.int64)
+        un_offs = np.zeros(7, np.int64)
+        scratch = np.empty(n * h * w, np.uint16)
+        out = np.empty(n * h * w, np.uint32)
+
+        def call(kmap, uwmap):
+            return lib.uhdr_med_unpack(
+                kmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                uwmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                rem_offs.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int64)),
+                un_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                n, h, w,
+                scratch.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint16)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+
+        assert call(np.full(nseg, 12, np.uint8),
+                    np.zeros(nseg, np.uint8)) == -3
+        kmap = np.zeros(nseg, np.uint8)
+        assert call(kmap, np.full(nseg, 25, np.uint8)) == -4
+        assert call(kmap, np.full(nseg, 8, np.uint8)) == -5
+        # all-zero sentinel: residuals 0 -> MED propagates zeros.
+        kmap = np.full(nseg, 15, np.uint8)
+        assert call(kmap, np.zeros(nseg, np.uint8)) == 0
+        assert np.all(out == ((0 << 10) | 0xC0000000))
