@@ -42,11 +42,69 @@ def synth(h, w, seed=0):
     return y10, uv
 
 
+def decode_units_sweep(iters: int):
+    """Time the entropy-decode while_loop at 1..4 units per step on a
+    production 4K RST stream. Total per-unit work is invariant — the
+    knob only amortizes loop-carried latency — so this directly
+    answers the 'is the loop latency-bound' question on real hardware.
+    Prints ms per variant; the winner can then be pinned process-wide
+    with UHDR_DECODE_UNITS."""
+    import jax
+    import jax.numpy as jnp
+    from libultrahdr_dev_tpu.jpeg import device_decode as dd
+    from libultrahdr_dev_tpu.parallel import sharding
+    from libultrahdr_dev_tpu.container import mux
+    from libultrahdr_dev_tpu.jpeg.dct import dequant_idct
+
+    print(f"device: {jax.devices()[0]}")
+    w, h = 3840, 2160
+    y10, uv = synth(h, w, seed=2)
+    mesh = sharding.default_mesh(jax.devices()[:1])
+    blob = bytes(sharding.batched_encode_api0(y10[None], uv[None],
+                                              mesh)[0])
+    primary, _ = mux.extract_primary_and_gainmap(blob)
+    ds = dd.parse_device_stream(primary)
+    mcus = ds.mcus_x * ds.mcus_y
+    dest = jax.device_put(ds.padded_dest())
+    st = jax.device_put(ds.starts_byte)
+    jax.block_until_ready((dest, st))
+    win = np.arange(ds.win_len, dtype=np.int32)[None, :]
+    qy = ds.qtables[0]
+
+    results = {}
+    for units in (1, 2, 3, 4):
+        @jax.jit
+        def k(dest, st, _u=units):
+            chunks = jnp.take(dest, st[:, None] + win)
+            blocks = dd.decode_rst_chunks(chunks, ds.restart_interval,
+                                          mcus, False,
+                                          units_per_step=_u)
+            yz, _, _ = dd.deinterleave_yuv420_device(
+                blocks, ds.mcus_x, ds.mcus_y)
+            y = dequant_idct(yz, qy, ds.mcus_y * 16, ds.mcus_x * 16)
+            return jnp.sum(y.astype(jnp.uint32))
+
+        ref = jax.block_until_ready(k(dest, st))  # compile + warm
+        ms = timeit(lambda: jax.block_until_ready(k(dest, st)), iters)
+        results[units] = ms
+        print(f"decode 4K luma-path units={units}: {ms:.1f} ms "
+              f"(checksum {int(ref)})")
+    best = min(results, key=results.get)
+    print(f"best: UHDR_DECODE_UNITS={best} ({results[best]:.1f} ms)")
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--decode-units-sweep", action="store_true",
+                    help="sweep units-per-step of the device entropy "
+                         "decode loop on a 4K stream, print winner")
     args = ap.parse_args()
     iters = 3 if args.quick else 10
+
+    if args.decode_units_sweep:
+        return decode_units_sweep(max(iters // 2, 3))
 
     import jax
     from libultrahdr_dev_tpu.ops import gainmap as gm

@@ -43,6 +43,7 @@ host decoder.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -353,10 +354,37 @@ def _signed_extend(extra, nbits):
                      jnp.where(e < half, e - full, e), 0)
 
 
+def _win_at(t, ws):
+    """Left-aligned 32-bit window starting at in-step bit offset t,
+    assembled from the step's u32 reads ws (ws[i] holds the 32 stream
+    bits at in-step offset 28*i). Overlapping reads carry identical
+    stream bits, so the pairwise ORs are exact; the where-chain picks
+    the deepest pair that still covers t. Valid for
+    t <= 28*(len(ws)-1)+4 with >= 27 usable bits."""
+    tu = t.astype(jnp.uint32)
+    top = 28 * (len(ws) - 1)
+    win = ws[-1] << ((tu - top) & 31)
+    for i in range(len(ws) - 2, -1, -1):
+        lo = 28 * i
+        pair = ((ws[i] << ((tu - lo) & 31))
+                | (ws[i + 1] >> ((lo + 28 - tu) & 31)))
+        win = jnp.where(t <= lo + 28, pair, win)
+    return win
+
+
+# Units decoded per while_loop step (default; explicit arg wins).
+# Total per-unit work is invariant in this knob — it only amortizes
+# the loop's carried-state latency over more units per trip. 2 and 3
+# are both correct (parity-tested); which is faster is an on-chip
+# question (see benchmarks/microbench.py --decode-units-sweep).
+_DEFAULT_UNITS = max(1, min(4, int(os.environ.get(
+    "UHDR_DECODE_UNITS", "2"))))
+
+
 def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
                       chains=None, min_code_bits: int = 2,
                       start_bits=None, dc_carry: bool = False,
-                      ypm: int = 4):
+                      ypm: int = 4, units_per_step: int | None = None):
     """Traceable device decode of restart-interval chunks.
 
     chunks_u8: (NC, L) u8 destuffed interval bytes (zero-padded).
@@ -391,10 +419,11 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
     max_bits = L * 8
     out_cols = jnp.arange(cb * 64, dtype=jnp.int32)[None, :]
 
+    units = units_per_step or _DEFAULT_UNITS
     # Emission upper bound: every coefficient + per-block DC/EOB/ZRL
     # overhead, bounded by the bit budget (each unit costs at least
-    # one codeword of min_code_bits; two units decode per loop step).
-    step_cap = max_bits // (2 * min_code_bits) + 2
+    # one codeword of min_code_bits; `units` decode per loop step).
+    step_cap = max_bits // (units * min_code_bits) + 2
 
     def decode_unit(win, bit, blk, k, dcp, done):
         """Decode ONE codeword+extra from the (left-aligned, >=27
@@ -469,29 +498,22 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
 
     def body(state):
         bit, blk, k, dcp, done, out, nstep = state
-        # Two indexed reads give a 57+ bit double window: unit 1 always
-        # fits in w0's 29 bits, unit 2 in what w0+w1 expose after it.
+        # `units` indexed reads expose a 28*units+4 bit multi-window:
+        # unit j's <=27-bit codeword+extra starts at in-step offset
+        # t_j <= 3 + 27*j, always covered (3 + 27*(units-1) + 27 <=
+        # 28*(units-1) + 32 for units >= 2; units==1 fits w0's 29).
         nib = bit >> 2
-        r = (bit & 3).astype(jnp.uint32)
-        w0 = _select_read(W, nib)
-        w1 = _select_read(W, nib + 7)  # bits starting 28 past w0's
+        r = (bit & 3).astype(jnp.int32)
+        ws = [_select_read(W, nib + 7 * i) for i in range(units)]
 
-        win0 = w0 << r
-        (bit, blk, k, dcp, done, len1,
-         dest1, val1, emit1) = decode_unit(win0, bit, blk, k, dcp, done)
+        t = r
+        for _ in range(units):
+            (bit, blk, k, dcp, done, ulen, dest, val,
+             emit) = decode_unit(_win_at(t, ws), bit, blk, k, dcp, done)
+            m = (out_cols == dest[:, None]) & emit[:, None]
+            out = jnp.where(m, val[:, None], out)
+            t = t + ulen
 
-        t = r.astype(jnp.int32) + len1  # second unit's offset, <= 30
-        tu = t.astype(jnp.uint32)
-        win1 = jnp.where(t <= 28,
-                         (w0 << tu) | (w1 >> ((28 - tu) & 31)),
-                         w1 << (tu - 28))
-        (bit, blk, k, dcp, done, _,
-         dest2, val2, emit2) = decode_unit(win1, bit, blk, k, dcp, done)
-
-        m1 = (out_cols == dest1[:, None]) & emit1[:, None]
-        m2 = (out_cols == dest2[:, None]) & emit2[:, None]
-        out = jnp.where(m2, val2[:, None],
-                        jnp.where(m1, val1[:, None], out))
         done = done | (nstep >= step_cap)
         return bit, blk, k, dcp, done, out, nstep + 1
 

@@ -362,3 +362,44 @@ class TestTableKeyEdgeCases:
                     + b"\x00" + b"\x00" * 16)
         mutated = blob[:i] + zero_dht + blob[i + 2 + seg_len:]
         assert parse_device_stream(mutated) is None
+
+
+@pytest.mark.parametrize("units", [1, 3, 4])
+def test_units_per_step_parity(blob, units, monkeypatch):
+    """The units-per-step latency knob (UHDR_DECODE_UNITS) must be
+    purely a scheduling choice: every setting decodes bit-exactly.
+    units=2 is the default exercised by every other test here."""
+    monkeypatch.setattr(dd, "_DEFAULT_UNITS", units)
+    dd._decode_to_planes_kernel.cache_clear()
+    try:
+        for data in mux.extract_primary_and_gainmap(blob):
+            ref = codec.decode_jpeg(data)
+            got = dd.decode_jpeg_device(data)
+            assert got is not None
+            _, planes = got
+            for p, rp in zip(planes, ref.planes):
+                a = np.asarray(p)[: rp.shape[0], : rp.shape[1]]
+                assert np.array_equal(a, rp)
+    finally:
+        dd._decode_to_planes_kernel.cache_clear()
+
+
+@pytest.mark.parametrize("units", [1, 3])
+def test_units_per_step_parity_foreign_carry(units, monkeypatch):
+    """Same knob on the foreign restart-less path (synthesized
+    segments with dc_carry + start_bits)."""
+    gray = np.tile(np.arange(96, dtype=np.uint8), (96, 1))
+    jpg = codec.encode_jpeg({"y": gray}, quality=85)
+    if dd.parse_device_stream(jpg) is None:
+        pytest.skip("native scan unavailable")
+    monkeypatch.setattr(dd, "_DEFAULT_UNITS", units)
+    dd._decode_to_planes_kernel.cache_clear()
+    try:
+        ref = codec.decode_jpeg(jpg)
+        ds, planes = dd.decode_jpeg_device(jpg)
+        assert ds.start_bits is not None
+        a = np.asarray(planes[0])[: ref.planes[0].shape[0],
+                                  : ref.planes[0].shape[1]]
+        assert np.array_equal(a, ref.planes[0])
+    finally:
+        dd._decode_to_planes_kernel.cache_clear()
