@@ -94,17 +94,82 @@ def decode_units_sweep(iters: int):
     return results
 
 
+def decode_emit_sweep(iters: int):
+    """Time the entropy-decode loop's emission strategies on a
+    production 4K RST stream: dense (carried (nc, cb*64) rewrite per
+    step) vs log (in-place (key, val) appends + one post-loop
+    lower-bound reconstruction), at 1..3 units per step. The dense
+    loop's HBM traffic scales with steps x cb*128 B/lane; the log
+    loop's is ~constant — which wins is an on-chip question. Winner
+    pins UHDR_DECODE_EMIT (+ UHDR_DECODE_UNITS) process-wide."""
+    import jax
+    import jax.numpy as jnp
+    from libultrahdr_dev_tpu.jpeg import device_decode as dd
+    from libultrahdr_dev_tpu.parallel import sharding
+    from libultrahdr_dev_tpu.container import mux
+    from libultrahdr_dev_tpu.jpeg.dct import dequant_idct
+
+    print(f"device: {jax.devices()[0]}")
+    w, h = 3840, 2160
+    y10, uv = synth(h, w, seed=2)
+    mesh = sharding.default_mesh(jax.devices()[:1])
+    blob = bytes(sharding.batched_encode_api0(y10[None], uv[None],
+                                              mesh)[0])
+    primary, _ = mux.extract_primary_and_gainmap(blob)
+    ds = dd.parse_device_stream(primary)
+    mcus = ds.mcus_x * ds.mcus_y
+    dest = jax.device_put(ds.padded_dest())
+    st = jax.device_put(ds.starts_byte)
+    jax.block_until_ready((dest, st))
+    win = np.arange(ds.win_len, dtype=np.int32)[None, :]
+    qy = ds.qtables[0]
+
+    results = {}
+    ref0 = None
+    for mode in ("dense", "log"):
+        for units in (1, 2, 3):
+            @jax.jit
+            def k(dest, st, _u=units, _m=mode):
+                chunks = jnp.take(dest, st[:, None] + win)
+                blocks = dd.decode_rst_chunks(
+                    chunks, ds.restart_interval, mcus, False,
+                    units_per_step=_u, emit_mode=_m)
+                yz, _, _ = dd.deinterleave_yuv420_device(
+                    blocks, ds.mcus_x, ds.mcus_y)
+                y = dequant_idct(yz, qy, ds.mcus_y * 16, ds.mcus_x * 16)
+                return jnp.sum(y.astype(jnp.uint32))
+
+            ref = int(jax.block_until_ready(k(dest, st)))
+            ref0 = ref if ref0 is None else ref0
+            assert ref == ref0, f"checksum drift {mode}/{units}"
+            ms = timeit(lambda: jax.block_until_ready(k(dest, st)),
+                        iters)
+            results[(mode, units)] = ms
+            print(f"decode 4K luma-path emit={mode} units={units}: "
+                  f"{ms:.1f} ms (checksum {ref})")
+    best = min(results, key=results.get)
+    print(f"best: UHDR_DECODE_EMIT={best[0]} UHDR_DECODE_UNITS="
+          f"{best[1]} ({results[best]:.1f} ms)")
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--decode-units-sweep", action="store_true",
                     help="sweep units-per-step of the device entropy "
                          "decode loop on a 4K stream, print winner")
+    ap.add_argument("--decode-emit-sweep", action="store_true",
+                    help="sweep {dense, log} emission x units of the "
+                         "device entropy decode loop on a 4K stream, "
+                         "print winner")
     args = ap.parse_args()
     iters = 3 if args.quick else 10
 
     if args.decode_units_sweep:
         return decode_units_sweep(max(iters // 2, 3))
+    if args.decode_emit_sweep:
+        return decode_emit_sweep(max(iters // 2, 3))
 
     import jax
     from libultrahdr_dev_tpu.ops import gainmap as gm

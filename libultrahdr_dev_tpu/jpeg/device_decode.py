@@ -380,11 +380,25 @@ def _win_at(t, ws):
 _DEFAULT_UNITS = max(1, min(4, int(os.environ.get(
     "UHDR_DECODE_UNITS", "2"))))
 
+# Emission strategy of the decode loop (default; explicit arg wins).
+# "dense": every unit rewrites the carried (nc, cb*64) coefficient
+# buffer through a compare+select mask — ~2*cb*128 bytes of HBM
+# traffic per lane per STEP, which makes the loop memory-bound on its
+# own carried state for production interval sizes. "log": units
+# append (key, val) pairs into a compact log via an in-place
+# dynamic_update_slice (per-step traffic ~units*6 bytes per lane);
+# the dense buffer is rebuilt after the loop by one vectorized
+# binary search over the per-lane monotone keys. Bit-exact equals
+# "dense" (tests/test_device_decode.py); which is faster on chip is
+# measured by benchmarks/microbench.py --decode-emit-sweep.
+_DEFAULT_EMIT = os.environ.get("UHDR_DECODE_EMIT", "dense")
+
 
 def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
                       chains=None, min_code_bits: int = 2,
                       start_bits=None, dc_carry: bool = False,
-                      ypm: int = 4, units_per_step: int | None = None):
+                      ypm: int = 4, units_per_step: int | None = None,
+                      emit_mode: str | None = None):
     """Traceable device decode of restart-interval chunks.
 
     chunks_u8: (NC, L) u8 destuffed interval bytes (zero-padded).
@@ -404,6 +418,9 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
     local DC sums) to its decoded DC coefficients.
     ypm: luma blocks per MCU for color streams (4 = 4:2:0, 2 = 4:2:2,
     1 = 4:4:4); the interleave pattern is [Y*ypm, U, V].
+    emit_mode: "dense" | "log" coefficient emission (None = the
+    UHDR_DECODE_EMIT env default) — bit-identical results, different
+    HBM traffic shape; see _DEFAULT_EMIT above.
     Returns (NC * r_mcus * bpm, 64) i16 MCU-ordered zigzag blocks
     (bpm = ypm + 2 for color, 1 for grayscale); trailing pad blocks
     (beyond n_mcus) are zero.
@@ -424,6 +441,17 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
     # overhead, bounded by the bit budget (each unit costs at least
     # one codeword of min_code_bits; `units` decode per loop step).
     step_cap = max_bits // (units * min_code_bits) + 2
+    log_emit = (emit_mode or _DEFAULT_EMIT) == "log"
+    if log_emit:
+        # Every block completes within <=65 units on ANY input (each
+        # AC unit either strictly raises k or ends the block; DC is
+        # one unit), so a lane reaches `target` within cb*65 units —
+        # usually a tighter trip bound than the bit budget, and it
+        # sizes the emission log statically. Taking the min never
+        # changes results: both caps exceed the natural completion
+        # point, past which every lane is frozen.
+        step_cap = min(step_cap, cb * 65 // units + 2)
+        log_cap = 1 << max(5, ((step_cap + 1) * units - 1).bit_length())
 
     def decode_unit(win, bit, blk, k, dcp, done):
         """Decode ONE codeword+extra from the (left-aligned, >=27
@@ -517,14 +545,72 @@ def decode_rst_chunks(chunks_u8, r_mcus: int, n_mcus: int, gray: bool,
         done = done | (nstep >= step_cap)
         return bit, blk, k, dcp, done, out, nstep + 1
 
+    def body_log(state):
+        # Log emission: instead of rewriting the dense (nc, cb*64)
+        # buffer per unit, append (key, val) at column nstep*units via
+        # an in-place dynamic_update_slice. key = dest*2+1 when the
+        # unit emits; a non-emitting unit repeats the lane's previous
+        # key (init 0 — even, never matches a target), so each lane's
+        # key row stays monotone non-decreasing with the emitted
+        # original FIRST in any duplicate run; the unwritten tail
+        # holds the +inf sentinel. The dense buffer is then rebuilt by
+        # one vectorized lower-bound search (see below).
+        bit, blk, k, dcp, done, keys, vals, lastk, nstep = state
+        nib = bit >> 2
+        r = (bit & 3).astype(jnp.int32)
+        ws = [_select_read(W, nib + 7 * i) for i in range(units)]
+
+        t = r
+        ku, vu = [], []
+        for _ in range(units):
+            (bit, blk, k, dcp, done, ulen, dest, val,
+             emit) = decode_unit(_win_at(t, ws), bit, blk, k, dcp, done)
+            lastk = jnp.where(emit, dest * 2 + 1, lastk)
+            ku.append(lastk)
+            vu.append(jnp.where(emit, val, jnp.int16(0)))
+            t = t + ulen
+        col = nstep * units
+        keys = jax.lax.dynamic_update_slice(
+            keys, jnp.stack(ku, axis=1), (jnp.int32(0), col))
+        vals = jax.lax.dynamic_update_slice(
+            vals, jnp.stack(vu, axis=1), (jnp.int32(0), col))
+
+        done = done | (nstep >= step_cap)
+        return bit, blk, k, dcp, done, keys, vals, lastk, nstep + 1
+
     bit0 = (jnp.zeros(nc, jnp.int32) if start_bits is None
             else start_bits.astype(jnp.int32))
-    state = (bit0, jnp.zeros(nc, jnp.int32),
-             jnp.zeros(nc, jnp.int32), jnp.zeros((nc, 3), jnp.int32),
-             jnp.zeros(nc, bool), jnp.zeros((nc, cb * 64), jnp.int16),
-             jnp.int32(0))
-    end = jax.lax.while_loop(cond, body, state)
-    out = end[5]
+    if log_emit:
+        state = (bit0, jnp.zeros(nc, jnp.int32),
+                 jnp.zeros(nc, jnp.int32), jnp.zeros((nc, 3), jnp.int32),
+                 jnp.zeros(nc, bool),
+                 jnp.full((nc, log_cap), 2**31 - 1, jnp.int32),
+                 jnp.zeros((nc, log_cap), jnp.int16),
+                 jnp.zeros(nc, jnp.int32), jnp.int32(0))
+        end = jax.lax.while_loop(cond, body_log, state)
+        keys, vals = end[5], end[6]
+        # Dense reconstruction: per output column c, lower-bound
+        # c*2+1 in the lane's monotone key row (branchless pow2
+        # strides; total strides sum to log_cap-1, and the sentinel
+        # tail means "all keys smaller" can only happen when c was
+        # never emitted — the equality check then yields 0).
+        targ = out_cols * 2 + 1
+        pos = jnp.zeros((nc, cb * 64), jnp.int32)
+        s = log_cap >> 1
+        while s:
+            kv = jnp.take_along_axis(keys, pos + (s - 1), axis=1)
+            pos = jnp.where(kv < targ, pos + s, pos)
+            s >>= 1
+        kv = jnp.take_along_axis(keys, pos, axis=1)
+        vv = jnp.take_along_axis(vals, pos, axis=1)
+        out = jnp.where(kv == targ, vv, jnp.int16(0))
+    else:
+        state = (bit0, jnp.zeros(nc, jnp.int32),
+                 jnp.zeros(nc, jnp.int32), jnp.zeros((nc, 3), jnp.int32),
+                 jnp.zeros(nc, bool), jnp.zeros((nc, cb * 64), jnp.int16),
+                 jnp.int32(0))
+        end = jax.lax.while_loop(cond, body, state)
+        out = end[5]
     if dc_carry:
         # Each lane's final dcp (it started from 0) is the sum of its
         # DC diffs per component; the exclusive prefix across lanes is

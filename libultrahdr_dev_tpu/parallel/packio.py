@@ -30,6 +30,8 @@ builds the plan, and a second dispatch packs into the bucketed layout
 
 from __future__ import annotations
 
+import os
+import time
 from functools import lru_cache
 
 import numpy as np
@@ -857,6 +859,48 @@ def _rice_host_plan(kmap, uwmap, kset, zero_code, raw_bytes):
             np.concatenate([rem_offs, un_offs]), est)
 
 
+# Observed-throughput EWMAs feeding the cost-aware scheme pick
+# (bytes/second): "d2h_link" from the blob fetches, and per-native-fn
+# host unpack speed in RAW OUTPUT bytes/s. Process-wide; measured on
+# this host (1-core: MED unpack ~414/299 MB/s of raw vs vertical-Rice
+# ~872/835 for 10/16-bit — MED's LOCO-I reconstruction is the
+# strictly-sequential inner loop), so fewer wire bytes does not always
+# mean a faster fetch stage.
+_BPS: dict = {}
+
+
+def _bps_update(key, nbytes, secs, alpha=0.3):
+    if secs <= 0 or nbytes <= 0:
+        return
+    bps = nbytes / secs
+    old = _BPS.get(key)
+    _BPS[key] = bps if old is None else old + alpha * (bps - old)
+
+
+#: Last auto-pick decision ("med" | "vert"), for stats/debugging.
+LAST_PICK = None
+
+
+def _auto_pick_scheme(plan_v, plan_m, raw_bytes, vert_fn, med_fn):
+    """True = pack MED, False = vertical. Once both the link and each
+    scheme's unpack throughput have been observed, pick the smaller
+    estimated fetch-stage time (wire bytes / link + raw bytes /
+    unpack); before that — or when only one plan is viable — pick the
+    fewer planned wire bytes. UHDR_READBACK_SCHEME=med|vert is handled
+    by the caller (it skips the dual pass-1 entirely)."""
+    if plan_m is None:
+        return False
+    if plan_v is None:
+        return True
+    link = _BPS.get("d2h_link")
+    uv = _BPS.get(vert_fn)
+    um = _BPS.get(med_fn)
+    if link and uv and um:
+        return (plan_m[-1] / link + raw_bytes / um
+                <= plan_v[-1] / link + raw_bytes / uv)
+    return plan_m[-1] <= plan_v[-1]
+
+
 def _fetch_rice_core(out_dev, fetch, *, bits, med):
     """Shared fetch driver for the Rice readback variants
     ({10-bit RGBA1010102, F16 halves} x {vertical, MED, auto}): pass 1
@@ -887,6 +931,10 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
             "uhdr_med16_unpack"
         if lib is None or getattr(lib, med_fn, None) is None:
             med = False
+        else:
+            env = os.environ.get("UHDR_READBACK_SCHEME")
+            if env in ("med", "vert"):   # forced: skip the dual pass-1
+                med = env == "med"
     if med == "auto":
         zs_v, zs_m, kuw4 = _pass1_both_fn((n, h, w), bits)(out_dev)
         maps4 = np.asarray(kuw4)
@@ -899,8 +947,10 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
                                  raw_bytes)
         if plan_v is None and plan_m is None:
             return None, maps4.nbytes
-        use_med = plan_m is not None and (
-            plan_v is None or plan_m[-1] <= plan_v[-1])
+        vert_fn = "uhdr_rice_unpack" if bits == 10 \
+            else "uhdr_rice16_unpack"
+        use_med = _auto_pick_scheme(plan_v, plan_m, raw_bytes,
+                                    vert_fn, med_fn)
         med = bool(use_med)
         zs = zs_m if use_med else zs_v
         kmap, uwmap = (maps4[2], maps4[3]) if use_med \
@@ -919,6 +969,8 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
         if plan is None:
             return None, maps.nbytes
         maps_nbytes = maps.nbytes
+    global LAST_PICK
+    LAST_PICK = "med" if med else "vert"
     rem_counts, un_counts, rem_npads, un_npads, offs, _est = plan
     if med:
         native_fn = "uhdr_med_unpack" if bits == 10 \
@@ -931,9 +983,14 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
 
     blob_bytes = 0
     try:
+        t0 = time.perf_counter()
         blob = fetch(_rice_devpack_fn(nseg_total, rem_npads, un_npads,
                                       kset, zero)(zs, kuw_dev, offs))
         blob_bytes = blob.nbytes
+        # Link-speed sample for the cost-aware pick (includes the
+        # pass-2 device time, so it under-estimates the link — which
+        # only biases the pick toward fewer wire bytes).
+        _bps_update("d2h_link", blob_bytes, time.perf_counter() - t0)
         out = _host_unpack_rice_core(
             blob, kmap, uwmap, rem_counts, un_counts, rem_npads,
             un_npads, n, h, w, kset=kset, zero_code=zero,
@@ -1046,9 +1103,14 @@ def _host_unpack_rice_core(blob, kmap, uwmap, rem_counts, un_counts,
             out.ctypes.data_as(ctypes.POINTER(cptr)))
         nt = _unpack_threads()
         mt = getattr(lib, native_fn + "_mt", None)
+        t0 = time.perf_counter()
         rc = mt(*args, nt) if (nt > 1 and mt) \
             else getattr(lib, native_fn)(*args)
         if rc == 0:
+            # Unpack-speed sample (raw output bytes/s) for the
+            # cost-aware scheme pick in _fetch_rice_core.
+            _bps_update(native_fn, out.nbytes,
+                        time.perf_counter() - t0)
             return out
 
     # Numpy fallback: reconstruct z per bucket, then the variant's

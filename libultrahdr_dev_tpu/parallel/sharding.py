@@ -166,6 +166,8 @@ def fetch_1010102_packed(out_dev, stats=None):
     if lib is not None and getattr(lib, "uhdr_rice_unpack", None):
         try:
             out, d2h_bytes = packio.fetch_rgba1010102_auto(out_dev)
+            if out is not None and packio.LAST_PICK:
+                mode = f"rct-rice-auto({packio.LAST_PICK})"
         except Exception:
             # Platform quirk in the newer path must never take down a
             # serving loop: the fine-width pack is the proven fallback
@@ -226,6 +228,8 @@ def fetch_f16_packed(out_dev, stats=None):
     if lib is not None and getattr(lib, "uhdr_rice16_unpack", None):
         try:
             out, d2h_bytes = packio.fetch_rgba_f16_auto(out_dev)
+            if out is not None and packio.LAST_PICK:
+                mode = f"rct-rice16-auto({packio.LAST_PICK})"
         except Exception:
             from ..utils import counters as _c
             from ..utils.log import get_logger

@@ -403,3 +403,67 @@ def test_units_per_step_parity_foreign_carry(units, monkeypatch):
         assert np.array_equal(a, ref.planes[0])
     finally:
         dd._decode_to_planes_kernel.cache_clear()
+
+
+class TestEmitModes:
+    """Log-emission decode (decode_rst_chunks emit_mode="log":
+    in-place (key, val) log + post-loop lower-bound reconstruction)
+    must be bit-identical to the dense carried-buffer emission on
+    every path — the two differ only in HBM traffic shape (the knob
+    exists for on-chip tuning, microbench --decode-emit-sweep)."""
+
+    def _both(self, ch, r, n_mcus, gray, units, **kw):
+        a = dd.decode_rst_chunks(ch, r, n_mcus, gray,
+                                 units_per_step=units,
+                                 emit_mode="dense", **kw)
+        b = dd.decode_rst_chunks(ch, r, n_mcus, gray,
+                                 units_per_step=units,
+                                 emit_mode="log", **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("units", [1, 2, 3])
+    def test_color_and_gray_bit_exact(self, blob, units):
+        from libultrahdr_dev_tpu.container import mux
+        primary, gmap = mux.extract_primary_and_gainmap(blob)
+        for data in (primary, gmap):
+            ds = dd.parse_device_stream(data)
+            ch = jax.numpy.asarray(ds.chunks)
+            self._both(ch, ds.restart_interval,
+                       ds.mcus_x * ds.mcus_y, ds.gray, units)
+
+    def test_foreign_dc_carry_bit_exact(self):
+        # Synthesized restart-less segments: start_bits mid-byte
+        # offsets + cross-lane DC carry, the log path must reproduce
+        # both exactly.
+        import io
+
+        from PIL import Image
+
+        from libultrahdr_dev_tpu.jpeg import native
+        if native.get_lib() is None:
+            pytest.skip("native scan unavailable")
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (144, 208, 3), np.uint8)
+        img = ((img.astype(np.float32) + np.roll(img, 1, 0)
+                + np.roll(img, 2, 1)) / 3).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, "JPEG", quality=88)
+        ds = dd.parse_device_stream(b.getvalue())
+        assert ds is not None and ds.start_bits is not None
+        ch = jax.numpy.asarray(ds.chunks)
+        sb = jax.numpy.asarray(ds.start_bits)
+        from libultrahdr_dev_tpu.jpeg.device_decode import (
+            chains_from_key, min_code_len_from_key)
+        self._both(ch, ds.restart_interval, ds.mcus_x * ds.mcus_y,
+                   ds.gray, 2, chains=chains_from_key(ds.tables_key),
+                   min_code_bits=min_code_len_from_key(ds.tables_key),
+                   start_bits=sb, dc_carry=True)
+
+    def test_garbage_chunks_identical_truncation(self):
+        # Arbitrary bytes: both modes must freeze lanes identically
+        # (done-by-bit-budget / step caps) and emit the same output.
+        rng = np.random.default_rng(11)
+        ch = jax.numpy.asarray(
+            rng.integers(0, 256, (4, 96), np.uint8))
+        self._both(ch, 2, 8, False, 2)
+        self._both(ch, 2, 8, True, 1)

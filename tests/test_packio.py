@@ -478,7 +478,8 @@ class TestF16RiceFetch:
         out = sharding.fetch_f16_packed(dev, stats)
         np.testing.assert_array_equal(out, rgba)
         assert stats["d2h_bytes"] > 0
-        assert stats["d2h_pack"] in ("rct-rice16-auto", "raw")
+        assert stats["d2h_pack"].startswith("rct-rice16-auto") \
+            or stats["d2h_pack"] == "raw"
 
 
 class TestMtUnpack:
@@ -742,10 +743,14 @@ class TestMedFetch:
         assert out is None
         assert wasted == 3 * 64 * 1 * 2
 
-    def test_auto_picks_min_and_roundtrips(self):
-        # Auto must match the cheaper of the two schemes' byte counts
-        # and still reconstruct exactly, for both variants.
+    def test_auto_picks_min_and_roundtrips(self, monkeypatch):
+        # With no observed-throughput estimates, auto must match the
+        # cheaper of the two schemes' byte counts and still
+        # reconstruct exactly, for both variants.
         import jax
+
+        monkeypatch.setattr(packio, "_BPS", {})
+        monkeypatch.delenv("UHDR_READBACK_SCHEME", raising=False)
         for mk, auto, a, b in (
                 (lambda: self._rgba(2, 160, 840, seed=9, noise=5),
                  packio.fetch_rgba1010102_auto,
@@ -805,3 +810,67 @@ class TestMedFetch:
         kmap = np.full(nseg, 15, np.uint8)
         assert call(kmap, np.zeros(nseg, np.uint8)) == 0
         assert np.all(out == ((0 << 10) | 0xC0000000))
+
+
+class TestCostAwarePick:
+    """The auto scheme pick weighs observed link speed against each
+    scheme's observed host-unpack throughput (packio._auto_pick_scheme):
+    MED's fewer wire bytes only win when the link is slow enough to pay
+    for its strictly-sequential LOCO-I reconstruction."""
+
+    _rgba = TestRctBatchFetch._rgba
+
+    def test_pick_logic(self, monkeypatch):
+        # Plans are opaque tuples to the picker except est == plan[-1].
+        pv = (None, None, None, None, None, 20_000_000)
+        pm = (None, None, None, None, None, 14_000_000)
+        raw = 200_000_000
+
+        monkeypatch.setattr(packio, "_BPS", {})
+        # No estimates yet: bytes-only pick.
+        assert packio._auto_pick_scheme(pv, pm, raw, "v", "m") is True
+        # Single viable plan wins regardless.
+        assert packio._auto_pick_scheme(pv, None, raw, "v", "m") is False
+        assert packio._auto_pick_scheme(None, pm, raw, "v", "m") is True
+
+        # Fast link + slow MED unpack: the 6 MB wire saving costs more
+        # unpack time than it saves on the link -> vertical.
+        monkeypatch.setattr(packio, "_BPS", {
+            "d2h_link": 33e6, "v": 850e6, "m": 300e6})
+        assert packio._auto_pick_scheme(pv, pm, raw, "v", "m") is False
+        # Slow link: wire bytes dominate -> MED.
+        monkeypatch.setattr(packio, "_BPS", {
+            "d2h_link": 8e6, "v": 850e6, "m": 300e6})
+        assert packio._auto_pick_scheme(pv, pm, raw, "v", "m") is True
+
+    def test_env_force_and_last_pick(self, monkeypatch):
+        import jax
+
+        from libultrahdr_dev_tpu.jpeg import native
+        lib = native.get_lib()
+        if lib is None or getattr(lib, "uhdr_med_unpack", None) is None:
+            pytest.skip("native med unpack unavailable")
+        rgba = self._rgba(1, 96, 512, seed=13, noise=4)
+        dev = jax.device_put(rgba)
+        for scheme in ("vert", "med"):
+            monkeypatch.setenv("UHDR_READBACK_SCHEME", scheme)
+            out, _ = packio.fetch_rgba1010102_auto(dev)
+            np.testing.assert_array_equal(out, rgba)
+            assert packio.LAST_PICK == scheme
+
+    def test_throughput_samples_recorded(self, monkeypatch):
+        import jax
+
+        from libultrahdr_dev_tpu.jpeg import native
+        lib = native.get_lib()
+        if lib is None or getattr(lib, "uhdr_rice_unpack", None) is None:
+            pytest.skip("native unpack unavailable")
+        monkeypatch.setattr(packio, "_BPS", {})
+        monkeypatch.delenv("UHDR_READBACK_SCHEME", raising=False)
+        rgba = self._rgba(1, 96, 512, seed=14, noise=4)
+        out, _ = packio.fetch_rgba1010102_auto(jax.device_put(rgba))
+        np.testing.assert_array_equal(out, rgba)
+        assert packio._BPS.get("d2h_link", 0) > 0
+        picked_fn = ("uhdr_med_unpack" if packio.LAST_PICK == "med"
+                     else "uhdr_rice_unpack")
+        assert packio._BPS.get(picked_fn, 0) > 0
