@@ -235,8 +235,12 @@ def main():
         pre = sharding.pack_p010_batch_host(ys, uvs)
         return sharding.upload_p010_batch(ys, uvs, None, pre)
 
+    # Two fetch workers: batch N's d2h drain (a GIL-released link
+    # wait) overlaps batch N-1's native unpack (ctypes, GIL released),
+    # so the fetch stage costs ~max(link, unpack) instead of their
+    # sum. Results are still consumed in order via the futures.
     with ThreadPoolExecutor(1) as pack_pool, \
-            ThreadPoolExecutor(1) as fetch_pool:
+            ThreadPoolExecutor(2) as fetch_pool:
         pk = pack_pool.submit(_pack_and_upload)
         fetch_fut = None
         for r in range(PIPE_ROUNDS):

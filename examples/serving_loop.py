@@ -71,8 +71,11 @@ def main(argv=None):
         return sharding.upload_p010_batch(ys, uvs, None, pre)
 
     t_pix = []
+    # Two fetch workers let batch N's d2h drain (a link wait) overlap
+    # batch N-1's native unpack (ctypes releases the GIL); futures
+    # keep the consumption order.
     with ThreadPoolExecutor(1) as pack_pool, \
-            ThreadPoolExecutor(1) as fetch_pool:
+            ThreadPoolExecutor(2) as fetch_pool:
         pk = pack_pool.submit(pack_and_upload)
         fetch_fut = None
         for r in range(args.rounds):
