@@ -17,11 +17,17 @@ or anywhere on CPU with small frames:
     python examples/serving_loop.py --cpu --height 64 --width 96
 """
 import argparse
+import os
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+# Runnable as a plain script from anywhere: the package lives one
+# directory up from this file.
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def synth_p010(n, h, w, seed=0):
