@@ -459,11 +459,13 @@ class TestEmitModes:
                    min_code_bits=min_code_len_from_key(ds.tables_key),
                    start_bits=sb, dc_carry=True)
 
-    def test_garbage_chunks_identical_truncation(self):
+    @pytest.mark.parametrize("gray,units", [(False, 2), (True, 1)])
+    def test_garbage_chunks_identical_truncation(self, gray, units):
         # Arbitrary bytes: both modes must freeze lanes identically
         # (done-by-bit-budget / step caps) and emit the same output.
-        rng = np.random.default_rng(11)
-        ch = jax.numpy.asarray(
-            rng.integers(0, 256, (4, 96), np.uint8))
-        self._both(ch, 2, 8, False, 2)
-        self._both(ch, 2, 8, True, 1)
+        # One shape/units pair -> one compile, many payloads.
+        for seed in range(8):
+            rng = np.random.default_rng(11 + seed)
+            ch = jax.numpy.asarray(
+                rng.integers(0, 256, (4, 96), np.uint8))
+            self._both(ch, 2, 8, gray, units)
