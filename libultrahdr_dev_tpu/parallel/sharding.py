@@ -647,7 +647,7 @@ def batched_encode_device_stage(p010_y_batch, p010_uv_batch, mesh: Mesh,
 def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
                         gamut: str = "bt2100", hdr_tf: str = "hlg",
                         quality: int = 95, device_input=None,
-                        stats=None) -> list[bytes]:
+                        stats=None, return_handoff: bool = False):
     """Full batched API-0 encode: device compute (entropy coding
     included) in one sharded jit, then host marker/mux assembly. Dims
     must be multiples of 16 and the batch must divide the mesh's batch
@@ -656,7 +656,16 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
     device_input: optional (y_dev, uv_dev) MSB-aligned u16 device
     batches from upload_p010_batch — skips the dense host pack and
     rides the segment-packed upload (pass the host batches too for
-    the rare scatter fallback)."""
+    the rare scatter fallback).
+
+    return_handoff: also return a DeviceEncodedBatch handle (or None
+    on the rare scatter fallback) so a same-process batched_decode can
+    consume the encoder's device-resident entropy streams directly —
+    the TPU analog of the reference's zero-copy in-process encode->
+    decode handoff (/root/reference/lib/src/jpegr.cpp:167-247), which
+    never re-parses its own in-memory buffers either. Saves the whole
+    decode-side h2d upload (~1.8 MB/4K frame) plus the host
+    destuff/boundary-scan prep."""
     from ..container import icc as icc_mod, mux
     from ..jpeg import codec, device_entropy as de
 
@@ -689,12 +698,28 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
             combined, meta = kernel.device_input_variant(*device_input)
         else:
             combined, meta = kernel(yh, yl, uh, ul)
+        meta_np = np.asarray(meta)
         try:
-            return _assemble_rst_outputs(combined, np.asarray(meta), n,
-                                         h, w, quality, gamut, metadata,
-                                         stats=stats)
+            out = _assemble_rst_outputs(combined, meta_np, n, h, w,
+                                        quality, gamut, metadata,
+                                        stats=stats)
         except OverflowError:
             continue
+        if not return_handoff:
+            return out
+        nc = -(-((w // 16) * (h // 16)) // RST_INTERVAL)
+        ncg = -(-((-(-(h // 4) // 8)) * (-(-(w // 4) // 8)))
+                // RST_INTERVAL)
+        gm_totals = meta_np[:, 2].astype(np.int64)
+        handoff = DeviceEncodedBatch(
+            combined=combined,
+            gm_cbits=meta_np[:, 4:4 + ncg].astype(np.int64),
+            base_cbits=meta_np[:, 4 + ncg:4 + ncg + nc].astype(np.int64),
+            base_off=((gm_totals + _COMPACT_ALIGN - 1)
+                      // _COMPACT_ALIGN * _COMPACT_ALIGN),
+            width=w, height=h, quality=int(quality),
+            metadata=metadata)
+        return out, handoff
 
     # Rare dense-content fallback: exact scatter-based assembly.
     gran = 64 * 1024
@@ -731,7 +756,168 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
         gmap = (gm_hdr + de._finalize(gm_prefixes[i], gm_bits[i])
                 + b"\xff\xd9")
         out.append(mux.append_gainmap(base, gmap, metadata))
-    return out
+    # The scatter fallback has no RST chunking, so no device-resident
+    # stream the parallel decode kernel could consume.
+    return (out, None) if return_handoff else out
+
+
+class DeviceEncodedBatch:
+    """Zero-reupload handoff from batched API-0 encode to batched
+    decode: the encoder's compacted [gainmap | base] stream words stay
+    device-resident (batch-sharded) and the decoder gathers its lane
+    windows straight from them — no JFIF re-parse, no host destuff, no
+    h2d stream upload. The TPU analog of the reference's in-process
+    zero-copy encode->decode loop (jpegr.cpp:167-247). The host-side
+    fields are the per-frame chunk geometry the encode already fetched
+    for blob assembly (meta rows), so building this handle costs no
+    extra link traffic."""
+
+    __slots__ = ("combined", "gm_cbits", "base_cbits", "base_off",
+                 "width", "height", "quality", "metadata")
+
+    def __init__(self, combined, gm_cbits, base_cbits, base_off,
+                 width, height, quality, metadata):
+        self.combined = combined      # (n, words) u32, batch-sharded
+        self.gm_cbits = gm_cbits      # (n, ncg) per-chunk bit counts
+        self.base_cbits = base_cbits  # (n, ncb)
+        self.base_off = base_off      # (n,) base word offsets
+        self.width = width
+        self.height = height
+        self.quality = quality
+        self.metadata = metadata
+
+
+def batched_decode_from_handoff(handoff: DeviceEncodedBatch,
+                                output_format: str,
+                                max_display_boost: float, mesh: Mesh,
+                                use_luts: bool = False, stats=None):
+    """Batched decode that consumes a DeviceEncodedBatch in place of
+    JFIF blobs: bitwise-identical output to batched_decode on the
+    assembled blobs (tests/test_parallel.py::TestDeviceHandoffDecode),
+    but the only h2d traffic is a ~4 B/lane starts/scalars row. The
+    quant/Huffman tables are the encoder's own (standard Annex-K
+    scaled to the encode quality), so no stream parsing is needed."""
+    from ..jpeg.device_decode import _bucket_len, serialize_tables
+
+    n, nwords = (int(s) for s in handoff.combined.shape)
+    w, h = handoff.width, handoff.height
+    gw, gh = w // 4, h // 4
+    gmx, gmy = -(-gw // 8), -(-gh // 8)
+    ncb = handoff.base_cbits.shape[1]
+    ncg = handoff.gm_cbits.shape[1]
+
+    # Lane byte offsets inside each section: chunks are word-aligned
+    # in the compacted stream (device_entropy._rst_assemble 1-fills to
+    # the 32-bit boundary), so the alignment fill doubles as the
+    # decoder's never-consumed lookahead and no compaction is needed.
+    bcw = (handoff.base_cbits + 31) >> 5
+    gcw = (handoff.gm_cbits + 31) >> 5
+    bstarts = 4 * (np.cumsum(bcw, axis=1) - bcw)
+    gstarts = 4 * (np.cumsum(gcw, axis=1) - gcw)
+    win_b = _bucket_len(4 * int(bcw.max()))
+    win_g = _bucket_len(4 * int(gcw.max()))
+    cap_b = _bucket_len(max(4 * int(bcw.sum(1).max()), 4)) // 4
+    cap_g = _bucket_len(max(4 * int(gcw.sum(1).max()), 4)) // 4
+    base_dlen = _bucket_len(4 * cap_b + win_b)
+    gm_dlen = _bucket_len(4 * cap_g + win_g)
+
+    qkey = np.stack([
+        tables.scale_quant_table(tables.STD_LUMINANCE_QUANT,
+                                 handoff.quality),
+        tables.scale_quant_table(tables.STD_CHROMINANCE_QUANT,
+                                 handoff.quality),
+        tables.scale_quant_table(tables.STD_LUMINANCE_QUANT,
+                                 MAP_COMPRESS_QUALITY),
+    ]).astype(np.int32).tobytes()
+    base_tkey = serialize_tables(
+        (tables.DC_LUMA_BITS, tables.DC_LUMA_VALS),
+        (tables.AC_LUMA_BITS, tables.AC_LUMA_VALS),
+        (tables.DC_CHROMA_BITS, tables.DC_CHROMA_VALS),
+        (tables.AC_CHROMA_BITS, tables.AC_CHROMA_VALS))
+    gm_tkey = serialize_tables(
+        (tables.DC_LUMA_BITS, tables.DC_LUMA_VALS),
+        (tables.AC_LUMA_BITS, tables.AC_LUMA_VALS))
+
+    batch_kernel = _handoff_decode_kernel(
+        mesh, output_format, (ncb, win_b), (ncg, win_g), w, h,
+        gmx, gmy, gw, gh, bool(use_luts), qkey, base_tkey, gm_tkey,
+        base_dlen=base_dlen, gm_dlen=gm_dlen, cap_b=cap_b,
+        cap_g=cap_g, nwords=nwords)
+
+    # Round-trip the metadata through the XMP writer/parser so the
+    # apply scalars are bit-identical to what a decode of the
+    # assembled blob computes (XMP serializes boosts as decimal text;
+    # skipping the round trip leaves last-ulp float deltas that flip
+    # the odd rounding-boundary pixel).
+    from ..container import xmp as _xmp
+
+    md_rt = _xmp.get_metadata_from_xmp(
+        _xmp.generate_xmp_for_secondary_image(handoff.metadata).encode())
+    sc = _decode_scalars(md_rt, max_display_boost)
+    aux = np.empty((n, 5 + ncb + ncg), np.int32)
+    aux[:, :4] = np.broadcast_to(sc.view(np.int32), (n, 4))
+    aux[:, 4] = handoff.base_off.astype(np.int32)
+    aux[:, 5:5 + ncb] = bstarts.astype(np.int32)
+    aux[:, 5 + ncb:] = gstarts.astype(np.int32)
+    if stats is not None:
+        stats["h2d_bytes"] = stats.get("h2d_bytes", 0) + aux.nbytes
+        stats["h2d_pack"] = "device-handoff"
+    return batch_kernel(handoff.combined, aux)
+
+
+@lru_cache(maxsize=None)
+def _handoff_decode_kernel(mesh: Mesh, output_format: str, base_shape,
+                           gm_shape, w: int, h: int, gmx: int, gmy: int,
+                           gw: int, gh: int, use_luts: bool,
+                           qkey: bytes, base_tkey: bytes,
+                           gm_tkey: bytes, *, base_dlen: int,
+                           gm_dlen: int, cap_b: int, cap_g: int,
+                           nwords: int):
+    """Cached vmapped+sharded decode over the encoder's device-resident
+    compacted stream words: per frame, slice the base section at its
+    dynamic word offset, expand words to the JPEG byte order (the u32
+    packing of device_entropy._assemble_bits is big-endian), and feed
+    the same fused decode kernel the blob path compiles."""
+    from ..jpegr import _fused_decode_kernel_dev
+
+    kernel = _fused_decode_kernel_dev(
+        output_format, base_shape, gm_shape, RST_INTERVAL, RST_INTERVAL,
+        w, h, w // 16, h // 16, gmx, gmy, gw, gh, w // gw,
+        use_luts, qkey, base_tkey, gm_tkey, False, False,
+        base_dlen=base_dlen, gm_dlen=gm_dlen)
+    spec = _batch_sharding(mesh)
+    ncb = base_shape[0]
+    cap_gc = min(cap_g, nwords)
+
+    def _be_bytes(words_u32, outlen):
+        shifts = (jnp.uint32(24)
+                  - jnp.arange(4, dtype=jnp.uint32) * 8)[None, :]
+        b = ((words_u32[:, None] >> shifts) & jnp.uint32(0xFF)) \
+            .astype(jnp.uint8).reshape(-1)
+        return jnp.concatenate(
+            [b, jnp.zeros(outlen - b.shape[0], jnp.uint8)])
+
+    @partial(jax.jit, in_shardings=(spec, spec), out_shardings=spec)
+    def batch_kernel(words, aux):
+        def one(wrow, arow):
+            sc = jax.lax.bitcast_convert_type(arow[:4], jnp.float32)
+            starts = jnp.concatenate([arow[5:5 + ncb],
+                                      arow[5 + ncb:]])
+            starts2 = jnp.stack([starts, jnp.zeros_like(starts)])
+            # Pad so the dynamic base slice never clamps (base_off +
+            # cap_b can pass the static capacity by bucket rounding).
+            wp = jnp.concatenate(
+                [wrow, jnp.zeros(cap_b, jnp.uint32)])
+            bw = jax.lax.dynamic_slice(wp, (arow[4],), (cap_b,))
+            combined_u8 = jnp.concatenate(
+                [_be_bytes(bw, base_dlen),
+                 _be_bytes(wrow[:cap_gc], gm_dlen)])
+            return kernel(combined_u8, sc, starts2)
+
+        return jax.vmap(one)(words, aux)
+
+    return batch_kernel
+
 
 def _batched_decode_device(blobs, output_format: str,
                            max_display_boost: float, mesh: Mesh,
