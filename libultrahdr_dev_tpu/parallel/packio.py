@@ -880,6 +880,16 @@ def _bps_update(key, nbytes, secs, alpha=0.3):
 #: Last auto-pick decision ("med" | "vert"), for stats/debugging.
 LAST_PICK = None
 
+#: Per-stage timing of the most recent Rice fetch (ms) — the
+#: observability VERDICT r4 asked for: without it, a slow fetch stage
+#: is unattributable between link weather, device pack compute, host
+#: plan work and the native unpack. Keys: pass1_dispatch, map_fetch,
+#: plan, pass2_blob (one number unless UHDR_FETCH_SYNC_STAGES=1 splits
+#: it into pass2_sync + blob_fetch at the cost of one extra device
+#: sync), unpack, total; plus roundtrips (host<->device transfer
+#: count) and blob_MBps (effective link speed of the big fetch).
+LAST_FETCH_STAGES: dict = {}
+
 
 def _auto_pick_scheme(plan_v, plan_m, raw_bytes, vert_fn, med_fn):
     """True = pack MED, False = vertical. Once both the link and each
@@ -909,6 +919,10 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
     one dispatch and packs whichever plans fewer bytes (requires the
     native MED unpacker — its numpy fallback is a per-pixel loop).
     Returns (host array, d2h_bytes) or (None, wasted_bytes)."""
+    stages = {"roundtrips": 0}
+    global LAST_FETCH_STAGES
+    LAST_FETCH_STAGES = stages
+    t_start = time.perf_counter()
     shape = tuple(int(v) for v in out_dev.shape)
     if bits == 16:
         if len(shape) != 4 or shape[-1] != 4:
@@ -936,8 +950,14 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
             if env in ("med", "vert"):   # forced: skip the dual pass-1
                 med = env == "med"
     if med == "auto":
+        t0 = time.perf_counter()
         zs_v, zs_m, kuw4 = _pass1_both_fn((n, h, w), bits)(out_dev)
+        t1 = time.perf_counter()
         maps4 = np.asarray(kuw4)
+        t2 = time.perf_counter()
+        stages["pass1_dispatch"] = round((t1 - t0) * 1e3, 1)
+        stages["map_fetch"] = round((t2 - t1) * 1e3, 1)
+        stages["roundtrips"] += 1
         nseg_total = maps4.shape[1]
         if nseg_total >= (1 << _IDX_BITS):
             return None, maps4.nbytes
@@ -959,8 +979,14 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
         plan = plan_m if use_med else plan_v
         maps_nbytes = maps4.nbytes
     else:
+        t0 = time.perf_counter()
         zs, kuw_dev = _pass1_widths_fn((n, h, w), bits, med)(out_dev)
+        t1 = time.perf_counter()
         maps = np.asarray(kuw_dev)
+        t2 = time.perf_counter()
+        stages["pass1_dispatch"] = round((t1 - t0) * 1e3, 1)
+        stages["map_fetch"] = round((t2 - t1) * 1e3, 1)
+        stages["roundtrips"] += 1
         kmap, uwmap = maps[0], maps[1]
         nseg_total = kmap.size
         if nseg_total >= (1 << _IDX_BITS):
@@ -984,18 +1010,41 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
     blob_bytes = 0
     try:
         t0 = time.perf_counter()
-        blob = fetch(_rice_devpack_fn(nseg_total, rem_npads, un_npads,
-                                      kset, zero)(zs, kuw_dev, offs))
+        stages["plan"] = round((t0 - t2) * 1e3, 1)
+        blob_dev = _rice_devpack_fn(nseg_total, rem_npads, un_npads,
+                                    kset, zero)(zs, kuw_dev, offs)
+        if os.environ.get("UHDR_FETCH_SYNC_STAGES") == "1":
+            # Opt-in split of pass-2 device time vs the blob transfer
+            # (adds one device sync / link round trip, so it is a
+            # diagnostic mode, not the production path).
+            blob_dev.block_until_ready()
+            ts = time.perf_counter()
+            stages["pass2_sync"] = round((ts - t0) * 1e3, 1)
+            stages["roundtrips"] += 1
+        blob = fetch(blob_dev)
+        tf = time.perf_counter()
         blob_bytes = blob.nbytes
+        stages["pass2_blob"] = round((tf - t0) * 1e3, 1)
+        if "pass2_sync" in stages:
+            stages["blob_fetch"] = round(
+                stages["pass2_blob"] - stages["pass2_sync"], 1)
+        stages["roundtrips"] += 1
+        stages["blob_MBps"] = round(
+            blob_bytes / 2**20 / max(tf - t0, 1e-9), 1)
         # Link-speed sample for the cost-aware pick (includes the
         # pass-2 device time, so it under-estimates the link — which
         # only biases the pick toward fewer wire bytes).
-        _bps_update("d2h_link", blob_bytes, time.perf_counter() - t0)
+        _bps_update("d2h_link", blob_bytes, tf - t0)
+        tu = time.perf_counter()
         out = _host_unpack_rice_core(
             blob, kmap, uwmap, rem_counts, un_counts, rem_npads,
             un_npads, n, h, w, kset=kset, zero_code=zero,
             native_fn=native_fn, out_shape=out_shape,
             out_dtype=out_dtype, tail=tail)
+        tend = time.perf_counter()
+        stages["unpack"] = round((tend - tu) * 1e3, 1)
+        stages["total"] = round((tend - t_start) * 1e3, 1)
+        stages["scheme"] = "med" if med else "vert"
     except Exception:
         # A pass-2 / unpack failure must not take down a serving
         # loop: report every byte that already crossed the link (map,

@@ -113,9 +113,17 @@ def upload_p010_batch(p010_y_batch, p010_uv_batch, stats=None,
 
     pre = prepacked if prepacked is not None else \
         pack_p010_batch_host(p010_y_batch, p010_uv_batch)
+    import os as _os
+    import time as _time
+
+    t_up0 = _time.perf_counter()
     if pre[0] == "seg":
         _, packed, blob, n, h, w = pre
         blob_dev = jax.device_put(blob)
+        if _os.environ.get("UHDR_FETCH_SYNC_STAGES") == "1":
+            # Diagnostic mode: sync so h2d_ms is the true transfer
+            # time, not just the enqueue (costs one extra round trip).
+            blob_dev.block_until_ready()
         bigdev = packio.unpack_plane_device(packed, blob_dev)
         ydev, uvdev = _split_p010_stack_fn(n, h, w)(bigdev)
         nbytes = blob.nbytes
@@ -135,6 +143,8 @@ def upload_p010_batch(p010_y_batch, p010_uv_batch, stats=None,
     if stats is not None:
         stats["h2d_bytes"] = stats.get("h2d_bytes", 0) + nbytes
         stats["h2d_pack"] = mode
+        stats["h2d_ms"] = stats.get("h2d_ms", 0.0) + round(
+            (_time.perf_counter() - t_up0) * 1e3, 1)
     return ydev, uvdev, nbytes
 
 
@@ -204,6 +214,7 @@ def fetch_1010102_packed(out_dev, stats=None):
         stats["d2h_bytes"] = stats.get("d2h_bytes", 0) \
             + d2h_bytes + wasted
         stats["d2h_pack"] = mode
+        stats["d2h_stages"] = dict(packio.LAST_FETCH_STAGES)
     return out
 
 
@@ -252,6 +263,7 @@ def fetch_f16_packed(out_dev, stats=None):
         stats["d2h_bytes"] = stats.get("d2h_bytes", 0) \
             + d2h_bytes + wasted
         stats["d2h_pack"] = mode
+        stats["d2h_stages"] = dict(packio.LAST_FETCH_STAGES)
     return out
 
 
