@@ -738,16 +738,18 @@ def _cumsum_lanes_i32(x):
     return x
 
 
-@lru_cache(maxsize=None)
-def _rice_devpack_fn(nseg_total: int, rem_npads: tuple, un_npads: tuple,
-                     kset: tuple = _RICE_KS,
-                     zero_code: int = _RICE_ZERO):
-    """Jitted Rice pass 2: stable-sort segments by (k rank, index) and
+def _rice_pack_body(zs, kuw, offs, *, nseg_total: int,
+                    rem_npads: tuple, un_npads: tuple, kset: tuple,
+                    zero_code: int):
+    """Traceable Rice pack: stable-sort segments by (k rank, index) and
     by (unary class rank, index), then pack each remainder bucket in
     the k-bit slot layout and each unary bucket as terminator-position
     bitmaps. Rows past a bucket's true count hold other segments'
     data; the host never reads them. Parametric over the k-width set
-    (0..9 for 10-bit RCT samples, 0..15 for the F16 variant)."""
+    (0..9 for 10-bit RCT samples, 0..15 for the F16 variant). Shared
+    verbatim by the two-phase pass 2 (_rice_devpack_fn) and the fused
+    single-fetch kernel (_fused_fetch_fn) so their blobs are
+    bit-identical and one host unpack serves both."""
     import jax
     import jax.numpy as jnp
 
@@ -757,68 +759,290 @@ def _rice_devpack_fn(nseg_total: int, rem_npads: tuple, un_npads: tuple,
     ucls_arr = np.asarray(_RICE_UCLS, np.int32)
     kmax = max(kset)
 
+    flat = zs.astype(jnp.int32)
+    kc = kuw[0].astype(jnp.int32)
+    uw = kuw[1]
+    rem_offs = offs[:len(kset)]
+    un_offs = offs[len(kset):]
+    idxv = jnp.arange(nseg_total, dtype=jnp.int32)
+
+    # Remainder order: rank = k (zero segments sort last).
+    rrank = jnp.where(kc == zero_code, len(kset), kc)
+    rkey = (rrank << _IDX_BITS) | idxv
+    sidx_rem = jnp.sort(rkey) & ((1 << _IDX_BITS) - 1)
+    sidx_rem = jnp.concatenate([sidx_rem,
+                                jnp.zeros(maxpad, jnp.int32)])
+
+    # Unary order: rank = word-count class (zero segments last).
+    uws = uw.astype(jnp.int32)
+    urank = jnp.searchsorted(jnp.asarray(ucls_arr), uws)
+    urank = jnp.where(kc == zero_code, ncls, urank)
+    ukey = (urank << _IDX_BITS) | idxv
+    sidx_un = jnp.sort(ukey) & ((1 << _IDX_BITS) - 1)
+    sidx_un = jnp.concatenate([sidx_un,
+                               jnp.zeros(maxpad, jnp.int32)])
+
+    # Unary terminator positions (shared by every class bucket):
+    # pos_i = cumsum(q + 1) - 1, strictly increasing, < 32*UCAP.
+    q = flat >> jnp.minimum(kc, kmax)[:, None]
+    pos = _cumsum_lanes_i32(q + 1) - 1
+
+    out = []
+    for j, k in enumerate(kset):
+        npad = rem_npads[j]
+        if k == 0:
+            continue                  # no remainder bits
+        idx = jax.lax.dynamic_slice(sidx_rem, (rem_offs[j],),
+                                    (npad,))
+        seg = jnp.take(flat, idx, axis=0).astype(jnp.uint32) \
+            & jnp.uint32((1 << k) - 1)
+        ks = 32 // k
+        nw = _wps(k, RL)
+        seg = jnp.pad(seg, ((0, 0), (0, ks * nw - RL)))
+        parts = seg.reshape(npad, ks, nw)
+        shifts = (jnp.arange(ks, dtype=jnp.uint32) * k)[None, :,
+                                                        None]
+        out.append((parts << shifts).sum(axis=1,
+                                         dtype=jnp.uint32).ravel())
+    for c in range(ncls):
+        npad = un_npads[c]
+        wc = _RICE_UCLS[c]
+        idx = jax.lax.dynamic_slice(sidx_un, (un_offs[c],), (npad,))
+        p = jnp.take(pos, idx, axis=0)
+        pw = p >> 5
+        pb = (jnp.uint32(1) << (p & 31).astype(jnp.uint32))
+        words = []
+        for wi in range(wc):
+            words.append(jnp.sum(
+                jnp.where(pw == wi, pb, jnp.uint32(0)), axis=1,
+                dtype=jnp.uint32))
+        out.append(jnp.stack(words, axis=1).ravel())
+    return jnp.concatenate(out)
+
+
+
+@lru_cache(maxsize=None)
+def _rice_devpack_fn(nseg_total: int, rem_npads: tuple, un_npads: tuple,
+                     kset: tuple = _RICE_KS,
+                     zero_code: int = _RICE_ZERO):
+    """Jitted Rice pass 2 of the two-phase fetch: the shared pack body
+    over host-planned bucket paddings (see _rice_pack_body)."""
+    import jax
+
     def f(zs, kuw, offs):
-        flat = zs.astype(jnp.int32)
-        kc = kuw[0].astype(jnp.int32)
-        uw = kuw[1]
-        rem_offs = offs[:len(kset)]
-        un_offs = offs[len(kset):]
-        idxv = jnp.arange(nseg_total, dtype=jnp.int32)
-
-        # Remainder order: rank = k (zero segments sort last).
-        rrank = jnp.where(kc == zero_code, len(kset), kc)
-        rkey = (rrank << _IDX_BITS) | idxv
-        sidx_rem = jnp.sort(rkey) & ((1 << _IDX_BITS) - 1)
-        sidx_rem = jnp.concatenate([sidx_rem,
-                                    jnp.zeros(maxpad, jnp.int32)])
-
-        # Unary order: rank = word-count class (zero segments last).
-        uws = uw.astype(jnp.int32)
-        urank = jnp.searchsorted(jnp.asarray(ucls_arr), uws)
-        urank = jnp.where(kc == zero_code, ncls, urank)
-        ukey = (urank << _IDX_BITS) | idxv
-        sidx_un = jnp.sort(ukey) & ((1 << _IDX_BITS) - 1)
-        sidx_un = jnp.concatenate([sidx_un,
-                                   jnp.zeros(maxpad, jnp.int32)])
-
-        # Unary terminator positions (shared by every class bucket):
-        # pos_i = cumsum(q + 1) - 1, strictly increasing, < 32*UCAP.
-        q = flat >> jnp.minimum(kc, kmax)[:, None]
-        pos = _cumsum_lanes_i32(q + 1) - 1
-
-        out = []
-        for j, k in enumerate(kset):
-            npad = rem_npads[j]
-            if k == 0:
-                continue                  # no remainder bits
-            idx = jax.lax.dynamic_slice(sidx_rem, (rem_offs[j],),
-                                        (npad,))
-            seg = jnp.take(flat, idx, axis=0).astype(jnp.uint32) \
-                & jnp.uint32((1 << k) - 1)
-            ks = 32 // k
-            nw = _wps(k, RL)
-            seg = jnp.pad(seg, ((0, 0), (0, ks * nw - RL)))
-            parts = seg.reshape(npad, ks, nw)
-            shifts = (jnp.arange(ks, dtype=jnp.uint32) * k)[None, :,
-                                                            None]
-            out.append((parts << shifts).sum(axis=1,
-                                             dtype=jnp.uint32).ravel())
-        for c in range(ncls):
-            npad = un_npads[c]
-            wc = _RICE_UCLS[c]
-            idx = jax.lax.dynamic_slice(sidx_un, (un_offs[c],), (npad,))
-            p = jnp.take(pos, idx, axis=0)
-            pw = p >> 5
-            pb = (jnp.uint32(1) << (p & 31).astype(jnp.uint32))
-            words = []
-            for wi in range(wc):
-                words.append(jnp.sum(
-                    jnp.where(pw == wi, pb, jnp.uint32(0)), axis=1,
-                    dtype=jnp.uint32))
-            out.append(jnp.stack(words, axis=1).ravel())
-        return jnp.concatenate(out)
+        return _rice_pack_body(zs, kuw, offs, nseg_total=nseg_total,
+                               rem_npads=rem_npads, un_npads=un_npads,
+                               kset=kset, zero_code=zero_code)
 
     return jax.jit(f)
+
+
+# ---------------------------------------------------------------------------
+# Fused single-fetch Rice readback.
+#
+# The two-phase fetch costs two full host<->device round trips per
+# batch (pass-1 dispatch -> map d2h -> host plan -> pass-2 dispatch ->
+# blob d2h); each round trip carries 30-150 ms of fixed latency on the
+# relay link, and in a steady-state serving loop the content statistics
+# barely move between batches. This path speculates the bucket plan:
+# it reuses the previous batch's pow2-padded bucket sizes (static
+# shapes for XLA), derives the bucket ORDER on device (bincount +
+# cumsum of the current batch's width codes), packs with the shared
+# _rice_pack_body, and appends [fit flag, scheme, counts, per-segment
+# kuw map] to the SAME u32 buffer — so one dispatch and ONE d2h fetch
+# complete the whole readback. If the current counts overflow the
+# speculated paddings (content shift), the fit flag comes back 0 and
+# the caller repacks via the exact two-phase path and widens the
+# cached plan. Disable with UHDR_FUSED_FETCH=0.
+# ---------------------------------------------------------------------------
+
+#: (shape, bits) -> {"uses": int, "plans": {med_bool: plan | None}}
+#: where plan = {"rem_npads", "un_npads", "est"} and None marks a
+#: scheme planned-and-found-incompressible. The auto two-phase pass
+#: seeds BOTH schemes (its dual pass 1 plans both anyway), so the
+#: fused single-roundtrip path can re-pick the scheme per batch from
+#: the cost model instead of pinning whatever the seeding batch chose.
+#: Process-wide like the _BPS EWMAs.
+_PLAN_CACHE: dict = {}
+
+#: Re-run the exact dual-scheme two-phase plan every N fused fetches
+#: so a slow content drift can still flip the MED/vert pick and shrink
+#: over-wide paddings.
+_PLAN_REFRESH = 64
+
+
+def _fused_head_len(kset) -> int:
+    return 2 + (len(kset) + 1) + (len(_RICE_UCLS) + 1)
+
+
+def _fused_blob_words(rem_npads, un_npads, kset) -> int:
+    return (sum(rem_npads[j] * _wps(k, RL)
+                for j, k in enumerate(kset) if k)
+            + sum(un_npads[c] * _RICE_UCLS[c]
+                  for c in range(len(_RICE_UCLS))))
+
+
+@lru_cache(maxsize=None)
+def _fused_fetch_fn(shape, bits: int, med: bool, rem_npads: tuple,
+                    un_npads: tuple):
+    """Jitted fused readback: residuals -> per-segment Rice stats ->
+    device-side bucket plan (counts/offsets) -> shared pack body ->
+    one u32 buffer [blob | fit,scheme,counts | kuw bytes]."""
+    import jax
+    import jax.numpy as jnp
+
+    n, h, w = shape
+    wp = -(-w // RL) * RL
+    rows = 3 * n * h
+    kset = _RICE_KS if bits == 10 else _RICE16_KS
+    zero = _RICE_ZERO if bits == 10 else _RICE16_ZERO
+    ncls = len(_RICE_UCLS)
+    nseg_total = rows * (wp // RL)
+    residuals = _med_deltas_dev if med else _vert_deltas_dev
+    ucls_arr = np.asarray(_RICE_UCLS, np.int32)
+
+    def f(x):
+        big = _decor_planes_dev(x, n, h, w, wp, bits)
+        z = residuals(big, rows, bits)
+        zs = z.reshape(nseg_total, RL)
+        kuw = _rice_seg_stats(zs, kset, zero)
+        kc = kuw[0].astype(jnp.int32)
+        uwv = kuw[1].astype(jnp.int32)
+        nonzero = kc != zero
+        rem_counts = jnp.bincount(
+            jnp.where(nonzero, kc, len(kset)), length=len(kset) + 1)
+        ucls = jnp.searchsorted(jnp.asarray(ucls_arr), uwv)
+        un_counts = jnp.bincount(
+            jnp.where(nonzero, ucls, ncls), length=ncls + 1)
+        fit = (jnp.all(rem_counts[:len(kset)]
+                       <= jnp.asarray(rem_npads, rem_counts.dtype))
+               & jnp.all(un_counts[:ncls]
+                         <= jnp.asarray(un_npads, un_counts.dtype)))
+        zero32 = jnp.zeros(1, jnp.int32)
+        rem_offs = jnp.concatenate([zero32, jnp.cumsum(
+            rem_counts[:len(kset) - 1].astype(jnp.int32))])
+        un_offs = jnp.concatenate([zero32, jnp.cumsum(
+            un_counts[:ncls - 1].astype(jnp.int32))])
+        offs = jnp.concatenate([rem_offs, un_offs])
+        blob = _rice_pack_body(zs, kuw, offs, nseg_total=nseg_total,
+                               rem_npads=rem_npads, un_npads=un_npads,
+                               kset=kset, zero_code=zero)
+        head = jnp.concatenate([
+            fit.astype(jnp.uint32).reshape(1),
+            jnp.full(1, 1 if med else 0, jnp.uint32),
+            rem_counts.astype(jnp.uint32),
+            un_counts.astype(jnp.uint32)])
+        kuw_flat = kuw.reshape(-1)
+        padk = (-kuw_flat.shape[0]) % 4
+        if padk:
+            kuw_flat = jnp.concatenate(
+                [kuw_flat, jnp.zeros(padk, jnp.uint8)])
+        # LE byte packing both ways on this platform (same contract as
+        # sharding's fused h2d rows: host .view, device bitcast).
+        kuw_words = jax.lax.bitcast_convert_type(
+            kuw_flat.reshape(-1, 4), jnp.uint32)
+        return jnp.concatenate([blob, head, kuw_words])
+
+    return jax.jit(f)
+
+
+def _try_fused_fetch(out_dev, fetch, *, n, h, w, bits, ent, sel,
+                     stages, raw_bytes, kset, zero, native_fn_med,
+                     native_fn_vert, tails, out_shape, out_dtype):
+    """Fused-path driver. Returns (out, d2h_bytes) on success,
+    (None, wasted_bytes) for incompressible content, or the sentinel
+    string "two_phase" when the caller should fall through to the
+    exact two-phase path (periodic plan refresh)."""
+    ent["uses"] += 1
+    if ent["uses"] % _PLAN_REFRESH == 0:
+        return "two_phase"
+    med = sel
+    pl = ent["plans"][sel]
+    rem_npads, un_npads = pl["rem_npads"], pl["un_npads"]
+    wp = -(-w // RL) * RL
+    nseg_total = 3 * n * h * (wp // RL)
+    blob_words = _fused_blob_words(rem_npads, un_npads, kset)
+    head_len = _fused_head_len(kset)
+
+    t0 = time.perf_counter()
+    dev = _fused_fetch_fn((n, h, w), bits, med, rem_npads,
+                          un_npads)(out_dev)
+    t1 = time.perf_counter()
+    if os.environ.get("UHDR_FETCH_SYNC_STAGES") == "1":
+        dev.block_until_ready()
+        stages["fused_compute"] = round(
+            (time.perf_counter() - t1) * 1e3, 1)
+        stages["roundtrips"] += 1
+    combined = np.ascontiguousarray(fetch(dev))
+    t2 = time.perf_counter()
+    stages["pass1_dispatch"] = round((t1 - t0) * 1e3, 1)
+    stages["fused_fetch"] = round((t2 - t1) * 1e3, 1)
+    stages["blob_MBps"] = round(
+        combined.nbytes / 2**20 / max(t2 - t1, 1e-9), 1)
+    stages["roundtrips"] += 1
+    stages["mode"] = "fused"
+    _bps_update("d2h_link", combined.nbytes, t2 - t1)
+
+    head = combined[blob_words:blob_words + head_len]
+    fit = bool(head[0])
+    rem_counts = head[2:2 + len(kset) + 1].astype(np.int64)
+    un_counts = head[2 + len(kset) + 1:head_len].astype(np.int64)
+    kuw_bytes = combined[blob_words + head_len:].view(np.uint8)
+    kmap = kuw_bytes[:nseg_total]
+    uwmap = kuw_bytes[nseg_total:2 * nseg_total]
+    native_fn = native_fn_med if med else native_fn_vert
+    tail = tails[0 if med else 1]
+
+    if fit:
+        tu = time.perf_counter()
+        out = _host_unpack_rice_core(
+            combined[:blob_words], kmap, uwmap, rem_counts, un_counts,
+            rem_npads, un_npads, n, h, w, kset=kset, zero_code=zero,
+            native_fn=native_fn, out_shape=out_shape,
+            out_dtype=out_dtype, tail=tail)
+        stages["unpack"] = round((time.perf_counter() - tu) * 1e3, 1)
+        stages["scheme"] = "med" if med else "vert"
+        global LAST_PICK
+        LAST_PICK = stages["scheme"]
+        return out, combined.nbytes
+
+    # Speculation miss: the content shifted past the cached paddings.
+    # Rebuild the exact plan from the map we already fetched, redo
+    # pass 1 + 2 (one extra dispatch + one extra fetch), and widen the
+    # cached plan so the next batch fits again.
+    from ..utils import counters
+
+    counters.bump("fused_fetch_replan")
+    plan = _rice_host_plan(kmap, uwmap, kset, zero, raw_bytes)
+    if plan is None:        # turned incompressible: raw fetch wins
+        ent["plans"][sel] = None
+        if all(v is None for v in ent["plans"].values()):
+            _PLAN_CACHE.pop(((n, h, w), bits), None)
+        return None, combined.nbytes
+    rem_counts, un_counts, rem_npads2, un_npads2, offs, est2 = plan
+    zs, kuw_dev = _pass1_widths_fn((n, h, w), bits, med)(out_dev)
+    blob = fetch(_rice_devpack_fn(nseg_total, rem_npads2, un_npads2,
+                                  kset, zero)(zs, kuw_dev, offs))
+    stages["roundtrips"] += 1
+    stages["replan"] = 1
+    out = _host_unpack_rice_core(
+        blob, kmap, uwmap, rem_counts, un_counts, rem_npads2,
+        un_npads2, n, h, w, kset=kset, zero_code=zero,
+        native_fn=native_fn, out_shape=out_shape, out_dtype=out_dtype,
+        tail=tail)
+    new_rem = tuple(max(a, b) for a, b in zip(rem_npads, rem_npads2))
+    new_un = tuple(max(a, b) for a, b in zip(un_npads, un_npads2))
+    widened = (_fused_blob_words(new_rem, new_un, kset) * 4
+               + 2 * nseg_total)
+    if widened <= 0.85 * raw_bytes:
+        ent["plans"][sel] = {"rem_npads": new_rem, "un_npads": new_un,
+                             "est": est2}
+    else:
+        ent["plans"][sel] = None
+        if all(v is None for v in ent["plans"].values()):
+            _PLAN_CACHE.pop(((n, h, w), bits), None)
+    LAST_PICK = "med" if med else "vert"
+    return out, combined.nbytes + blob.nbytes
 
 
 def _rice_host_plan(kmap, uwmap, kset, zero_code, raw_bytes):
@@ -861,11 +1085,14 @@ def _rice_host_plan(kmap, uwmap, kset, zero_code, raw_bytes):
 
 # Observed-throughput EWMAs feeding the cost-aware scheme pick
 # (bytes/second): "d2h_link" from the blob fetches, and per-native-fn
-# host unpack speed in RAW OUTPUT bytes/s. Process-wide; measured on
-# this host (1-core: MED unpack ~414/299 MB/s of raw vs vertical-Rice
-# ~872/835 for 10/16-bit — MED's LOCO-I reconstruction is the
-# strictly-sequential inner loop), so fewer wire bytes does not always
-# mean a faster fetch stage.
+# host unpack speed in RAW OUTPUT bytes/s. Process-wide. IMPORTANT:
+# unpack throughput is strongly size-dependent — cache-resident
+# microbench shapes measure several hundred MB/s, but at production
+# 4K-batch sizes this 1-core host sustains ~20-45 MB/s for MED's
+# strictly-sequential LOCO-I reconstruction vs much higher for the
+# vertical scheme (tools/bench_unpack.py measures it) — so the pick
+# must use EWMAs observed at the serving shape, and _auto_pick_scheme
+# explores the not-yet-measured scheme once before trusting the model.
 _BPS: dict = {}
 
 
@@ -895,16 +1122,25 @@ def _auto_pick_scheme(plan_v, plan_m, raw_bytes, vert_fn, med_fn):
     """True = pack MED, False = vertical. Once both the link and each
     scheme's unpack throughput have been observed, pick the smaller
     estimated fetch-stage time (wire bytes / link + raw bytes /
-    unpack); before that — or when only one plan is viable — pick the
-    fewer planned wire bytes. UHDR_READBACK_SCHEME=med|vert is handled
-    by the caller (it skips the dual pass-1 entirely)."""
+    unpack). While exactly one scheme's unpack speed is still
+    unobserved, pick THAT scheme (one exploration batch — without it a
+    cold-start bytes-only pick pins the slow-unpack scheme forever via
+    the fused plan cache, which is exactly how round 4's on-chip run
+    spent 6.5 s/batch in the MED host unpack). Before anything is
+    measured — or when only one plan is viable — pick the fewer
+    planned wire bytes. UHDR_READBACK_SCHEME=med|vert is handled by
+    the caller (it skips the dual pass-1 entirely)."""
     if plan_m is None:
         return False
     if plan_v is None:
         return True
-    link = _BPS.get("d2h_link")
     uv = _BPS.get(vert_fn)
     um = _BPS.get(med_fn)
+    if um is None and uv is not None:
+        return True
+    if uv is None and um is not None:
+        return False
+    link = _BPS.get("d2h_link")
     if link and uv and um:
         return (plan_m[-1] / link + raw_bytes / um
                 <= plan_v[-1] / link + raw_bytes / uv)
@@ -949,6 +1185,75 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
             env = os.environ.get("UHDR_READBACK_SCHEME")
             if env in ("med", "vert"):   # forced: skip the dual pass-1
                 med = env == "med"
+    # Fused single-fetch path: once a batch of this shape has been
+    # packed, its bucket plan is cached and the next batch completes
+    # in ONE dispatch + ONE d2h fetch (plan speculated, validated by
+    # the fit flag in the fetched tail).
+    if os.environ.get("UHDR_FUSED_FETCH", "1") != "0":
+        ent = _PLAN_CACHE.get(((n, h, w), bits))
+        sel = None
+        if ent is not None:
+            med_fn2 = "uhdr_med_unpack" if bits == 10 \
+                else "uhdr_med16_unpack"
+            vert_fn2 = "uhdr_rice_unpack" if bits == 10 \
+                else "uhdr_rice16_unpack"
+            plans = ent["plans"]
+            if med == "auto":
+                # Auto needs both schemes planned (the dual pass 1
+                # seeds both); re-pick per batch from the cost model.
+                if True in plans and False in plans:
+                    pm, pv = plans[True], plans[False]
+                    if pm is None:
+                        sel = False if pv is not None else None
+                    elif pv is None:
+                        sel = True
+                    else:
+                        um = _BPS.get(med_fn2)
+                        uv = _BPS.get(vert_fn2)
+                        if (um is None) != (uv is None):
+                            # One scheme's unpack speed unobserved at
+                            # this shape: explore it via the two-phase
+                            # path instead of pinning the other.
+                            sel = None
+                        else:
+                            link = _BPS.get("d2h_link")
+                            if link and um and uv:
+                                sel = (pm["est"] / link
+                                       + raw_bytes / um
+                                       <= pv["est"] / link
+                                       + raw_bytes / uv)
+                            else:
+                                sel = pm["est"] <= pv["est"]
+            elif plans.get(med) is not None:
+                sel = med
+        if sel is not None:
+            tails = ((_med10_tail_numpy if bits == 10
+                      else _med16_tail_numpy),
+                     (_rct_tail_numpy if bits == 10
+                      else _rct16_tail_numpy))
+            try:
+                res = _try_fused_fetch(
+                    out_dev, fetch, n=n, h=h, w=w, bits=bits, ent=ent,
+                    sel=sel, stages=stages, raw_bytes=raw_bytes,
+                    kset=kset, zero=zero, native_fn_med=med_fn2,
+                    native_fn_vert=vert_fn2, tails=tails,
+                    out_shape=out_shape, out_dtype=out_dtype)
+            except Exception:
+                from ..utils import counters
+                from ..utils.log import get_logger
+
+                counters.bump("fused_fetch_fallback")
+                get_logger().warning(
+                    "fused rice fetch failed; two-phase fallback",
+                    exc_info=True)
+                _PLAN_CACHE.pop(((n, h, w), bits), None)
+                res = "two_phase"
+            if res != "two_phase":
+                if res[0] is not None:
+                    stages["total"] = round(
+                        (time.perf_counter() - t_start) * 1e3, 1)
+                return res
+
     if med == "auto":
         t0 = time.perf_counter()
         zs_v, zs_m, kuw4 = _pass1_both_fn((n, h, w), bits)(out_dev)
@@ -977,6 +1282,7 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
             else (maps4[0], maps4[1])
         kuw_dev = kuw4[2:4] if use_med else kuw4[0:2]
         plan = plan_m if use_med else plan_v
+        seed_plans = {True: plan_m, False: plan_v}
         maps_nbytes = maps4.nbytes
     else:
         t0 = time.perf_counter()
@@ -994,6 +1300,7 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
         plan = _rice_host_plan(kmap, uwmap, kset, zero, raw_bytes)
         if plan is None:
             return None, maps.nbytes
+        seed_plans = {med: plan}
         maps_nbytes = maps.nbytes
     global LAST_PICK
     LAST_PICK = "med" if med else "vert"
@@ -1045,6 +1352,18 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
         stages["unpack"] = round((tend - tu) * 1e3, 1)
         stages["total"] = round((tend - t_start) * 1e3, 1)
         stages["scheme"] = "med" if med else "vert"
+        # Seed/refresh the fused path's speculated plans for the next
+        # batch of this shape (carry the use counter so the periodic
+        # exact refresh keeps its cadence). The auto branch seeds BOTH
+        # schemes so the fused gate's cost model can switch between
+        # them without leaving the single-roundtrip path.
+        old = _PLAN_CACHE.get(((n, h, w), bits))
+        plans = old["plans"] if old else {}
+        for sch, p in seed_plans.items():
+            plans[sch] = None if p is None else {
+                "rem_npads": p[2], "un_npads": p[3], "est": p[5]}
+        _PLAN_CACHE[((n, h, w), bits)] = {
+            "plans": plans, "uses": old["uses"] if old else 0}
     except Exception:
         # A pass-2 / unpack failure must not take down a serving
         # loop: report every byte that already crossed the link (map,

@@ -582,16 +582,32 @@ def batched_encode_api1(p010_y_batch, p010_uv_batch, sdr_y_batch,
     raise AssertionError("unreachable")
 
 
+def _rst_chunk_geometry(h: int, w: int) -> tuple[int, int]:
+    """Per-frame chunk counts of the RST-batched encode layout — the
+    base stream's (nc) and the gain map's (ncg) — shared by the blob
+    assembly and the device-handoff construction so the meta-row
+    slicing can never drift between them (ADVICE r4)."""
+    nc = -(-((w // 16) * (h // 16)) // RST_INTERVAL)
+    gbh, gbw = -(-(h // 4) // 8), -(-(w // 4) // 8)
+    ncg = -(-(gbh * gbw) // RST_INTERVAL)
+    return nc, ncg
+
+
+def _base_word_offsets(gm_totals):
+    """Per-frame base-stream word offsets in the compacted
+    [gainmap | base] layout (_compact_streams): the base starts just
+    past the gain map's used prefix, _COMPACT_ALIGN-word aligned."""
+    return ((gm_totals + _COMPACT_ALIGN - 1)
+            // _COMPACT_ALIGN * _COMPACT_ALIGN)
+
+
 def _assemble_rst_outputs(combined, meta, n, h, w, quality, gamut,
                           metadata, stats=None):
     """Host tail shared by the batched RST encode paths."""
     from ..container import icc as icc_mod, mux
     from ..jpeg import codec, device_entropy as de
 
-    n_mcus = (w // 16) * (h // 16)
-    nc = -(-n_mcus // RST_INTERVAL)
-    gbh, gbw = -(-(h // 4) // 8), -(-(w // 4) // 8)
-    ncg = -(-(gbh * gbw) // RST_INTERVAL)
+    nc, ncg = _rst_chunk_geometry(h, w)
     if bool(np.any(meta[:, 0])):
         raise OverflowError("dense-content overflow")  # caller fallback
     totals = meta[:, 1]
@@ -600,8 +616,7 @@ def _assemble_rst_outputs(combined, meta, n, h, w, quality, gamut,
     # (_compact_streams) parks the base right past the gain map's used
     # prefix, 64-word aligned (meta[0, 3] keeps the static gain-map
     # capacity for reference/debug only).
-    base_off = (gm_totals + _COMPACT_ALIGN - 1) \
-        // _COMPACT_ALIGN * _COMPACT_ALIGN
+    base_off = _base_word_offsets(gm_totals)
     gm_cbits = meta[:, 4:4 + ncg]
     base_cbits = meta[:, 4 + ncg:4 + ncg + nc]
 
@@ -719,16 +734,13 @@ def batched_encode_api0(p010_y_batch, p010_uv_batch, mesh: Mesh,
             continue
         if not return_handoff:
             return out
-        nc = -(-((w // 16) * (h // 16)) // RST_INTERVAL)
-        ncg = -(-((-(-(h // 4) // 8)) * (-(-(w // 4) // 8)))
-                // RST_INTERVAL)
+        nc, ncg = _rst_chunk_geometry(h, w)
         gm_totals = meta_np[:, 2].astype(np.int64)
         handoff = DeviceEncodedBatch(
             combined=combined,
             gm_cbits=meta_np[:, 4:4 + ncg].astype(np.int64),
             base_cbits=meta_np[:, 4 + ncg:4 + ncg + nc].astype(np.int64),
-            base_off=((gm_totals + _COMPACT_ALIGN - 1)
-                      // _COMPACT_ALIGN * _COMPACT_ALIGN),
+            base_off=_base_word_offsets(gm_totals),
             width=w, height=h, quality=int(quality),
             metadata=metadata)
         return out, handoff
@@ -832,6 +844,14 @@ def batched_decode_from_handoff(handoff: DeviceEncodedBatch,
     cap_g = _bucket_len(max(4 * int(gcw.sum(1).max()), 4)) // 4
     base_dlen = _bucket_len(4 * cap_b + win_b)
     gm_dlen = _bucket_len(4 * cap_g + win_g)
+    # Starts/offsets ride an int32 aux row and int32 device indexing;
+    # mirror split_rst_stream's 2^31 guard instead of silently
+    # wrapping on a pathologically large stream (ADVICE r4).
+    if max(4 * cap_b + base_dlen, 4 * cap_g + gm_dlen,
+           int(handoff.base_off.max(initial=0)) + cap_b,
+           int(bstarts.max(initial=0)),
+           int(gstarts.max(initial=0))) >= 2**31:
+        raise ValueError("handoff stream exceeds int32 index range")
 
     qkey = np.stack([
         tables.scale_quant_table(tables.STD_LUMINANCE_QUANT,
@@ -864,7 +884,9 @@ def batched_decode_from_handoff(handoff: DeviceEncodedBatch,
     from ..container import xmp as _xmp
 
     md_rt = _xmp.get_metadata_from_xmp(
-        _xmp.generate_xmp_for_secondary_image(handoff.metadata).encode())
+        _xmp.XMP_NAMESPACE.encode() + b"\x00"
+        + _xmp.generate_xmp_for_secondary_image(
+            handoff.metadata).encode())
     sc = _decode_scalars(md_rt, max_display_boost)
     aux = np.empty((n, 5 + ncb + ncg), np.int32)
     aux[:, :4] = np.broadcast_to(sc.view(np.int32), (n, 4))

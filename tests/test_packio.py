@@ -265,6 +265,12 @@ class TestRiceBatchFetch:
         lib = native.get_lib()
         if lib is None or getattr(lib, "uhdr_rice_unpack", None) is None:
             pytest.skip("native rice unpack unavailable")
+        # Byte-count determinism needs both calls on the exact
+        # two-phase path: a plan cached by an earlier same-shape test
+        # would route one of them through the fused fetch (different,
+        # content-dependent accounting).
+        monkeypatch.setenv("UHDR_FUSED_FETCH", "0")
+        packio._PLAN_CACHE.clear()
         rgba = self._rgba(2, 160, 840, seed=11, noise=5)
         res = packio.fetch_rgba1010102_rice(jax.device_put(rgba))
         assert res[0] is not None
@@ -420,6 +426,10 @@ class TestF16RiceFetch:
         if lib is None or getattr(lib, "uhdr_rice16_unpack",
                                   None) is None:
             pytest.skip("native rice16 unpack unavailable")
+        # Pin both calls to the two-phase path: the fused single-fetch
+        # kicks in once a plan is cached and moves a different wire
+        # byte count, which would break the res[1] == res2[1] check.
+        monkeypatch.setenv("UHDR_FUSED_FETCH", "0")
         rgba = self._f16(2, 160, 840, seed=11, noise=0.004)
         res = packio.fetch_rgba_f16_rice(jax.device_put(rgba))
         assert res[0] is not None
@@ -509,6 +519,12 @@ class TestMtUnpack:
             fetcher = packio.fetch_rgba_f16_rice
         import os
         old = os.environ.get("UHDR_UNPACK_THREADS")
+        old_fused = os.environ.get("UHDR_FUSED_FETCH")
+        # Pin both calls to the two-phase path: the fused single-fetch
+        # kicks in once a plan is cached and moves a different wire
+        # byte count, which would break the b1 == b2 check.
+        os.environ["UHDR_FUSED_FETCH"] = "0"
+        packio._PLAN_CACHE.clear()
         try:
             os.environ["UHDR_UNPACK_THREADS"] = "1"
             serial, b1 = fetcher(dev)
@@ -519,6 +535,10 @@ class TestMtUnpack:
                 os.environ.pop("UHDR_UNPACK_THREADS", None)
             else:
                 os.environ["UHDR_UNPACK_THREADS"] = old
+            if old_fused is None:
+                os.environ.pop("UHDR_FUSED_FETCH", None)
+            else:
+                os.environ["UHDR_FUSED_FETCH"] = old_fused
         assert serial is not None and threaded is not None
         assert b1 == b2
         return serial, threaded
@@ -653,6 +673,15 @@ class TestMedFetch:
 
     _rgba = TestRctBatchFetch._rgba
     _f16 = staticmethod(TestF16RiceFetch._f16)
+
+    @pytest.fixture(autouse=True)
+    def _two_phase_only(self, monkeypatch):
+        # These tests predate the fused single-fetch path and compare
+        # byte counts across repeated same-shape fetches; pin them to
+        # the exact two-phase path (fused accounting is
+        # content-dependent and differs call-to-call).
+        monkeypatch.setenv("UHDR_FUSED_FETCH", "0")
+        packio._PLAN_CACHE.clear()
 
     @pytest.mark.parametrize("n,h,w,noise", [
         (1, 96, 512, 0),
@@ -874,3 +903,159 @@ class TestCostAwarePick:
         picked_fn = ("uhdr_med_unpack" if packio.LAST_PICK == "med"
                      else "uhdr_rice_unpack")
         assert packio._BPS.get(picked_fn, 0) > 0
+
+
+class TestFusedFetch:
+    """Fused single-fetch Rice readback: one dispatch + one d2h after
+    the first batch of a shape seeds the plan cache; bit-identical to
+    the two-phase path; exact replan on a plan-overflowing content
+    shift."""
+
+    @staticmethod
+    def _smooth_1010102(n, h, w, seed=0, amp=1024):
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        base = ((yy * 2 + xx) // 3) % amp
+        base = np.broadcast_to(base, (n, h, w)).astype(np.uint32)
+        r = base & 1023
+        g = (base * 3 // 4) & 1023
+        b = (base // 2) & 1023
+        return (r | (g << 10) | (b << 20)
+                | np.uint32(0xC0000000)).astype(np.uint32)
+
+    def _fresh_cache(self):
+        packio._PLAN_CACHE.clear()
+
+    @staticmethod
+    def _seed_bps(monkeypatch):
+        """Mark every scheme's unpack speed as observed so the fused
+        gate's one-batch exploration (tested separately) stays out of
+        the way of these determinism tests."""
+        monkeypatch.setattr(packio, "_BPS", {
+            "d2h_link": 30e6,
+            "uhdr_rice_unpack": 500e6, "uhdr_med_unpack": 200e6,
+            "uhdr_rice16_unpack": 500e6, "uhdr_med16_unpack": 200e6})
+
+    def test_second_call_fuses_and_matches(self, monkeypatch):
+        import jax.numpy as jnp
+        self._fresh_cache()
+        self._seed_bps(monkeypatch)
+        x = self._smooth_1010102(2, 256, 512)
+        xd = jnp.asarray(x)
+        o1, b1 = packio.fetch_rgba1010102_auto(xd)
+        s1 = dict(packio.LAST_FETCH_STAGES)
+        o2, b2 = packio.fetch_rgba1010102_auto(xd)
+        s2 = dict(packio.LAST_FETCH_STAGES)
+        assert s1.get("mode") != "fused" and s1["roundtrips"] == 2
+        assert s2.get("mode") == "fused" and s2["roundtrips"] == 1
+        np.testing.assert_array_equal(o1, x)
+        np.testing.assert_array_equal(o2, x)
+        assert b2 <= b1 * 1.1  # fused tail ~= the two-phase map
+
+    def test_exploration_measures_both_schemes(self, monkeypatch):
+        """Cold start with no unpack-speed observations: batch 1 picks
+        by planned bytes (two-phase), batch 2 must EXPLORE the other
+        scheme (two-phase again) instead of pinning batch 1's pick,
+        and batch 3 fuses with the cost model fed by both
+        measurements. Exploration is what keeps a cold-start
+        bytes-only MED pick from costing 6.5 s/batch of host unpack
+        at production sizes (round-4 on-chip probe)."""
+        import jax.numpy as jnp
+
+        from libultrahdr_dev_tpu.jpeg import native
+        lib = native.get_lib()
+        if lib is None or getattr(lib, "uhdr_med_unpack", None) is None:
+            pytest.skip("native med unpack unavailable (no auto mode)")
+        self._fresh_cache()
+        monkeypatch.setattr(packio, "_BPS", {})
+        monkeypatch.delenv("UHDR_READBACK_SCHEME", raising=False)
+        x = self._smooth_1010102(2, 256, 512)
+        xd = jnp.asarray(x)
+        o1, _ = packio.fetch_rgba1010102_auto(xd)
+        first = packio.LAST_PICK
+        assert packio.LAST_FETCH_STAGES.get("mode") != "fused"
+        o2, _ = packio.fetch_rgba1010102_auto(xd)
+        second = packio.LAST_PICK
+        assert packio.LAST_FETCH_STAGES.get("mode") != "fused"
+        assert second != first, "batch 2 must explore the other scheme"
+        assert packio._BPS.get("uhdr_rice_unpack", 0) > 0
+        assert packio._BPS.get("uhdr_med_unpack", 0) > 0
+        o3, _ = packio.fetch_rgba1010102_auto(xd)
+        assert packio.LAST_FETCH_STAGES.get("mode") == "fused"
+        for o in (o1, o2, o3):
+            np.testing.assert_array_equal(o, x)
+
+    def test_fused_respects_env_off(self, monkeypatch):
+        import jax.numpy as jnp
+        self._fresh_cache()
+        self._seed_bps(monkeypatch)
+        x = self._smooth_1010102(1, 256, 512, seed=1)
+        xd = jnp.asarray(x)
+        packio.fetch_rgba1010102_auto(xd)
+        monkeypatch.setenv("UHDR_FUSED_FETCH", "0")
+        o, _ = packio.fetch_rgba1010102_auto(xd)
+        assert packio.LAST_FETCH_STAGES.get("mode") != "fused"
+        np.testing.assert_array_equal(o, x)
+
+    def test_replan_on_content_shift(self, monkeypatch):
+        """Shift content so at least one bucket overflows the cached
+        paddings while staying compressible: the fused fetch must
+        detect the miss (fit=0), repack exactly, and still return
+        bit-identical pixels."""
+        import copy
+
+        import jax.numpy as jnp
+        self._fresh_cache()
+        self._seed_bps(monkeypatch)
+        smooth = self._smooth_1010102(2, 256, 512, amp=8)  # tiny deltas
+        packio.fetch_rgba1010102_auto(jnp.asarray(smooth))
+        ent = packio._PLAN_CACHE.get(((2, 256, 512), 10))
+        assert ent is not None
+        plans_before = copy.deepcopy(ent["plans"])
+        # Rougher (but still compressible) content: larger deltas push
+        # segments into higher-k buckets the tiny-delta plan did not
+        # provision.
+        rough = self._smooth_1010102(2, 256, 512, amp=1024)
+        rng = np.random.default_rng(7)
+        rough = (rough ^ rng.integers(0, 15, rough.shape).astype(
+            np.uint32)).astype(np.uint32) | np.uint32(0xC0000000)
+        o, _ = packio.fetch_rgba1010102_auto(jnp.asarray(rough))
+        s = dict(packio.LAST_FETCH_STAGES)
+        if o is None:
+            pytest.skip("content fell back to raw; replan not reached")
+        np.testing.assert_array_equal(o, rough)
+        # Either the plan fit (possible: pow2 padding headroom) or the
+        # replan path ran; both must reconstruct exactly. When the
+        # replan ran, the picked scheme's cached plan must have been
+        # widened (or dropped as incompressible).
+        if s.get("replan"):
+            sel = packio.LAST_PICK == "med"
+            ent2 = packio._PLAN_CACHE.get(((2, 256, 512), 10))
+            pl2 = ent2["plans"].get(sel) if ent2 else None
+            pl1 = plans_before.get(sel)
+            assert pl2 is None or pl1 is None or all(
+                a >= b for a, b in zip(pl2["rem_npads"],
+                                       pl1["rem_npads"]))
+        # Steady state on the new content: fused again, still exact.
+        o2, _ = packio.fetch_rgba1010102_auto(jnp.asarray(rough))
+        if packio._PLAN_CACHE.get(((2, 256, 512), 10)) is not None:
+            assert packio.LAST_FETCH_STAGES.get("mode") == "fused"
+        np.testing.assert_array_equal(o2, rough)
+
+    def test_f16_fused_roundtrip(self, monkeypatch):
+        import jax.numpy as jnp
+        self._fresh_cache()
+        self._seed_bps(monkeypatch)
+        n, h, w = 1, 256, 512
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        base = (((yy + xx) // 2) % 1024).astype(np.uint32)
+        xf = np.zeros((n, h, w, 4), np.uint16)
+        xf[..., 0] = (base * 13 % 30000).astype(np.uint16)
+        xf[..., 1] = (base * 11 % 30000).astype(np.uint16)
+        xf[..., 2] = (base * 7 % 30000).astype(np.uint16)
+        xf[..., 3] = 0x3C00
+        fd = jnp.asarray(xf)
+        f1, _ = packio.fetch_rgba_f16_auto(fd)
+        f2, _ = packio.fetch_rgba_f16_auto(fd)
+        assert packio.LAST_FETCH_STAGES.get("mode") == "fused"
+        np.testing.assert_array_equal(f1, xf)
+        np.testing.assert_array_equal(f2, xf)
