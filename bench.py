@@ -36,6 +36,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 BASELINE_4K_MS = 1911.0
 W, H = 4080, 3072
 FRAMES = 4
+if os.environ.get("UHDR_BENCH_SMALL") == "1":
+    # Logic smoke mode (CPU CI): tiny shapes, same control flow. The
+    # printed numbers are meaningless; vs_baseline is not comparable.
+    W, H = 192, 128
+    FRAMES = 2
 
 # v5e-class chip peaks for the roofline context fields.
 PEAK_HBM_GBPS = 819.0
@@ -193,9 +198,10 @@ def main():
     # ---- Sequential serving loop (for the per-phase split + exact
     # per-round link-byte accounting; the host pack of the next batch
     # still overlaps device work).
-    ROUNDS = 2
+    ROUNDS = 3
     enc = dec = float("inf")
     stats = {}
+    seq_rounds = []
     with ThreadPoolExecutor(1) as pool:
         fut = pool.submit(sharding.pack_p010_batch_host, ys, uvs)
         for _ in range(ROUNDS):
@@ -212,6 +218,7 @@ def main():
                                           stats=rstats)
             pixels = sharding.fetch_1010102_packed(out, rstats)
             t2 = time.perf_counter()
+            seq_rounds.append(round((t2 - t0) * 1000 / FRAMES, 1))
             if (t1 - t0) + (t2 - t1) < enc + dec:
                 enc, dec = (t1 - t0) * 1000 / FRAMES, \
                     (t2 - t1) * 1000 / FRAMES
@@ -224,10 +231,12 @@ def main():
     # unpack — so host CPU work and the d2h drain hide under link and
     # compute time (the reference's analog is its zero-copy in-process
     # loop, jpegr.cpp:167-247). Steady-state cadence is measured
-    # between pixel completions, so warm-up is excluded.
-    PIPE_ROUNDS = 4
-    t_pix = []
-
+    # between pixel completions, so warm-up is excluded. The decode
+    # consumes the encoder's device-resident streams directly
+    # (batched_decode_from_handoff) — the TPU analog of the
+    # reference's in-process zero-copy handoff — skipping the blob
+    # re-upload; the blob-ingest decode path stays measured by the
+    # sequential loop above.
     def _pack_and_upload():
         # Stage 1 does the h2d upload too, so batch N+1's link time
         # hides under batch N's device work (round-3's loop issued
@@ -235,40 +244,75 @@ def main():
         pre = sharding.pack_p010_batch_host(ys, uvs)
         return sharding.upload_p010_batch(ys, uvs, None, pre)
 
-    # Two fetch workers: batch N's d2h drain (a GIL-released link
-    # wait) overlaps batch N-1's native unpack (ctypes, GIL released),
-    # so the fetch stage costs ~max(link, unpack) instead of their
-    # sum. Results are still consumed in order via the futures.
-    with ThreadPoolExecutor(1) as pack_pool, \
-            ThreadPoolExecutor(2) as fetch_pool:
-        pk = pack_pool.submit(_pack_and_upload)
-        fetch_fut = None
-        for r in range(PIPE_ROUNDS):
-            ydev, uvdev, _ = pk.result()
-            if r + 1 < PIPE_ROUNDS:  # no dangling work after the last
-                pk = pack_pool.submit(_pack_and_upload)
-            blobs_p = sharding.batched_encode_api0(
-                ys, uvs, mesh, device_input=(ydev, uvdev))
-            out_p = sharding.batched_decode(blobs_p, "hdr_hlg", boost,
-                                            mesh)
-            if fetch_fut is not None:
-                pixels = fetch_fut.result()
-                t_pix.append(time.perf_counter())
-            fetch_fut = fetch_pool.submit(
-                sharding.fetch_1010102_packed, out_p)
-        pixels = fetch_fut.result()
-        t_pix.append(time.perf_counter())
-    pipe = ((t_pix[-1] - t_pix[0]) * 1000
-            / ((len(t_pix) - 1) * FRAMES))
-    # Both configurations are real serving loops; report the faster
-    # (pipelined wins whenever fetch+unpack isn't link-starved).
-    total = min(total_seq, pipe)
+    def _pipelined_loop(out_fmt, fetch_fn, rounds):
+        """Run the 3-stage loop; returns (intervals_ms_per_frame,
+        last_fetch_stats, decode_path, pixels)."""
+        t_pix = []
+        box = {}
+        decode_path = "device-handoff"
+
+        def _fetch(out_p):
+            st = {}
+            px = fetch_fn(out_p, st)
+            return px, st
+
+        # Two fetch workers: batch N's d2h drain (a GIL-released link
+        # wait) overlaps batch N-1's native unpack (ctypes, GIL
+        # released), so the fetch stage costs ~max(link, unpack)
+        # instead of their sum. Futures keep consumption in order.
+        with ThreadPoolExecutor(1) as pack_pool, \
+                ThreadPoolExecutor(2) as fetch_pool:
+            pk = pack_pool.submit(_pack_and_upload)
+            fetch_fut = None
+            for r in range(rounds):
+                ydev, uvdev, _ = pk.result()
+                if r + 1 < rounds:  # no dangling work after the last
+                    pk = pack_pool.submit(_pack_and_upload)
+                blobs_p, handoff = sharding.batched_encode_api0(
+                    ys, uvs, mesh, device_input=(ydev, uvdev),
+                    return_handoff=True)
+                out_p = None
+                if handoff is not None:
+                    try:
+                        out_p = sharding.batched_decode_from_handoff(
+                            handoff, out_fmt, boost, mesh)
+                    except Exception:
+                        _counters.bump("handoff_decode_fallback")
+                if out_p is None:
+                    decode_path = "blob"
+                    out_p = sharding.batched_decode(blobs_p, out_fmt,
+                                                    boost, mesh)
+                if fetch_fut is not None:
+                    px, box = fetch_fut.result()
+                    t_pix.append(time.perf_counter())
+                fetch_fut = fetch_pool.submit(_fetch, out_p)
+            px, box = fetch_fut.result()
+            t_pix.append(time.perf_counter())
+        iv = [round((b - a) * 1000 / FRAMES, 1)
+              for a, b in zip(t_pix, t_pix[1:])]
+        return iv, box, decode_path, px
+
+    # >=6 steady-state intervals so one lucky/unlucky link interval
+    # can't carry the headline (VERDICT r4 weak#5). The FINAL interval
+    # is a flush — its fetch overlaps no subsequent device work, so it
+    # runs optimistically fast; it stays in the reported list but is
+    # excluded from the median/min.
+    PIPE_ROUNDS = 8
+    pipe_iv, pipe_stats, decode_path, pixels = _pipelined_loop(
+        "hdr_hlg", sharding.fetch_1010102_packed, PIPE_ROUNDS)
+    pipe_med = float(np.median(pipe_iv[:-1]))
+    pipe_min = float(np.min(pipe_iv[:-1]))
+    # Both configurations are real serving loops; the headline takes
+    # the faster of sequential best-of-3 and the pipelined MEDIAN
+    # interval (median, not min: robust to one lucky interval).
+    total = min(total_seq, pipe_med)
 
     # F16 decode-to-host: the reference's DEFAULT decode output
     # (RGBA_F16, ultrahdr_api.cpp:1287-1289). Raw readback would be
     # ~100 MB/frame; the RCT+Rice bit-pattern pack
     # (sharding.fetch_f16_packed) makes this path servable over the
-    # relay. Reported as its own ms/frame + exact bytes/frame.
+    # relay. Sequential split first (exact bytes), then the SAME
+    # 3-stage pipelined loop as the headline (VERDICT r4 item 2).
     f16_stats = {}
     f16_ms = float("inf")
     out16 = sharding.batched_decode(blobs, "hdr_linear", boost, mesh)
@@ -283,6 +327,11 @@ def main():
         if el < f16_ms:
             f16_ms, f16_stats = el, rstats
     assert px16.shape == (FRAMES, H, W, 4)
+    F16_PIPE_ROUNDS = 6
+    f16_iv, f16_pipe_stats, f16_path, px16p = _pipelined_loop(
+        "hdr_linear", sharding.fetch_f16_packed, F16_PIPE_ROUNDS)
+    f16_pipe_med = float(np.median(f16_iv[:-1]))  # drop flush interval
+    assert px16p.shape == (FRAMES, H, W, 4)
 
     # Decode-to-device (TPU-serving path: consumers read the decoded
     # planes on device, no host materialization). Sync via a jitted
@@ -485,15 +534,26 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_4K_MS / total, 3),
         "detail": {
-            "pipelined_ms_per_frame": round(pipe, 2),
+            "pipelined_ms_per_frame": round(pipe_med, 2),
+            "pipelined_min_ms_per_frame": round(pipe_min, 2),
+            "pipelined_intervals_ms_per_frame": pipe_iv,
+            "pipelined_decode_path": decode_path,
             "sequential_ms_per_frame": round(total_seq, 2),
+            "sequential_rounds_ms_per_frame": seq_rounds,
             "encode_ms_per_frame": round(enc, 2),
             "decode_ms_per_frame": round(dec, 2),
             "decode_to_device_ms_per_frame": round(dec_dev, 2),
             "decode_f16_to_host_ms_per_frame": round(f16_ms, 2),
+            "decode_f16_pipelined_ms_per_frame": round(f16_pipe_med, 2),
+            "decode_f16_pipelined_intervals_ms_per_frame": f16_iv,
+            "decode_f16_pipelined_decode_path": f16_path,
             "decode_f16_d2h_bytes_per_frame": round(
                 f16_stats.get("d2h_bytes", 0) / FRAMES),
             "decode_f16_d2h_pack": f16_stats.get("d2h_pack", "?"),
+            "d2h_stages_seq": stats.get("d2h_stages"),
+            "d2h_stages_pipe": pipe_stats.get("d2h_stages"),
+            "d2h_stages_f16_pipe": f16_pipe_stats.get("d2h_stages"),
+            "h2d_upload_ms_seq": stats.get("h2d_ms"),
             "encode_device_compute_ms_per_frame": round(enc_kernel, 2),
             "decode_device_compute_ms_per_frame": round(dec_kernel, 2),
             "device_compute_vs_baseline": round(
@@ -518,14 +578,24 @@ def main():
             "note": "lossless segment-packed transfers both ways "
                     "(parallel/packio.py) + 3-stage pipelined serving "
                     "loop (host pack N+1 / device work N / readback "
-                    "fetch+unpack N-1); link_bytes_per_frame are the "
-                    "exact bytes moved, so the headline is auditable "
-                    "against the measured h2d/d2h MBps link weather",
+                    "fetch+unpack N-1); pipelined decode consumes the "
+                    "encoder's device-resident streams "
+                    "(batched_decode_from_handoff) and the readback "
+                    "rides the fused single-roundtrip Rice fetch; "
+                    "headline = min(sequential best-of-3, pipelined "
+                    "MEDIAN interval); link_bytes_per_frame are the "
+                    "exact bytes moved and d2h_stages_* attribute the "
+                    "fetch latency per stage, so the headline is "
+                    "auditable against the measured h2d/d2h MBps "
+                    "link weather",
         },
     }
     assert pixels.shape == (FRAMES, H, W)
+    if os.environ.get("UHDR_BENCH_SMALL") == "1":
+        result["note_small"] = "UHDR_BENCH_SMALL logic smoke; not 4K"
     print(json.dumps(result))
-    _append_bench_log(result)
+    if os.environ.get("UHDR_BENCH_SMALL") != "1":
+        _append_bench_log(result)
 
 
 def _append_bench_log(result):

@@ -88,9 +88,19 @@ def main(argv=None):
             ydev, uvdev, _ = pk.result()
             if r + 1 < args.rounds:
                 pk = pack_pool.submit(pack_and_upload)
-            blobs = sharding.batched_encode_api0(
-                ys, uvs, mesh, device_input=(ydev, uvdev))
-            out = sharding.batched_decode(blobs, out_fmt, boost, mesh)
+            blobs, handoff = sharding.batched_encode_api0(
+                ys, uvs, mesh, device_input=(ydev, uvdev),
+                return_handoff=True)
+            if handoff is not None:
+                # Decode straight off the encoder's device-resident
+                # streams — no blob re-upload (the TPU analog of the
+                # reference's zero-copy in-process handoff,
+                # jpegr.cpp:167-247).
+                out = sharding.batched_decode_from_handoff(
+                    handoff, out_fmt, boost, mesh)
+            else:  # rare scatter fallback: decode the blobs
+                out = sharding.batched_decode(blobs, out_fmt, boost,
+                                              mesh)
             if fetch_fut is not None:
                 pixels = fetch_fut.result()
                 t_pix.append(time.perf_counter())
