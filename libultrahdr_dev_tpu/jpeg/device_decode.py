@@ -374,11 +374,12 @@ def _win_at(t, ws):
 
 # Units decoded per while_loop step (default; explicit arg wins).
 # Total per-unit work is invariant in this knob — it only amortizes
-# the loop's carried-state latency over more units per trip. 2 and 3
-# are both correct (parity-tested); which is faster is an on-chip
-# question (see benchmarks/microbench.py --decode-units-sweep).
+# the loop's carried-state latency over more units per trip. Measured
+# on the v5e chip (microbench --decode-emit-sweep, 2026-08-19,
+# ROADMAP round-5): 4K luma path 54.0/33.6/33.3 ms at units=1/2/3 —
+# default 3.
 _DEFAULT_UNITS = max(1, min(4, int(os.environ.get(
-    "UHDR_DECODE_UNITS", "2"))))
+    "UHDR_DECODE_UNITS", "3"))))
 
 # Emission strategy of the decode loop (default; explicit arg wins).
 # "dense": every unit rewrites the carried (nc, cb*64) coefficient
@@ -389,8 +390,13 @@ _DEFAULT_UNITS = max(1, min(4, int(os.environ.get(
 # dynamic_update_slice (per-step traffic ~units*6 bytes per lane);
 # the dense buffer is rebuilt after the loop by one vectorized
 # binary search over the per-lane monotone keys. Bit-exact equals
-# "dense" (tests/test_device_decode.py); which is faster on chip is
-# measured by benchmarks/microbench.py --decode-emit-sweep.
+# "dense" (tests/test_device_decode.py). Measured on the v5e chip
+# (microbench --decode-emit-sweep, 2026-08-19, ROADMAP round-5): the
+# log variant is 30-45x SLOWER there (1559-1565 ms vs 33-54 ms on the
+# 4K luma path) — XLA:TPU serializes the in-place per-lane
+# dynamic_update_slice appends — so "dense" stays the default and
+# "log" remains an escape hatch for backends where carried-state
+# traffic dominates.
 _DEFAULT_EMIT = os.environ.get("UHDR_DECODE_EMIT", "dense")
 
 

@@ -10,6 +10,12 @@ the host unpack — _auto_pick_scheme therefore explores each scheme
 once AT THE SERVING SHAPE before trusting the cost model.
 
 Run on CPU: JAX_PLATFORMS=cpu python tools/bench_unpack.py [--small]
+
+--threads additionally sweeps UHDR_UNPACK_THREADS in {1,2,4} for the
+MT walkers (uhdr_*_unpack_mt) and prints a threads-vs-time table —
+meaningful only on multi-core hosts (the build/TPU-relay host is
+1-core, so CI is where this table carries signal; see BASELINE.md
+"environment note").
 """
 import json
 import os
@@ -56,7 +62,29 @@ def main():
     small = "--small" in sys.argv
     n, h, w = (1, 256, 512) if small else (4, 2160, 3840)
     reps = 3
-    res = {"shape": [n, h, w], "cpu": os.uname().machine}
+    res = {"shape": [n, h, w], "cpu": os.uname().machine,
+           "cores": os.cpu_count()}
+    if "--threads" in sys.argv:
+        # Threads-vs-time for the MT walkers (VERDICT r4 item 6): the
+        # bitwise identity is proven by tests on any host; the SPEEDUP
+        # needs >1 core, so this mode is wired into CI where runners
+        # have 2-4 cores.
+        x = synth_1010102(n, h, w)
+        xd = jax.device_put(x)
+        os.environ["UHDR_FUSED_FETCH"] = "0"
+        for nt in (1, 2, 4):
+            os.environ["UHDR_UNPACK_THREADS"] = str(nt)
+            best = None
+            for _ in range(reps):
+                out, _ = packio.fetch_rgba1010102_rice(xd)
+                u = dict(packio.LAST_FETCH_STAGES).get("unpack")
+                if out is not None and u is not None \
+                        and (best is None or u < best):
+                    best = u
+            res[f"mt_unpack_ms_t{nt}"] = best
+        os.environ.pop("UHDR_UNPACK_THREADS", None)
+        print(json.dumps(res))
+        return
     for bits in (10, 16):
         x = synth_1010102(n, h, w) if bits == 10 else synth_f16(n, h, w)
         raw = x.nbytes
