@@ -152,6 +152,26 @@ def _devices_or_die(timeout_s: float = 600.0):
     os._exit(1)
 
 
+def _host_contention_probe():
+    """Load average + a 10M-iteration single-thread CPU probe. The
+    host half of the serving loop (pack/unpack/plan) runs on this
+    CPU; if another process is eating the core while this script
+    runs, every host stage stretches by the contention factor and the
+    headline is measurement contamination, not code. (Round 5 learned
+    this the hard way: a 25-minute pytest suite running alongside the
+    20:22Z 2026-08-19 bench turned a 1.5x headline into 0.634x.)"""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    spin_ms = (time.perf_counter() - t0) * 1000
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {"load_1m": load1, "spin10M_ms": round(spin_ms, 1)}
+
+
 def main():
     from concurrent.futures import ThreadPoolExecutor
 
@@ -160,6 +180,7 @@ def main():
     from libultrahdr_dev_tpu.parallel import sharding
     from libultrahdr_dev_tpu.utils import counters as _counters
 
+    host_env_start = _host_contention_probe()
     dev = _devices_or_die()[0]
     mesh = sharding.default_mesh(jax.devices()[:1])
     boost = 1000 / 203
@@ -569,6 +590,8 @@ def main():
             },
             "h2d_MBps": round(h2d_mbps, 1),
             "d2h_MBps": round(d2h_mbps, 1),
+            "host_env_start": host_env_start,
+            "host_env_end": _host_contention_probe(),
             "foreign_entropy_decode_ms": round(f_ms, 1),
             "foreign_scan_to_device_ms": round(f_scan_ms, 1),
             "foreign_progressive_decode_ms": round(f_prog_ms, 1),
