@@ -23,6 +23,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int kWidths[8] = {1, 2, 3, 4, 5, 6, 8, 10};
@@ -170,33 +174,55 @@ long rice_walk_rows(const uint8_t* kmap, const uint8_t* uwmap,
                     int64_t* fill_rem, int64_t* fill_un,
                     Emit&& emit) {
   int32_t acc[8192 + kRiceRL];
-  uint16_t rem[kRiceRL];
+  // Segment scratch, sized for the structure the loops want to keep
+  // vectorizable: remainders widened to i32, and set-bit positions
+  // over the widest unary class (24 words = 768 possible bits on
+  // corrupt input; valid segments carry exactly RL).
+  alignas(64) int32_t rem32[kRiceRL];
+  alignas(64) int32_t posb[24 * 32 + 16];
   constexpr int RL = kRiceRL;
   if (g0 != 0 && g0 % GROUP != 0) return -6;
   const uint8_t* km = kmap + g0 * nsegw;
   const uint8_t* um = uwmap + g0 * nsegw;
   for (int64_t grow = g0; grow < g1; ++grow) {
-    if (MED || grow % GROUP == 0)
+    // Vertical mode accumulates column sums across the GROUP, so the
+    // stripe resets at group starts. MED mode writes (not adds) each
+    // segment's residuals, so only all-zero segments need clearing —
+    // this skips a full-width memset per row (~16 KB/row at 4K).
+    if (!MED && grow % GROUP == 0)
       std::memset(acc, 0, sizeof(int32_t) * (nsegw * RL));
     for (int64_t s = 0; s < nsegw; ++s, ++km, ++um) {
       const int k = *km;
-      if (k == kzero) continue;  // all-zero segment
-      if (k > kcap) return -3;   // map crossed an untrusted link
+      if (k == kzero) {  // all-zero segment
+        if (MED) std::memset(acc + s * RL, 0, sizeof(int32_t) * RL);
+        continue;
+      }
+      if (k > kcap) return -3;  // map crossed an untrusted link
+      // 1. Remainders, slot-major: sample j of the segment sits in
+      // word j % nw at shift (j / nw) * k, so each slot's nw samples
+      // are contiguous in both the words and rem32 — a vector shift
+      // and mask per stripe instead of the scalar per-sample walk.
       if (k > 0) {
         const int ks = 32 / k;
         const int nw = (RL + ks - 1) / ks;
         const uint32_t* words =
             blob + rem_word_offs[k] + fill_rem[k]++ * nw;
         const uint32_t mask = (1u << k) - 1;
-        int idx = 0;
-        for (int slot = 0; slot < ks && idx < RL; ++slot) {
+        for (int slot = 0; slot < ks; ++slot) {
+          const int base = slot * nw;
+          if (base >= RL) break;
+          const int cnt = (base + nw <= RL) ? nw : RL - base;
           const int shift = slot * k;
-          for (int wi = 0; wi < nw && idx < RL; ++wi, ++idx)
-            rem[idx] = (uint16_t)((words[wi] >> shift) & mask);
+          for (int wi = 0; wi < cnt; ++wi)
+            rem32[base + wi] =
+                (int32_t)((words[wi] >> shift) & mask);
         }
       } else {
-        std::memset(rem, 0, sizeof(rem));
+        std::memset(rem32, 0, sizeof(rem32));
       }
+      // 2. Unary terminator positions. AVX-512 compress-store turns
+      // each 16-bit half word into one masked iota store (~8 ops per
+      // word) vs the ~3-ops-per-BIT scalar ctz walk.
       const int uw = *um;
       int c = 0;
       while (c < 7 && kRiceUcls[c] < uw) ++c;
@@ -204,21 +230,54 @@ long rice_walk_rows(const uint8_t* kmap, const uint8_t* uwmap,
       const int wc = kRiceUcls[c];
       const uint32_t* uwords =
           blob + un_word_offs[c] + fill_un[c]++ * (int64_t)wc;
-      int32_t* a = acc + s * RL;
-      int idx = 0, prevp = -1;
-      for (int wi = 0; wi < wc && idx < RL; ++wi) {
-        uint32_t bits = uwords[wi];
-        while (bits && idx < RL) {
-          const int p = wi * 32 + __builtin_ctz(bits);
-          bits &= bits - 1;
-          const uint32_t z =
-              ((uint32_t)(p - prevp - 1) << k) | rem[idx];
-          prevp = p;
-          a[idx] += (int32_t)(z >> 1) ^ -(int32_t)(z & 1);
-          ++idx;
+      int idx = 0;
+#if defined(__AVX512F__)
+      {
+        const __m512i iota = _mm512_setr_epi32(
+            0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15);
+        const __m512i hi16 = _mm512_set1_epi32(16);
+        for (int wi = 0; wi < wc; ++wi) {
+          const uint32_t bits = uwords[wi];
+          __m512i v = _mm512_add_epi32(iota,
+                                       _mm512_set1_epi32(wi * 32));
+          _mm512_mask_compressstoreu_epi32(
+              posb + idx, (__mmask16)(bits & 0xFFFF), v);
+          idx += __builtin_popcount(bits & 0xFFFF);
+          v = _mm512_add_epi32(v, hi16);
+          _mm512_mask_compressstoreu_epi32(
+              posb + idx, (__mmask16)(bits >> 16), v);
+          idx += __builtin_popcount(bits >> 16);
         }
       }
-      if (idx != RL) return -5;  // corrupt unary bitmap
+#else
+      for (int wi = 0; wi < wc; ++wi) {
+        uint32_t bits = uwords[wi];
+        const int32_t base = wi * 32;
+        while (bits) {
+          posb[idx++] = base + __builtin_ctz(bits);
+          bits &= bits - 1;
+        }
+      }
+#endif
+      // Exactly RL terminators are expected; extra set bits past the
+      // RL-th (possible only on corrupt input) are ignored, matching
+      // the incremental walk this replaced.
+      if (idx < RL) return -5;  // corrupt unary bitmap
+      // 3. Gaps + remainders -> un-zigzagged deltas, elementwise.
+      int32_t* a = acc + s * RL;
+      {
+        const uint32_t z0 =
+            ((uint32_t)posb[0] << k) | (uint32_t)rem32[0];
+        const int32_t d0 = (int32_t)(z0 >> 1) ^ -(int32_t)(z0 & 1);
+        if (MED) a[0] = d0; else a[0] += d0;
+      }
+      for (int i = 1; i < RL; ++i) {
+        const uint32_t z =
+            ((uint32_t)(posb[i] - posb[i - 1] - 1) << k)
+            | (uint32_t)rem32[i];
+        const int32_t d = (int32_t)(z >> 1) ^ -(int32_t)(z & 1);
+        if (MED) a[i] = d; else a[i] += d;
+      }
     }
     emit((int)(grow / plane_rows), grow % plane_rows, acc,
          grow >= emit_from);
