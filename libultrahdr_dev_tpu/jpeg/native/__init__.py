@@ -176,6 +176,20 @@ def get_lib():
         lib.uhdr_med16_unpack_mt.restype = ctypes.c_long
         lib.uhdr_med16_unpack_mt.argtypes = \
             lib.uhdr_rice16_unpack_mt.argtypes
+        # Planar-u8 composite variants (decode-intermediates readback).
+        lib.uhdr_rice8_unpack.restype = ctypes.c_long
+        lib.uhdr_rice8_unpack.argtypes = [
+            u8p, u8p, u32p, i64p, i64p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, u16p, u8p]
+        lib.uhdr_rice8_unpack_mt.restype = ctypes.c_long
+        lib.uhdr_rice8_unpack_mt.argtypes = [
+            u8p, u8p, u32p, i64p, i64p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, u16p, u8p, ctypes.c_long]
+        lib.uhdr_med8_unpack.restype = ctypes.c_long
+        lib.uhdr_med8_unpack.argtypes = lib.uhdr_rice8_unpack.argtypes
+        lib.uhdr_med8_unpack_mt.restype = ctypes.c_long
+        lib.uhdr_med8_unpack_mt.argtypes = \
+            lib.uhdr_rice8_unpack_mt.argtypes
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.uhdr_seg_widths.restype = ctypes.c_long
         lib.uhdr_seg_widths.argtypes = [

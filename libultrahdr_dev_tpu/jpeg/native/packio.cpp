@@ -346,6 +346,53 @@ struct EmitF16 {
   }
 };
 
+// Emit one row of an (n, 3h, w) u8 planar composite (the decode
+// intermediates readback): the three "planes" are just the
+// composite's thirds — no recorrelation, value = acc mod 256.
+struct EmitPlanar8 {
+  int64_t w;
+  int64_t plane_rows;
+  uint8_t* out;
+  inline void operator()(int plane, int64_t r, const int32_t* acc,
+                         bool live) const {
+    if (!live) return;
+    uint8_t* o = out + (plane * plane_rows + r) * w;
+    for (int64_t x = 0; x < w; ++x)
+      o[x] = (uint8_t)(acc[x] & 255);
+  }
+};
+
+// Planar-u8 MED emit: LOCO-I reconstruction mod 256, written straight
+// to the composite row (no recorrelation). Stateful like EmitMed.
+struct EmitPlanarMed8 {
+  int64_t w;
+  int64_t plane_rows;
+  uint8_t* out;
+  std::vector<int32_t> prev, cur;
+  EmitPlanarMed8(int64_t w_, int64_t pr, uint8_t* o)
+      : w(w_), plane_rows(pr), out(o), prev(w_), cur(w_) {}
+  inline void operator()(int plane, int64_t r, const int32_t* res,
+                         bool live) {
+    const bool gstart = (plane * plane_rows + r) % GROUP == 0;
+    int32_t left = 0;
+    for (int64_t x = 0; x < w; ++x) {
+      const int32_t up = gstart ? 0 : prev[x];
+      const int32_t ul = (gstart || x == 0) ? 0 : prev[x - 1];
+      const int32_t mx = left > up ? left : up;
+      const int32_t mn = left < up ? left : up;
+      const int32_t pred =
+          ul >= mx ? mn : (ul <= mn ? mx : left + up - ul);
+      left = (pred + res[x]) & 255;
+      cur[x] = left;
+    }
+    if (live) {
+      uint8_t* o = out + (plane * plane_rows + r) * w;
+      for (int64_t x = 0; x < w; ++x) o[x] = (uint8_t)cur[x];
+    }
+    prev.swap(cur);
+  }
+};
+
 // MED reconstruction emit: residuals (already un-zigzagged) arrive
 // per row in `acc`; reconstruct cur[x] = MED(left, up, upleft) + res
 // mod 2^BITS in the decorrelated plane domain, then recorrelate and
@@ -657,6 +704,62 @@ long uhdr_med16_unpack_mt(const uint8_t* kmap, const uint8_t* uwmap,
   };
   return rice_unpack_mt<true>(kmap, uwmap, blob, rem_word_offs,
                               un_word_offs, 31, 15, n, h, w, nthreads,
+                              mk);
+}
+
+// Planar-u8 composite variants (bits=8 in parallel/packio.py): same
+// blob layout and 3*(n*h)-row geometry, but the planes are the
+// composite's thirds written straight to u8 — no recorrelation, no
+// scratch (passed for signature uniformity, unused).
+long uhdr_rice8_unpack(const uint8_t* kmap, const uint8_t* uwmap,
+                       const uint32_t* blob,
+                       const int64_t* rem_word_offs,
+                       const int64_t* un_word_offs,
+                       int64_t n, int64_t h, int64_t w,
+                       uint16_t* scratch, uint8_t* out) {
+  (void)scratch;
+  auto mk = [&]() { return EmitPlanar8{w, n * h, out}; };
+  return rice_unpack_serial<false>(kmap, uwmap, blob, rem_word_offs,
+                                   un_word_offs, 15, 9, n, h, w, mk);
+}
+
+long uhdr_rice8_unpack_mt(const uint8_t* kmap, const uint8_t* uwmap,
+                          const uint32_t* blob,
+                          const int64_t* rem_word_offs,
+                          const int64_t* un_word_offs,
+                          int64_t n, int64_t h, int64_t w,
+                          uint16_t* scratch, uint8_t* out,
+                          long nthreads) {
+  (void)scratch;
+  auto mk = [&]() { return EmitPlanar8{w, n * h, out}; };
+  return rice_unpack_mt<false>(kmap, uwmap, blob, rem_word_offs,
+                               un_word_offs, 15, 9, n, h, w, nthreads,
+                               mk);
+}
+
+long uhdr_med8_unpack(const uint8_t* kmap, const uint8_t* uwmap,
+                      const uint32_t* blob,
+                      const int64_t* rem_word_offs,
+                      const int64_t* un_word_offs,
+                      int64_t n, int64_t h, int64_t w,
+                      uint16_t* scratch, uint8_t* out) {
+  (void)scratch;
+  auto mk = [&]() { return EmitPlanarMed8(w, n * h, out); };
+  return rice_unpack_serial<true>(kmap, uwmap, blob, rem_word_offs,
+                                  un_word_offs, 15, 9, n, h, w, mk);
+}
+
+long uhdr_med8_unpack_mt(const uint8_t* kmap, const uint8_t* uwmap,
+                         const uint32_t* blob,
+                         const int64_t* rem_word_offs,
+                         const int64_t* un_word_offs,
+                         int64_t n, int64_t h, int64_t w,
+                         uint16_t* scratch, uint8_t* out,
+                         long nthreads) {
+  (void)scratch;
+  auto mk = [&]() { return EmitPlanarMed8(w, n * h, out); };
+  return rice_unpack_mt<true>(kmap, uwmap, blob, rem_word_offs,
+                              un_word_offs, 15, 9, n, h, w, nthreads,
                               mk);
 }
 

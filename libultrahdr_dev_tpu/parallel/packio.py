@@ -422,22 +422,30 @@ def _decor_planes_dev(x, n: int, h: int, w: int, wp: int, bits: int):
     """Traceable channel decorrelation shared by every readback
     preamble: RGBA1010102 u32 (bits=10) or RGBA-F16-halves u16x4
     (bits=16) -> (3*n*h, wp) i32 (G, R-G, B-G) planes mod 2^bits,
-    wp-edge-padded."""
+    wp-edge-padded. bits=8: x is an (n, 3*h, w) u8 composite of
+    already-planar data (the decode intermediates readback); no
+    cross-channel transform applies, so the "3 planes" are just the
+    composite's thirds — an identity reshape that keeps every
+    downstream row count (3*n*h) and the native unpack's phase
+    geometry unchanged."""
     import jax.numpy as jnp
 
     mask = (1 << bits) - 1
     xi = x.astype(jnp.int32)
-    if bits == 10:
-        r = xi & 1023
-        g = (xi >> 10) & 1023
-        b = (xi >> 20) & 1023
+    if bits == 8:
+        big = xi.reshape(3 * n * h, w)
     else:
-        r = xi[..., 0]
-        g = xi[..., 1]
-        b = xi[..., 2]
-    big = jnp.concatenate([
-        g.reshape(n * h, w), ((r - g) & mask).reshape(n * h, w),
-        ((b - g) & mask).reshape(n * h, w)])
+        if bits == 10:
+            r = xi & 1023
+            g = (xi >> 10) & 1023
+            b = (xi >> 20) & 1023
+        else:
+            r = xi[..., 0]
+            g = xi[..., 1]
+            b = xi[..., 2]
+        big = jnp.concatenate([
+            g.reshape(n * h, w), ((r - g) & mask).reshape(n * h, w),
+            ((b - g) & mask).reshape(n * h, w)])
     if wp != w:
         big = jnp.pad(big, ((0, 0), (0, wp - w)), mode="edge")
     return big
@@ -677,8 +685,8 @@ def _pass1_widths_fn(shape, bits: int, med: bool):
     n, h, w = shape
     wp = -(-w // RL) * RL
     rows = 3 * n * h
-    kset = _RICE_KS if bits == 10 else _RICE16_KS
-    zero = _RICE_ZERO if bits == 10 else _RICE16_ZERO
+    kset = _RICE16_KS if bits == 16 else _RICE_KS
+    zero = _RICE16_ZERO if bits == 16 else _RICE_ZERO
     residuals = _med_deltas_dev if med else _vert_deltas_dev
 
     def f(x):
@@ -708,8 +716,8 @@ def _pass1_both_fn(shape, bits: int):
     n, h, w = shape
     wp = -(-w // RL) * RL
     rows = 3 * n * h
-    kset = _RICE_KS if bits == 10 else _RICE16_KS
-    zero = _RICE_ZERO if bits == 10 else _RICE16_ZERO
+    kset = _RICE16_KS if bits == 16 else _RICE_KS
+    zero = _RICE16_ZERO if bits == 16 else _RICE_ZERO
 
     def f(x):
         big = _decor_planes_dev(x, n, h, w, wp, bits)
@@ -894,8 +902,8 @@ def _fused_fetch_fn(shape, bits: int, med: bool, rem_npads: tuple,
     n, h, w = shape
     wp = -(-w // RL) * RL
     rows = 3 * n * h
-    kset = _RICE_KS if bits == 10 else _RICE16_KS
-    zero = _RICE_ZERO if bits == 10 else _RICE16_ZERO
+    kset = _RICE16_KS if bits == 16 else _RICE_KS
+    zero = _RICE16_ZERO if bits == 16 else _RICE_ZERO
     ncls = len(_RICE_UCLS)
     nseg_total = rows * (wp // RL)
     residuals = _med_deltas_dev if med else _vert_deltas_dev
@@ -1167,6 +1175,17 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
         raw_bytes = n * h * w * 8
         kset, zero = _RICE16_KS, _RICE16_ZERO
         out_shape, out_dtype = (n, h, w, 4), np.uint16
+    elif bits == 8:
+        # Planar u8 composite (n, 3*h, w): the "channels" are the
+        # composite's thirds (see _decor_planes_dev), so h here is a
+        # third of the real row count.
+        if len(shape) != 3 or shape[1] % 3:
+            return None, 0
+        n, h3, w = shape
+        h = h3 // 3
+        raw_bytes = n * h3 * w
+        kset, zero = _RICE_KS, _RICE_ZERO
+        out_shape, out_dtype = (n, h3, w), np.uint8
     else:
         n, h, w = shape
         raw_bytes = n * h * w * 4
@@ -1177,8 +1196,7 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
         from ..jpeg import native
 
         lib = native.get_lib()
-        med_fn = "uhdr_med_unpack" if bits == 10 else \
-            "uhdr_med16_unpack"
+        med_fn = _MED_FN_BY_BITS[bits]
         if lib is None or getattr(lib, med_fn, None) is None:
             med = False
         else:
@@ -1193,10 +1211,8 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
         ent = _PLAN_CACHE.get(((n, h, w), bits))
         sel = None
         if ent is not None:
-            med_fn2 = "uhdr_med_unpack" if bits == 10 \
-                else "uhdr_med16_unpack"
-            vert_fn2 = "uhdr_rice_unpack" if bits == 10 \
-                else "uhdr_rice16_unpack"
+            med_fn2 = _MED_FN_BY_BITS[bits]
+            vert_fn2 = _VERT_FN_BY_BITS[bits]
             plans = ent["plans"]
             if med == "auto":
                 # Auto needs both schemes planned (the dual pass 1
@@ -1227,10 +1243,7 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
             elif plans.get(med) is not None:
                 sel = med
         if sel is not None:
-            tails = ((_med10_tail_numpy if bits == 10
-                      else _med16_tail_numpy),
-                     (_rct_tail_numpy if bits == 10
-                      else _rct16_tail_numpy))
+            tails = (_MED_TAIL_BY_BITS[bits], _VERT_TAIL_BY_BITS[bits])
             try:
                 res = _try_fused_fetch(
                     out_dev, fetch, n=n, h=h, w=w, bits=bits, ent=ent,
@@ -1272,8 +1285,7 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
                                  raw_bytes)
         if plan_v is None and plan_m is None:
             return None, maps4.nbytes
-        vert_fn = "uhdr_rice_unpack" if bits == 10 \
-            else "uhdr_rice16_unpack"
+        vert_fn = _VERT_FN_BY_BITS[bits]
         use_med = _auto_pick_scheme(plan_v, plan_m, raw_bytes,
                                     vert_fn, med_fn)
         med = bool(use_med)
@@ -1306,13 +1318,11 @@ def _fetch_rice_core(out_dev, fetch, *, bits, med):
     LAST_PICK = "med" if med else "vert"
     rem_counts, un_counts, rem_npads, un_npads, offs, _est = plan
     if med:
-        native_fn = "uhdr_med_unpack" if bits == 10 \
-            else "uhdr_med16_unpack"
-        tail = _med10_tail_numpy if bits == 10 else _med16_tail_numpy
+        native_fn = _MED_FN_BY_BITS[bits]
+        tail = _MED_TAIL_BY_BITS[bits]
     else:
-        native_fn = "uhdr_rice_unpack" if bits == 10 \
-            else "uhdr_rice16_unpack"
-        tail = _rct_tail_numpy if bits == 10 else _rct16_tail_numpy
+        native_fn = _VERT_FN_BY_BITS[bits]
+        tail = _VERT_TAIL_BY_BITS[bits]
 
     blob_bytes = 0
     try:
@@ -1458,7 +1468,8 @@ def _host_unpack_rice_core(blob, kmap, uwmap, rem_counts, un_counts,
         scratch = np.empty(n * h * w, np.uint16)
         out = np.empty(out_shape, out_dtype)
         cptr = {np.uint32: ctypes.c_uint32,
-                np.uint16: ctypes.c_uint16}[out_dtype]
+                np.uint16: ctypes.c_uint16,
+                np.uint8: ctypes.c_uint8}[out_dtype]
         args = (
             kmap_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             uw_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -1718,3 +1729,77 @@ def _med10_tail_numpy(z, n, h, w):
 
 def _med16_tail_numpy(z, n, h, w):
     return _med_tail_numpy(z, n, h, w, 16)
+
+
+def _vert8_tail_numpy(z, n, h, w, seglen: int = RL):
+    """Planar-u8 vertical-delta tail: un-zigzag, grouped cumsum, mod
+    256; no recorrelation (the three "planes" are the composite's
+    thirds)."""
+    wp = -(-w // seglen) * seglen
+    rows = 3 * n * h
+    zz = z.reshape(rows, wp).view(np.int16)
+    ds = (zz >> 1) ^ -(zz & 1)
+    pad = (-rows) % G
+    if pad:
+        ds = np.concatenate([ds, np.zeros((pad, wp), ds.dtype)])
+    grp = ds.reshape(-1, G, wp)
+    np.cumsum(grp, axis=1, out=grp)
+    big = grp.reshape(-1, wp)[:rows, :w]
+    return (big & 255).astype(np.uint8).reshape(n, 3 * h, w)
+
+
+def _med8_tail_numpy(z, n, h, w):
+    """Planar-u8 MED tail: sequential LOCO-I reconstruction mod 256,
+    no recorrelation (slow python loop — production goes native)."""
+    mask = 255
+    wp = -(-w // RL) * RL
+    rows = 3 * n * h
+    zz = z.reshape(rows, wp)[:, :w].astype(np.int64)
+    res = (zz >> 1) ^ -(zz & 1)
+    big = np.zeros((rows, w), np.int64)
+    for r in range(rows):
+        gstart = r % G == 0
+        prevr = big[r - 1]
+        rrow = res[r]
+        brow = big[r]
+        left = 0
+        for x in range(w):
+            up = 0 if gstart else prevr[x]
+            ul = 0 if (gstart or x == 0) else prevr[x - 1]
+            mx = left if left > up else up
+            mn = left if left < up else up
+            pred = mn if ul >= mx else (mx if ul <= mn else
+                                        left + up - ul)
+            left = (pred + rrow[x]) & mask
+            brow[x] = left
+    return big.astype(np.uint8).reshape(n, 3 * h, w)
+
+
+# Per-bits dispatch for the shared fetch core: native unpack entry
+# points and numpy-fallback tails. bits=8 is the planar composite
+# readback (decode intermediates); 10/16 the pixel readbacks.
+_MED_FN_BY_BITS = {8: "uhdr_med8_unpack", 10: "uhdr_med_unpack",
+                   16: "uhdr_med16_unpack"}
+_VERT_FN_BY_BITS = {8: "uhdr_rice8_unpack", 10: "uhdr_rice_unpack",
+                    16: "uhdr_rice16_unpack"}
+_MED_TAIL_BY_BITS = {8: _med8_tail_numpy, 10: _med10_tail_numpy,
+                     16: _med16_tail_numpy}
+_VERT_TAIL_BY_BITS = {8: _vert8_tail_numpy, 10: _rct_tail_numpy,
+                      16: _rct16_tail_numpy}
+
+
+def fetch_planes_u8(out_dev, fetch=np.asarray):
+    """Packed readback of an (n, 3*h, w) u8 planar composite (the
+    fused decode's integer intermediates: [Y | U|V | gain map] padded
+    to three equal thirds). Rice residual pack, scheme auto-picked;
+    returns (host u8 array, d2h_bytes) or (None, wasted) for
+    incompressible content (caller falls back to a raw fetch)."""
+    return _fetch_rice_core(out_dev, fetch, bits=8, med="auto")
+
+
+def fetch_planes_u8_med(out_dev, fetch=np.asarray):
+    return _fetch_rice_core(out_dev, fetch, bits=8, med=True)
+
+
+def fetch_planes_u8_vert(out_dev, fetch=np.asarray):
+    return _fetch_rice_core(out_dev, fetch, bits=8, med=False)
