@@ -18,7 +18,8 @@ import threading
 _DIR = os.path.dirname(__file__)
 _SRCS = [os.path.join(_DIR, "entropy.cpp"),
          os.path.join(_DIR, "arith.cpp"),
-         os.path.join(_DIR, "packio.cpp")]
+         os.path.join(_DIR, "packio.cpp"),
+         os.path.join(_DIR, "apply.cpp")]
 _FLAGS = ["-O3", "-march=native", "-funroll-loops", "-std=c++17",
           "-shared", "-fPIC", "-pthread"]
 
@@ -190,6 +191,14 @@ def get_lib():
         lib.uhdr_med8_unpack_mt.restype = ctypes.c_long
         lib.uhdr_med8_unpack_mt.argtypes = \
             lib.uhdr_rice8_unpack_mt.argtypes
+        # Host gain-map apply over the planes-readback composite.
+        lib.uhdr_apply_gainmap.restype = ctypes.c_long
+        lib.uhdr_apply_gainmap.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.uhdr_seg_widths.restype = ctypes.c_long
         lib.uhdr_seg_widths.argtypes = [

@@ -216,7 +216,9 @@ void apply_rows(const ApplyArgs& a, int64_t y0, int64_t y1) {
     const uint8_t* gm0 = a.comp + (a.h + a.ch + gy) * a.stride;
     const uint8_t* gm1 = a.comp + (a.h + a.ch + gyn) * a.stride;
     const int pyi = (int)(y % s);
-    const int cfgB = (y / s >= a.gh - 1) ? 2 : 0;
+    // inc_b is 1 in the interior, 0 on the bottom map row
+    // (ops/gainmap.py _idw_upsample inc_r/inc_b).
+    const int cfgB = (y / s >= a.gh - 1) ? 0 : 2;
     for (int64_t x = 0; x < w; ++x) {
       const int64_t gx = std::min(x / s, a.gw - 1);
       const int64_t gxn =

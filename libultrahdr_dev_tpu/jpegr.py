@@ -171,6 +171,8 @@ def _fused_decode_kernel_dev(output_format: str, base_shape, gm_shape,
                                     dc_carry=gm_carry)
         gmap = dequant_idct(gblocks[:g_mcus], qg, gmy * 8,
                             gmx * 8)[:gh, :gw]
+        if output_format == "planes":
+            return gm.planes_composite(y8, u8, v8, gmap)
         apply_k = gm._apply_kernel(output_format, scale, use_luts)
         return apply_k(y8, u8, v8, gmap, scalars[0], scalars[1],
                        scalars[2], scalars[3])
@@ -213,6 +215,8 @@ def _fused_decode_kernel(output_format: str, y_shape, c_shape, g_shape,
             return gm.yuv420_to_rgba8888(y8, u8, v8)
         gmap = idct(coefs_flat, ny + 2 * nc, g_shape,
                     qg)[:h // scale, :w // scale]
+        if output_format == "planes":
+            return gm.planes_composite(y8, u8, v8, gmap)
         apply_k = gm._apply_kernel(output_format, scale, use_luts)
         return apply_k(y8, u8, v8, gmap, scalars[0], scalars[1],
                        scalars[2], scalars[3])

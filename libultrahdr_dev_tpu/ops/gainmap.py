@@ -261,6 +261,33 @@ def _idw_upsample(gmap01, scale: int, out_h: int, out_w: int):
     return jnp.where(exact, e1, blended)
 
 
+def planes_composite(y8, u8, v8, gmap_u8):
+    """Stack the decode's integer intermediates into ONE u8 composite
+    plane for the planar Rice readback (packio.fetch_planes_u8):
+    rows [0,h) Y, rows [h,h+ch) U|V side by side, rows [h+ch,..) the
+    gain map — edge-replicated padding (costs ~0 residual bits), row
+    count padded to a multiple of 3 so the readback's third-geometry
+    applies. The host reapplies the gain map natively
+    (jpeg/native/apply.cpp), shipping ~2-4x fewer link bytes than any
+    packed-output-pixel readback."""
+    h, w = y8.shape
+    ch, cw = u8.shape
+    gh, gw = gmap_u8.shape
+    wc = max(w, 2 * cw)
+
+    def padw(a):
+        return jnp.pad(a, ((0, 0), (0, wc - a.shape[1])), mode="edge")
+
+    comp = jnp.concatenate([
+        padw(y8), padw(jnp.concatenate([u8, v8], axis=1)),
+        padw(gmap_u8)])
+    pad = (-(h + ch + gh)) % 3
+    if pad:
+        comp = jnp.concatenate(
+            [comp, jnp.broadcast_to(comp[-1:], (pad, wc))])
+    return comp.astype(jnp.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Gain map application (ultrahdr.cpp:360-515).
 # ---------------------------------------------------------------------------
