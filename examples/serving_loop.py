@@ -52,6 +52,11 @@ def main(argv=None):
                          "default decode output) instead of HLG "
                          "RGBA1010102; readback rides the F16 "
                          "bit-pattern Rice pack")
+    ap.add_argument("--no-hostapply", action="store_true",
+                    help="disable the planes-composite readback + "
+                         "native host gain-map apply (the default "
+                         "decode-to-host path when the native lib is "
+                         "present; ~2-4x fewer d2h bytes)")
     args = ap.parse_args(argv)
 
     import jax
@@ -65,8 +70,24 @@ def main(argv=None):
     mesh = sharding.default_mesh()
     boost = 1000 / 203
     out_fmt = "hdr_linear" if args.f16 else "hdr_hlg"
-    fetch = (sharding.fetch_f16_packed if args.f16
-             else sharding.fetch_1010102_packed)
+    use_ha = (not args.no_hostapply
+              and sharding.hostapply_available(out_fmt))
+    dec_fmt = "planes" if use_ha else out_fmt
+    gw, gh = w // 4, h // 4
+
+    def fetch(out, scalars=None):
+        if use_ha and scalars is not None:
+            from libultrahdr_dev_tpu.parallel import packio
+
+            comp, _ = packio.fetch_planes_u8(out)
+            if comp is None:
+                import numpy as np
+
+                comp = np.asarray(out)
+            return sharding.apply_planes_host(
+                comp, scalars, h, w, gh, gw, out_fmt)
+        return (sharding.fetch_f16_packed if args.f16
+                else sharding.fetch_1010102_packed)(out)
 
     def pack_and_upload():
         # Stage 1 includes the h2d upload so the next batch's link
@@ -91,22 +112,32 @@ def main(argv=None):
             blobs, handoff = sharding.batched_encode_api0(
                 ys, uvs, mesh, device_input=(ydev, uvdev),
                 return_handoff=True)
+            scalars = None
             if handoff is not None:
                 # Decode straight off the encoder's device-resident
                 # streams — no blob re-upload (the TPU analog of the
                 # reference's zero-copy in-process handoff,
                 # jpegr.cpp:167-247).
                 out = sharding.batched_decode_from_handoff(
-                    handoff, out_fmt, boost, mesh)
-            else:  # rare scatter fallback: decode the blobs
+                    handoff, dec_fmt, boost, mesh)
+                if use_ha and out is not None:
+                    import numpy as np
+
+                    scalars = np.broadcast_to(
+                        sharding.handoff_apply_scalars(handoff, boost),
+                        (n, 4))
+            else:
+                out = None
+            if out is None:  # rare scatter fallback: decode the blobs
                 out = sharding.batched_decode(blobs, out_fmt, boost,
                                               mesh)
+                scalars = None
             if fetch_fut is not None:
                 pixels = fetch_fut.result()
                 t_pix.append(time.perf_counter())
                 print(f"round {r - 1}: {pixels.shape} pixels ready, "
                       f"{len(blobs[0])} B/JPEG-R", flush=True)
-            fetch_fut = fetch_pool.submit(fetch, out)
+            fetch_fut = fetch_pool.submit(fetch, out, scalars)
         pixels = fetch_fut.result()
         t_pix.append(time.perf_counter())
         print(f"round {args.rounds - 1}: {pixels.shape} pixels ready")

@@ -21,6 +21,9 @@ _SRCS = [os.path.join(_DIR, "entropy.cpp"),
          os.path.join(_DIR, "packio.cpp"),
          os.path.join(_DIR, "apply.cpp")]
 _FLAGS = ["-O3", "-march=native", "-funroll-loops", "-std=c++17",
+          # errno bookkeeping on sqrt/floor blocks vectorization of
+          # the apply-kernel rows; results are unchanged without it.
+          "-fno-math-errno",
           "-shared", "-fPIC", "-pthread"]
 
 

@@ -394,13 +394,7 @@ def decode_batch_hostapply(blobs, output_format: str,
             handoff, "planes", max_display_boost, mesh, False, stats)
         if comp_dev is None:
             return None
-        from ..container import xmp as _xmp
-
-        md_rt = _xmp.get_metadata_from_xmp(
-            _xmp.XMP_NAMESPACE.encode() + b"\x00"
-            + _xmp.generate_xmp_for_secondary_image(
-                handoff.metadata).encode())
-        sc = _decode_scalars(md_rt, max_display_boost)
+        sc = handoff_apply_scalars(handoff, max_display_boost)
         n = int(comp_dev.shape[0])
         scalars = np.broadcast_to(sc, (n, 4))
         w, h = handoff.width, handoff.height
@@ -930,6 +924,22 @@ class DeviceEncodedBatch:
         self.metadata = metadata
 
 
+def handoff_apply_scalars(handoff: "DeviceEncodedBatch",
+                          max_display_boost: float) -> np.ndarray:
+    """Apply scalars for a device handoff, round-tripped through the
+    XMP writer/parser so they are bit-identical to what a decode of
+    the assembled blob computes (XMP serializes boosts as decimal
+    text; skipping the round trip leaves last-ulp float deltas that
+    flip the odd rounding-boundary pixel)."""
+    from ..container import xmp as _xmp
+
+    md_rt = _xmp.get_metadata_from_xmp(
+        _xmp.XMP_NAMESPACE.encode() + b"\x00"
+        + _xmp.generate_xmp_for_secondary_image(
+            handoff.metadata).encode())
+    return _decode_scalars(md_rt, max_display_boost)
+
+
 def batched_decode_from_handoff(handoff: DeviceEncodedBatch,
                                 output_format: str,
                                 max_display_boost: float, mesh: Mesh,
@@ -995,18 +1005,7 @@ def batched_decode_from_handoff(handoff: DeviceEncodedBatch,
         base_dlen=base_dlen, gm_dlen=gm_dlen, cap_b=cap_b,
         cap_g=cap_g, nwords=nwords)
 
-    # Round-trip the metadata through the XMP writer/parser so the
-    # apply scalars are bit-identical to what a decode of the
-    # assembled blob computes (XMP serializes boosts as decimal text;
-    # skipping the round trip leaves last-ulp float deltas that flip
-    # the odd rounding-boundary pixel).
-    from ..container import xmp as _xmp
-
-    md_rt = _xmp.get_metadata_from_xmp(
-        _xmp.XMP_NAMESPACE.encode() + b"\x00"
-        + _xmp.generate_xmp_for_secondary_image(
-            handoff.metadata).encode())
-    sc = _decode_scalars(md_rt, max_display_boost)
+    sc = handoff_apply_scalars(handoff, max_display_boost)
     aux = np.empty((n, 5 + ncb + ncg), np.int32)
     aux[:, :4] = np.broadcast_to(sc.view(np.int32), (n, 4))
     aux[:, 4] = handoff.base_off.astype(np.int32)
